@@ -1,0 +1,208 @@
+"""LLaMA decoder (Vicuna-7B shape), TPU-native.
+
+Design (vs the reference's HF LlamaForCausalLM):
+  * layer parameters are stacked along a leading layer axis and the stack is
+    traversed with `lax.scan` — one compiled layer body instead of 32
+    unrolled layers (fast compiles, natural for pjit sharding);
+  * a ragged KV cache (right-padded, per-row lengths) with chunked insert
+    supports prefill, cached decode, and prefix-cache option scoring — the
+    reference's VSM disables the cache entirely and recomputes the full
+    sequence every decode step (VisualSearch/model/VSM.py:151), which this
+    design fixes;
+  * attention runs on the Pallas flash kernel for chunks and a fused jnp
+    path for single-token decode.
+
+Weight layout: dense weights are (in_dim, out_dim) — transposed from torch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LlamaConfig
+from ..core.params import KeyGen, dense_init, embed_init
+from ..kernels.flash_attention import flash_attention, mha_reference
+from .basic import init_rmsnorm, rmsnorm
+from .rope import apply_rope, rope_angles
+
+
+class KVCache(NamedTuple):
+    """Ragged per-row KV cache. k/v: [L, B, S_max, H_kv, Dh]; length: [B]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # int32 [B], valid prefix per row
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((batch,), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
+    kg = KeyGen(key)
+    D, L = cfg.hidden_size, cfg.num_layers
+
+    def stack(fn):
+        return jnp.stack([fn(kg()) for _ in range(L)])
+
+    layers = {
+        "input_norm": {"scale": jnp.ones((L, D), dtype)},
+        "post_norm": {"scale": jnp.ones((L, D), dtype)},
+        "attn": {
+            "wq": stack(lambda k: dense_init(k, D, cfg.q_dim, dtype=dtype)),
+            "wk": stack(lambda k: dense_init(k, D, cfg.kv_dim, dtype=dtype)),
+            "wv": stack(lambda k: dense_init(k, D, cfg.kv_dim, dtype=dtype)),
+            "wo": stack(lambda k: dense_init(k, cfg.q_dim, D, dtype=dtype)),
+        },
+        "mlp": {
+            "w_gate": stack(lambda k: dense_init(k, D, cfg.intermediate_size,
+                                                 dtype=dtype)),
+            "w_up": stack(lambda k: dense_init(k, D, cfg.intermediate_size,
+                                               dtype=dtype)),
+            "w_down": stack(lambda k: dense_init(k, cfg.intermediate_size, D,
+                                                 dtype=dtype)),
+        },
+    }
+    return {
+        "embed_tokens": embed_init(kg(), cfg.vocab_size, D, dtype=dtype),
+        "layers": layers,
+        "final_norm": init_rmsnorm(D, dtype),
+        "lm_head": dense_init(kg(), D, cfg.vocab_size, dtype=dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _ragged_insert(cache_kv: jnp.ndarray, new_kv: jnp.ndarray,
+                   offsets: jnp.ndarray) -> jnp.ndarray:
+    """Insert new_kv [B,S,H,D] into cache_kv [B,Smax,H,D] at per-row offsets."""
+    def one(c, x, o):
+        return jax.lax.dynamic_update_slice(c, x.astype(c.dtype), (o, 0, 0))
+    return jax.vmap(one)(cache_kv, new_kv, offsets)
+
+
+def _attention_block(lp: Dict, cfg: LlamaConfig, x: jnp.ndarray,
+                     cos: jnp.ndarray, sin: jnp.ndarray,
+                     kv_lens: jnp.ndarray, q_offsets: Optional[jnp.ndarray],
+                     cache_k: Optional[jnp.ndarray],
+                     cache_v: Optional[jnp.ndarray],
+                     use_pallas: Optional[bool]):
+    B, S, D = x.shape
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    q = (x @ lp["wq"].astype(x.dtype)).reshape(B, S, H, Dh)
+    k = (x @ lp["wk"].astype(x.dtype)).reshape(B, S, Hkv, Dh)
+    v = (x @ lp["wv"].astype(x.dtype)).reshape(B, S, Hkv, Dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_k is not None:
+        offs = q_offsets if q_offsets is not None else jnp.zeros((B,), jnp.int32)
+        cache_k = _ragged_insert(cache_k, k, offs)
+        cache_v = _ragged_insert(cache_v, v, offs)
+        k_all, v_all = cache_k, cache_v
+    else:
+        k_all, v_all = k, v
+
+    if Hkv != H:
+        rep = H // Hkv
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+
+    out = flash_attention(q, k_all, v_all, kv_lens=kv_lens,
+                          q_offsets=q_offsets, causal=True,
+                          use_pallas=use_pallas)
+    out = out.reshape(B, S, H * Dh)
+    return out @ lp["wo"].astype(x.dtype), cache_k, cache_v
+
+
+def _mlp_block(lp: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    gate = jax.nn.silu(x @ lp["w_gate"].astype(x.dtype))
+    up = x @ lp["w_up"].astype(x.dtype)
+    return (gate * up) @ lp["w_down"].astype(x.dtype)
+
+
+def llama_forward(params: Dict, cfg: LlamaConfig, hidden: jnp.ndarray,
+                  positions: jnp.ndarray, kv_lens: jnp.ndarray,
+                  q_offsets: Optional[jnp.ndarray] = None,
+                  cache: Optional[KVCache] = None,
+                  use_pallas: Optional[bool] = None,
+                  remat: bool = False) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the decoder stack over input embeddings.
+
+    hidden:    [B, S, D] input embeddings (token or spliced multimodal)
+    positions: [B, S] int32 RoPE positions
+    kv_lens:   [B] total valid kv after this chunk (cache_len + chunk_len)
+    q_offsets: [B] kv-coordinate of the chunk start (None = 0, plain prefill)
+    cache:     optional KVCache; when given, k/v are inserted at q_offsets
+               and attention runs over the whole cache.
+
+    Returns (hidden [B,S,D] after final norm, updated cache or None).
+    """
+    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+    cos = cos[:, :, None, :]  # [B,S,1,Dh] broadcast over heads
+    sin = sin[:, :, None, :]
+
+    def layer(carry, xs):
+        x = carry
+        if cache is not None:
+            lp, ck, cv = xs
+        else:
+            lp, ck, cv = xs, None, None
+        h = rmsnorm(lp["input_norm"], x, cfg.rms_norm_eps)
+        attn_out, new_ck, new_cv = _attention_block(
+            lp["attn"], cfg, h, cos, sin, kv_lens, q_offsets, ck, cv,
+            use_pallas)
+        x = x + attn_out
+        h = rmsnorm(lp["post_norm"], x, cfg.rms_norm_eps)
+        x = x + _mlp_block(lp["mlp"], h)
+        return x, (new_ck, new_cv)
+
+    if remat:
+        layer = jax.checkpoint(layer)
+
+    xs = (params["layers"], cache.k, cache.v) if cache is not None \
+        else params["layers"]
+    hidden, (new_k, new_v) = jax.lax.scan(layer, hidden, xs)
+
+    new_cache = None
+    if cache is not None:
+        chunk = hidden.shape[1]
+        # length grows by each row's number of valid new tokens =
+        # kv_lens - old q_offsets; caller passes exact values.
+        new_cache = KVCache(k=new_k, v=new_v, length=kv_lens)
+        del chunk
+    hidden = rmsnorm(params["final_norm"], hidden, cfg.rms_norm_eps)
+    return hidden, new_cache
+
+
+def lm_logits(params: Dict, hidden: jnp.ndarray,
+              dtype=jnp.float32) -> jnp.ndarray:
+    """Project final hidden states to vocab logits (f32 for stable CE)."""
+    w = params["lm_head"].astype(hidden.dtype)
+    return (hidden @ w).astype(dtype)
+
+
+def embed_tokens(params: Dict, ids: jnp.ndarray,
+                 dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Token id -> embedding lookup; negative ids (sentinels) map to row 0
+    (their embeddings are replaced by vision features during splicing)."""
+    safe = jnp.where(ids < 0, 0, ids)
+    return jnp.take(params["embed_tokens"], safe, axis=0).astype(dtype)
