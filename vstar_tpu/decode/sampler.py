@@ -1,0 +1,84 @@
+"""Jitted greedy decoding over the ragged KV cache, with per-step
+hidden-state capture.
+
+The reference decodes through HF `generate` — and the VSM even disables the
+KV cache, recomputing the full sequence every step (VSM.py:151). Here the
+decode loop is a `lax.while_loop` with static shapes: O(1) work per step,
+early exit when every row has hit a stop token.
+
+Hidden capture: `hiddens[i]` is the final-layer (post-norm) hidden state
+that *produced* `tokens[i]` — exactly the state the reference gathers for
+[LOC] heads (its mask selects the position before each [LOC]; VSM.py:465-473).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LlamaConfig
+from ..nn.llama import KVCache, embed_tokens, llama_forward, lm_logits
+
+
+class DecodeResult(NamedTuple):
+    tokens: jnp.ndarray      # int32 [B, max_new] (padded with eos after stop)
+    hiddens: jnp.ndarray     # [B, max_new, D] state that produced tokens[i]
+    num_generated: jnp.ndarray  # int32 [B] tokens generated incl. stop token
+    cache: KVCache
+
+
+def greedy_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
+                  first_logits: jnp.ndarray, first_hidden: jnp.ndarray,
+                  max_new_tokens: int, stop_ids: Sequence[int],
+                  compute_dtype=jnp.bfloat16) -> DecodeResult:
+    """Greedy decode after a prefill.
+
+    first_logits: [B, vocab] logits at the last prompt position
+    first_hidden: [B, D] hidden at the last prompt position
+    stop_ids: token ids that terminate a row (e.g. eos '</s>').
+    """
+    B = first_logits.shape[0]
+    D = first_hidden.shape[-1]
+    stop_arr = jnp.asarray(list(stop_ids), jnp.int32)
+
+    tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
+    hiddens0 = jnp.zeros((B, max_new_tokens, D), first_hidden.dtype)
+
+    tok0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(tok0)
+    hiddens0 = hiddens0.at[:, 0].set(first_hidden)
+    done0 = jnp.isin(tok0, stop_arr)
+    ngen0 = jnp.ones((B,), jnp.int32)
+
+    def cond(state):
+        t, done = state[0], state[4]
+        return jnp.logical_and(t < max_new_tokens, ~jnp.all(done))
+
+    def body(state):
+        t, cache, tokens, hiddens, done, ngen = state
+        cur_tok = jax.lax.dynamic_slice_in_dim(tokens, t - 1, 1, axis=1)
+        h = embed_tokens(params, cur_tok, compute_dtype)
+        pos = cache.length[:, None]
+        new_lens = jnp.where(done, cache.length, cache.length + 1)
+        hidden, new_cache = llama_forward(
+            params, cfg, h, pos, cache.length + 1,
+            q_offsets=cache.length, cache=cache)
+        new_cache = KVCache(new_cache.k, new_cache.v, new_lens)
+        logits = lm_logits(params, hidden)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, stop_arr[0], nxt)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None], t, axis=1)
+        hiddens = jax.lax.dynamic_update_slice_in_dim(
+            hiddens, hidden[:, 0][:, None].astype(hiddens.dtype), t, axis=1)
+        new_done = jnp.logical_or(done, jnp.isin(nxt, stop_arr))
+        ngen = jnp.where(done, ngen, ngen + 1)
+        return (t + 1, new_cache, tokens, hiddens, new_done, ngen)
+
+    state = (jnp.int32(1), cache, tokens0, hiddens0, done0, ngen0)
+    t, cache, tokens, hiddens, done, ngen = jax.lax.while_loop(
+        cond, body, state)
+    return DecodeResult(tokens=tokens, hiddens=hiddens, num_generated=ngen,
+                        cache=cache)
