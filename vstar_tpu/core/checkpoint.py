@@ -1,0 +1,60 @@
+"""Checkpoint I/O.
+
+  * load_torch_dir — read an HF checkpoint directory (sharded
+    pytorch_model-*.bin or *.safetensors) into a flat name->tensor dict for
+    the importers in hf_import.py. The public reference checkpoints
+    (craigwu/seal_vqa_7b, craigwu/seal_vsm_7b) use this format.
+  * save_params / load_params — Orbax for the framework's own pytrees
+    (sharded-array aware; replaces the reference's DeepSpeed engine
+    checkpoints, VisualSearch/train.py:396-411).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def load_torch_dir(path: str) -> Dict[str, Any]:
+    """Flat state_dict from an HF checkpoint dir (bin shards, safetensors,
+    or a single file)."""
+    sd: Dict[str, Any] = {}
+    entries = sorted(os.listdir(path))
+    safes = [e for e in entries if e.endswith(".safetensors")]
+    bins = [e for e in entries
+            if e.endswith(".bin") and e.startswith("pytorch_model")]
+    if safes:
+        from safetensors import safe_open
+        for fname in safes:
+            with safe_open(os.path.join(path, fname), framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+    elif bins:
+        import torch
+        for fname in bins:
+            part = torch.load(os.path.join(path, fname),
+                              map_location="cpu", weights_only=True)
+            sd.update(part)
+    else:
+        raise FileNotFoundError(f"no checkpoint shards under {path}")
+    return sd
+
+
+def save_params(params, path: str):
+    """Orbax checkpoint of a param pytree (handles sharded arrays)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, like=None):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(os.path.abspath(path), like)
+    return ckptr.restore(os.path.abspath(path))

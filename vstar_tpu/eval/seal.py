@@ -1,0 +1,119 @@
+"""SEAL orchestration: answer -> detect missing objects -> visual search ->
+focused re-answer. Mirrors eval_model's inner loop
+(vstar_bench_eval.py:168-273)."""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ..data.preprocess import expand2square
+from ..search.policy import visual_search
+
+MISSING_OBJECTS_MSG = ("Sorry, I can not answer the question. Some visual "
+                       "information about the following objects is missing "
+                       "or unclear:")
+FOCUS_MSG = "Additional visual information to focus on: "
+
+
+def normalize_bbox(bbox, image_width, image_height):
+    out = [bbox[0] / image_width, bbox[1] / image_height,
+           (bbox[0] + bbox[2]) / image_width,
+           (bbox[1] + bbox[3]) / image_height]
+    return [float(np.clip(v, 0, 1)) for v in out]
+
+
+def parse_missing_objects(prediction: str) -> List[str]:
+    if MISSING_OBJECTS_MSG not in prediction:
+        return []
+    tail = prediction.split(MISSING_OBJECTS_MSG)[-1]
+    if tail.endswith("."):
+        tail = tail[:-1]
+    return [o.strip() for o in tail.split(",")]
+
+
+def focus_prompt(question: str, object_names: Sequence[str],
+                 bbox_list: Sequence[Sequence[float]]) -> str:
+    """'name <object> at location [x1,y1,x2,y2]; ...' + question
+    (vstar_bench_eval.py:249-256)."""
+    msg = FOCUS_MSG
+    for i, (name, bbox) in enumerate(zip(object_names, bbox_list)):
+        msg += "{} <object> at location [{:.3f},{:.3f},{:.3f},{:.3f}]".format(
+            name, bbox[0], bbox[1], bbox[2], bbox[3])
+        msg += "; " if i != len(bbox_list) - 1 else "."
+    return msg + "\n" + question
+
+
+def seal_answer(vqa_engine, vsm_engine, image: Image.Image, question: str,
+                options: Sequence[str], minimum_size_scale: float = 4.0,
+                minimum_size: int = 224,
+                max_search_steps: Optional[int] = None) -> Dict:
+    """Full SEAL loop for one sample. Returns the per-sample result record
+    in the reference's eval_result.json schema."""
+    original = image
+    squared, _, _ = expand2square(image)
+
+    prediction = vqa_engine.free_form(squared, question)
+    missing_objects = parse_missing_objects(prediction)
+
+    search_result = []
+    if missing_objects:
+        for object_name in missing_objects:
+            smallest = max(int(np.ceil(min(original.width, original.height)
+                                       / minimum_size_scale)), minimum_size)
+            final_step, _, _, all_valid_boxes = visual_search(
+                vsm_engine, original, object_name, smallest_size=smallest,
+                max_steps=max_search_steps)
+            if all_valid_boxes is not None:
+                for sb in all_valid_boxes:
+                    sb = np.asarray(sb, np.float64).copy()
+                    sb[0] += final_step.bbox[0]
+                    sb[1] += final_step.bbox[1]
+                    search_result.append({"bbox": sb.tolist(),
+                                          "name": object_name})
+            elif final_step is not None \
+                    and final_step.detection_result is not None:
+                sb = np.asarray(final_step.detection_result,
+                                np.float64).copy()
+                sb[0] += final_step.bbox[0]
+                sb[1] += final_step.bbox[1]
+                search_result.append({"bbox": sb.tolist(),
+                                      "name": object_name})
+
+    if missing_objects:
+        object_names = [r["name"] for r in search_result]
+        bboxes = deepcopy([r["bbox"] for r in search_result])
+        if len(object_names) <= 2:
+            images_long, objects_long = [False], [True] * len(object_names)
+        else:
+            images_long, objects_long = [False], [False] * len(object_names)
+        object_crops = [vqa_engine.get_object_crop(original, bbox,
+                                                   patch_scale=1.2)
+                        for bbox in bboxes]
+        squared, left, top = expand2square(original)
+        bbox_list = []
+        for bbox in bboxes:
+            bbox[0] += left
+            bbox[1] += top
+            bbox_list.append(normalize_bbox(bbox, squared.width,
+                                            squared.height))
+        question_with_focus = focus_prompt(question, object_names, bbox_list)
+        option_chosen = vqa_engine.multiple_choice(
+            squared, question_with_focus, options, object_crops,
+            images_long=images_long, objects_long=objects_long)
+    else:
+        option_chosen = vqa_engine.multiple_choice(squared, question,
+                                                   options)
+
+    return {
+        "question": question,
+        "options": list(options),
+        "prediction_freeform": prediction,
+        "missing_objects": missing_objects,
+        "search_result": search_result,
+        "option_chosen": int(option_chosen),
+        "correct": int(option_chosen == 0),
+    }

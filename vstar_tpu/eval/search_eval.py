@@ -1,0 +1,94 @@
+"""Standalone visual-search evaluation — equivalent of the reference
+`visual_search.py main` (visual_search.py:520-564): top-1 localization
+accuracy (IoU > 0.5) and average successful path length over V*Bench
+annotations."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from ..search.policy import iou_xywh, visual_search
+
+
+def evaluate_search(vsm_engine, benchmark_folder: str,
+                    minimum_size_scale: float = 4.0,
+                    minimum_size: int = 224,
+                    confidence_high: float = 0.5,
+                    confidence_low: float = 0.3,
+                    target_cue_threshold: float = 6.0,
+                    target_cue_threshold_decay: float = 0.7,
+                    target_cue_threshold_minimum: float = 3.0):
+    acc_list = []
+    path_lengths = []
+    for test_type in ["direct_attributes", "relative_position"]:
+        folder = os.path.join(benchmark_folder, test_type)
+        image_files = [f for f in sorted(os.listdir(folder))
+                       if ".json" not in f]
+        for image_file in image_files:
+            image_path = os.path.join(folder, image_file)
+            ann = json.load(open(image_path.rsplit(".", 1)[0] + ".json"))
+            for gt_bbox, name in zip(ann["bbox"], ann["target_object"]):
+                image = Image.open(image_path).convert("RGB")
+                smallest = max(
+                    int(np.ceil(min(image.width, image.height)
+                                / minimum_size_scale)), minimum_size)
+                final_step, plen, ok, _ = visual_search(
+                    vsm_engine, image, name, smallest_size=smallest,
+                    confidence_high=confidence_high,
+                    confidence_low=confidence_low,
+                    target_cue_threshold=target_cue_threshold,
+                    target_cue_threshold_decay=target_cue_threshold_decay,
+                    target_cue_threshold_minimum=target_cue_threshold_minimum)
+                if ok:
+                    sb = np.asarray(final_step.detection_result,
+                                    np.float64).copy()
+                    sb[0] += final_step.bbox[0]
+                    sb[1] += final_step.bbox[1]
+                    acc_list.append(1.0 if iou_xywh(sb, gt_bbox) > 0.5
+                                    else 0.0)
+                    path_lengths.append(plen)
+                else:
+                    acc_list.append(0.0)
+                    path_lengths.append(0)
+    ok_lengths = [path_lengths[i] for i in range(len(path_lengths))
+                  if acc_list[i]]
+    avg_len = float(np.mean(ok_lengths)) if ok_lengths else 0.0
+    top1 = float(np.mean(acc_list)) if acc_list else 0.0
+    print("Avg search path length:", avg_len)
+    print("Top 1 Acc:", top1)
+    return top1, avg_len
+
+
+def main():
+    p = argparse.ArgumentParser(description="Visual Search Evaluation")
+    p.add_argument("--version", default="craigwu/seal_vsm_7b")
+    p.add_argument("--benchmark-folder", default="vstar_bench", type=str)
+    p.add_argument("--confidence_low", default=0.3, type=float)
+    p.add_argument("--confidence_high", default=0.5, type=float)
+    p.add_argument("--target_cue_threshold", default=6.0, type=float)
+    p.add_argument("--target_cue_threshold_decay", default=0.7, type=float)
+    p.add_argument("--target_cue_threshold_minimum", default=3.0, type=float)
+    p.add_argument("--minimum_size_scale", default=4.0, type=float)
+    p.add_argument("--minimum_size", default=224, type=int)
+    args = p.parse_args()
+
+    from .vstar_bench import load_engines
+    _, vsm = load_engines(args.version, args.version)
+    evaluate_search(vsm, args.benchmark_folder,
+                    minimum_size_scale=args.minimum_size_scale,
+                    minimum_size=args.minimum_size,
+                    confidence_high=args.confidence_high,
+                    confidence_low=args.confidence_low,
+                    target_cue_threshold=args.target_cue_threshold,
+                    target_cue_threshold_decay=args.target_cue_threshold_decay,
+                    target_cue_threshold_minimum=args
+                    .target_cue_threshold_minimum)
+
+
+if __name__ == "__main__":
+    main()

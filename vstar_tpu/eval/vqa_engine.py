@@ -1,0 +1,223 @@
+"""VQAEngine: host driver for the dual-projector VQA LLM.
+
+Implements the reference VQA_LLM wrapper's API (vstar_bench_eval.py:38-165)
+over jitted prefill/decode/scoring programs:
+  * free_form      — greedy generation with '</s>' stopping
+  * multiple_choice — per-option CE over a shared prefix cache
+  * get_object_crop — context-expanded crop preprocessing
+
+Prompt lengths are bucketed; one compiled program per (bucket, max_new).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core.config import VQALLMConfig
+from ..data.preprocess import clip_preprocess, expand2square
+from ..decode.sampler import greedy_decode
+from ..decode.scorer import option_ce
+from ..models.vqa_llm import (decode_step, encode_feature_bank, prefill,
+                              vqa_llm_params_from_torch)
+from ..multimodal.constants import DEFAULT_IMAGE_TOKEN
+from ..multimodal.conversation import CONV_TEMPLATES
+from ..multimodal.splicing import build_layout, spliced_length
+from ..multimodal.tokenizer import (tokenize_with_image,
+                                    tokenize_with_image_and_objects)
+from ..nn.llama import init_cache
+
+
+def get_patch(bbox, image_width, image_height, patch_size=224,
+              patch_scale=None):
+    """Context-expanded crop box (vstar_bench_eval.py:49-69)."""
+    ow = int(np.ceil(bbox[2]))
+    oh = int(np.ceil(bbox[3]))
+    cx = int(bbox[0] + bbox[2] / 2)
+    cy = int(bbox[1] + bbox[3] / 2)
+    if patch_scale is None:
+        pw, ph = max(ow, patch_size), max(oh, patch_size)
+    else:
+        pw, ph = int(ow * patch_scale), int(oh * patch_scale)
+    left = max(0, cx - pw // 2)
+    right = min(left + pw, image_width)
+    top = max(0, cy - ph // 2)
+    bottom = min(top + ph, image_height)
+    return [left, top, right, bottom]
+
+
+class VQAEngine:
+    def __init__(self, params, cfg: VQALLMConfig, tokenizer,
+                 conv_type: str = "v1", eos_id: int = 2,
+                 prompt_buckets: Tuple[int, ...] = (512, 768, 1024),
+                 option_bucket: int = 64,
+                 compute_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.conv_type = conv_type
+        self.eos_id = eos_id
+        self.prompt_buckets = tuple(sorted(prompt_buckets))
+        self.option_bucket = option_bucket
+        self.compute_dtype = compute_dtype
+
+        self._jit_free_form = jax.jit(
+            self._free_form_device,
+            static_argnames=("bucket", "max_new_tokens"))
+        self._jit_prefill = jax.jit(
+            self._prefill_device, static_argnames=("bucket",))
+        self._jit_option_ce = jax.jit(
+            functools.partial(option_ce, compute_dtype=compute_dtype),
+            static_argnames=("cfg",))
+
+    # -- prompt helpers ------------------------------------------------------
+
+    def _prompt(self, question: str,
+                answer: Optional[str] = None) -> str:
+        conv = CONV_TEMPLATES[self.conv_type]()
+        conv.append_message(conv.roles[0],
+                            DEFAULT_IMAGE_TOKEN + "\n" + question)
+        conv.append_message(conv.roles[1], answer)
+        return conv.get_prompt()
+
+    def _tokenize(self, prompt: str) -> List[int]:
+        if "<object>" in prompt:
+            return tokenize_with_image_and_objects(prompt, self.tokenizer)
+        return tokenize_with_image(prompt, self.tokenizer)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt too long: {n}")
+
+    def _layout(self, ids, image_long, objects_long, bucket):
+        return build_layout(
+            ids, bucket, n_long=self.cfg.image_tokens_long,
+            n_short=self.cfg.image_tokens_short, image_long=image_long,
+            objects_long=objects_long)
+
+    # -- preprocessing -------------------------------------------------------
+
+    def preprocess_image(self, image: Image.Image) -> np.ndarray:
+        return clip_preprocess(image, self.cfg.vision.image_size)
+
+    def get_object_crop(self, image: Image.Image, bbox,
+                        patch_scale: float = 1.2) -> np.ndarray:
+        """Crop + resize + CLIP preprocess (vstar_bench_eval.py:71-76)."""
+        box = get_patch(bbox, image.width, image.height,
+                        patch_scale=patch_scale)
+        crop = image.crop(tuple(box))
+        size = self.cfg.vision.image_size
+        crop = crop.resize((size, size))
+        return clip_preprocess(crop, size)
+
+    def _object_stack(self, object_crops) -> np.ndarray:
+        M = self.cfg.max_objects
+        size = self.cfg.vision.image_size
+        out = np.zeros((M, size, size, 3), np.float32)
+        if object_crops is not None:
+            for i, c in enumerate(object_crops[:M]):
+                out[i] = c
+        return out
+
+    # -- device programs -----------------------------------------------------
+
+    def _prefill_device(self, params, image, objects, text_ids, feat_idx,
+                        is_feat, lens, *, bucket):
+        bank = encode_feature_bank(params, self.cfg, image, objects)
+        bank = bank.astype(self.compute_dtype)
+        cache = init_cache(self.cfg.llama, text_ids.shape[0],
+                           bucket + self.option_bucket, self.compute_dtype)
+        logits, hidden, cache = prefill(params, self.cfg, bank, text_ids,
+                                        feat_idx, is_feat, lens, cache,
+                                        self.compute_dtype)
+        last_idx = (lens - 1)[:, None, None].astype(jnp.int32)
+        last_hidden = jnp.take_along_axis(hidden, last_idx, axis=1)[:, 0]
+        return logits, last_hidden, cache
+
+    def _free_form_device(self, params, image, objects, text_ids, feat_idx,
+                          is_feat, lens, *, bucket, max_new_tokens):
+        bank = encode_feature_bank(params, self.cfg, image, objects)
+        bank = bank.astype(self.compute_dtype)
+        cache_len = bucket + ((max_new_tokens + 127) // 128) * 128
+        cache = init_cache(self.cfg.llama, text_ids.shape[0], cache_len,
+                           self.compute_dtype)
+        logits, hidden, cache = prefill(params, self.cfg, bank, text_ids,
+                                        feat_idx, is_feat, lens, cache,
+                                        self.compute_dtype)
+        last_idx = (lens - 1)[:, None, None].astype(jnp.int32)
+        last_hidden = jnp.take_along_axis(hidden, last_idx, axis=1)[:, 0]
+        res = greedy_decode(params["llama"], self.cfg.llama, cache, logits,
+                            last_hidden, max_new_tokens, [self.eos_id],
+                            self.compute_dtype)
+        return res.tokens, res.num_generated
+
+    # -- public API ----------------------------------------------------------
+
+    def free_form(self, image: Image.Image, question: str,
+                  object_crops=None, images_long=None, objects_long=None,
+                  max_new_tokens: int = 200) -> str:
+        """Greedy free-form answer (vstar_bench_eval.py:78-114).
+        `image` must already be expand2square'd by the caller, as in the
+        reference loop (vstar_bench_eval.py:192)."""
+        prompt = self._prompt(question)
+        ids = self._tokenize(prompt)
+        image_long = True if images_long is None else bool(images_long[0])
+        n = spliced_length(ids, n_long=self.cfg.image_tokens_long,
+                           n_short=self.cfg.image_tokens_short,
+                           image_long=image_long, objects_long=objects_long)
+        bucket = self._bucket(n)
+        lay = self._layout(ids, image_long, objects_long, bucket)
+
+        img = jnp.asarray(self.preprocess_image(image)[None])
+        objs = jnp.asarray(self._object_stack(object_crops)[None])
+        tokens, ngen = self._jit_free_form(
+            self.params, img, objs, jnp.asarray(lay.text_ids[None]),
+            jnp.asarray(lay.feat_idx[None]), jnp.asarray(lay.is_feat[None]),
+            jnp.asarray([lay.length], jnp.int32), bucket=bucket,
+            max_new_tokens=max_new_tokens)
+        n_out = int(ngen[0])
+        toks = [int(t) for t in np.asarray(tokens[0, :n_out])]
+        text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+        return text
+
+    def multiple_choice(self, image: Image.Image, question: str,
+                        options: Sequence[str], object_crops=None,
+                        images_long=None, objects_long=None) -> int:
+        """Option with minimum mean CE (vstar_bench_eval.py:116-165)."""
+        prompt = self._prompt(question)
+        q_ids = self._tokenize(prompt)
+        image_long = True if images_long is None else bool(images_long[0])
+        n = spliced_length(q_ids, n_long=self.cfg.image_tokens_long,
+                           n_short=self.cfg.image_tokens_short,
+                           image_long=image_long, objects_long=objects_long)
+        bucket = self._bucket(n)
+        lay = self._layout(q_ids, image_long, objects_long, bucket)
+
+        img = jnp.asarray(self.preprocess_image(image)[None])
+        objs = jnp.asarray(self._object_stack(object_crops)[None])
+        last_logits, _, cache = self._jit_prefill(
+            self.params, img, objs, jnp.asarray(lay.text_ids[None]),
+            jnp.asarray(lay.feat_idx[None]), jnp.asarray(lay.is_feat[None]),
+            jnp.asarray([lay.length], jnp.int32), bucket=bucket)
+
+        losses = []
+        for option in options:
+            full_ids = self._tokenize(self._prompt(question, option))
+            opt_ids = full_ids[len(q_ids):]
+            O = self.option_bucket
+            assert len(opt_ids) <= O, "option too long for bucket"
+            padded = np.zeros((1, O), np.int32)
+            padded[0, :len(opt_ids)] = opt_ids
+            ce = self._jit_option_ce(
+                self.params["llama"], self.cfg.llama, cache, last_logits,
+                jnp.asarray(padded),
+                jnp.asarray([len(opt_ids)], jnp.int32))
+            losses.append(float(ce[0]))
+        return int(np.argmin(losses))

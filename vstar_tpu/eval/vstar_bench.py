@@ -1,0 +1,116 @@
+"""V*Bench evaluator CLI — the framework's equivalent of
+/root/reference/vstar_bench_eval.py.
+
+Usage:
+  python -m vstar_tpu.eval.vstar_bench \\
+      --vqa-model-path <hf dir> --vsm-model-path <hf dir> \\
+      --benchmark-folder vstar_bench --output-path eval_result.json
+
+Walks direct_attributes/ and relative_position/, runs the SEAL loop per
+sample, prints per-subtask and overall accuracy, and dumps the result JSON
+in the reference schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from collections import defaultdict
+
+import numpy as np
+from PIL import Image
+
+from .seal import seal_answer
+
+
+def load_engines(vqa_model_path: str, vsm_model_path: str,
+                 conv_type: str = "v1"):
+    """Load both models from HF-format checkpoint directories."""
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from ..core.checkpoint import load_torch_dir
+    from ..core.config import vqa_llm_7b, vsm_7b
+    from ..models.vqa_llm import vqa_llm_params_from_torch
+    from ..models.vsm import vsm_params_from_torch
+    from ..search.engine import VSMEngine
+    from .vqa_engine import VQAEngine
+
+    vqa_cfg = vqa_llm_7b()
+    vqa_tok = AutoTokenizer.from_pretrained(vqa_model_path, use_fast=False)
+    vqa_sd = load_torch_dir(vqa_model_path)
+    vqa_params = vqa_llm_params_from_torch(vqa_sd, vqa_cfg,
+                                           dtype=jnp.bfloat16)
+    vqa = VQAEngine(vqa_params, vqa_cfg, vqa_tok, conv_type=conv_type)
+
+    vsm_cfg = vsm_7b()
+    vsm_tok = AutoTokenizer.from_pretrained(vsm_model_path, use_fast=False)
+    loc_id = vsm_tok("[LOC]", add_special_tokens=False).input_ids[0]
+    vsm_sd = load_torch_dir(vsm_model_path)
+    vsm_params = vsm_params_from_torch(vsm_sd, vsm_cfg, dtype=jnp.bfloat16)
+    vsm = VSMEngine(vsm_params, vsm_cfg, vsm_tok, loc_token_id=loc_id)
+    return vqa, vsm
+
+
+def eval_model(args, vqa_engine=None, vsm_engine=None):
+    if vqa_engine is None:
+        vqa_engine, vsm_engine = load_engines(args.vqa_model_path,
+                                              args.vsm_model_path,
+                                              args.conv_type)
+    results = {}
+    per_type_acc = defaultdict(list)
+    all_acc = []
+    latencies = []
+
+    for test_type in ["direct_attributes", "relative_position"]:
+        results[test_type] = []
+        folder = os.path.join(args.benchmark_folder, test_type)
+        image_files = [f for f in sorted(os.listdir(folder))
+                       if ".json" not in f]
+        for image_file in image_files:
+            image_path = os.path.join(folder, image_file)
+            annotation = json.load(
+                open(image_path.rsplit(".", 1)[0] + ".json"))
+            image = Image.open(image_path).convert("RGB")
+            t0 = time.perf_counter()
+            record = seal_answer(
+                vqa_engine, vsm_engine, image, annotation["question"],
+                annotation["options"],
+                minimum_size_scale=args.minimum_size_scale,
+                minimum_size=args.minimum_size)
+            latencies.append(time.perf_counter() - t0)
+            record["image"] = image_file
+            per_type_acc[test_type].append(record["correct"])
+            all_acc.append(record["correct"])
+            results[test_type].append(record)
+        if per_type_acc[test_type]:
+            print(test_type, np.mean(per_type_acc[test_type]))
+
+    if all_acc:
+        print(np.mean(all_acc))
+        print(f"p50 latency: {np.percentile(latencies, 50):.3f}s  "
+              f"throughput: {1.0 / np.mean(latencies):.3f} images/s")
+
+    with open(args.output_path, "w") as f:
+        json.dump(results, f, indent=4)
+    return results, dict(per_type_acc), latencies
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="V*Bench SEAL evaluation")
+    p.add_argument("--vqa-model-path", type=str,
+                   default="craigwu/seal_vqa_7b")
+    p.add_argument("--vsm-model-path", type=str,
+                   default="craigwu/seal_vsm_7b")
+    p.add_argument("--conv_type", default="v1", type=str)
+    p.add_argument("--benchmark-folder", type=str, default="vstar_bench")
+    p.add_argument("--output-path", type=str, default="eval_result.json")
+    p.add_argument("--minimum_size_scale", default=4.0, type=float)
+    p.add_argument("--minimum_size", default=224, type=int)
+    return p
+
+
+if __name__ == "__main__":
+    eval_model(build_parser().parse_args())

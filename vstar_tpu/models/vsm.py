@@ -39,11 +39,13 @@ from ..nn.sam import (dense_positional_encoding, encode_text_prompt,
 from ..nn.vit import clip_patch_features, init_vit_params, owlvit_feature_map
 
 
-def init_vsm_params(key, cfg: VSMConfig, dtype=jnp.float32) -> Dict:
+def init_vsm_params(key, cfg: VSMConfig, dtype=jnp.float32,
+                    quantize_llm: bool = False) -> Dict:
     kg = KeyGen(key)
     h = cfg.llama.hidden_size
     return {
-        "llama": init_llama_params(kg(), cfg.llama, dtype),
+        "llama": init_llama_params(kg(), cfg.llama, dtype,
+                                   quantize=quantize_llm),
         "vision": init_vit_params(kg(), cfg.vision, dtype),
         "proj": init_projector_params(kg(), cfg.projector, dtype),
         "owl_tower": init_vit_params(kg(), cfg.owl_vision, dtype),

@@ -27,6 +27,7 @@ from ..core.config import LlamaConfig
 from ..core.params import KeyGen, dense_init, embed_init
 from ..kernels.flash_attention import flash_attention, mha_reference
 from .basic import init_rmsnorm, rmsnorm
+from .quant import qdot
 from .rope import apply_rope, rope_angles
 
 
@@ -53,12 +54,20 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
 # Init
 # ---------------------------------------------------------------------------
 
-def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
+def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32,
+                      quantize: bool = False) -> Dict:
+    """quantize=True builds int8 decoder weights tensor-by-tensor so the
+    full bf16 model never has to fit in memory (16 GB v5e serving)."""
     kg = KeyGen(key)
     D, L = cfg.hidden_size, cfg.num_layers
 
     def stack(fn):
-        return jnp.stack([fn(kg()) for _ in range(L)])
+        if not quantize:
+            return jnp.stack([fn(kg()) for _ in range(L)])
+        from .quant import quantize_weight
+        qs = [quantize_weight(fn(kg())) for _ in range(L)]
+        return {"q": jnp.stack([e["q"] for e in qs]),
+                "s": jnp.stack([e["s"] for e in qs])}
 
     layers = {
         "input_norm": {"scale": jnp.ones((L, D), dtype)},
@@ -78,11 +87,15 @@ def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
                                                  dtype=dtype)),
         },
     }
+    lm_head = dense_init(kg(), D, cfg.vocab_size, dtype=dtype)
+    if quantize:
+        from .quant import quantize_weight
+        lm_head = quantize_weight(lm_head)
     return {
         "embed_tokens": embed_init(kg(), cfg.vocab_size, D, dtype=dtype),
         "layers": layers,
         "final_norm": init_rmsnorm(D, dtype),
-        "lm_head": dense_init(kg(), D, cfg.vocab_size, dtype=dtype),
+        "lm_head": lm_head,
     }
 
 
@@ -107,9 +120,9 @@ def _attention_block(lp: Dict, cfg: LlamaConfig, x: jnp.ndarray,
     B, S, D = x.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = (x @ lp["wq"].astype(x.dtype)).reshape(B, S, H, Dh)
-    k = (x @ lp["wk"].astype(x.dtype)).reshape(B, S, Hkv, Dh)
-    v = (x @ lp["wv"].astype(x.dtype)).reshape(B, S, Hkv, Dh)
+    q = qdot(x, lp["wq"]).reshape(B, S, H, Dh)
+    k = qdot(x, lp["wk"]).reshape(B, S, Hkv, Dh)
+    v = qdot(x, lp["wv"]).reshape(B, S, Hkv, Dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -130,13 +143,13 @@ def _attention_block(lp: Dict, cfg: LlamaConfig, x: jnp.ndarray,
                           q_offsets=q_offsets, causal=True,
                           use_pallas=use_pallas)
     out = out.reshape(B, S, H * Dh)
-    return out @ lp["wo"].astype(x.dtype), cache_k, cache_v
+    return qdot(out, lp["wo"]), cache_k, cache_v
 
 
 def _mlp_block(lp: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    gate = jax.nn.silu(x @ lp["w_gate"].astype(x.dtype))
-    up = x @ lp["w_up"].astype(x.dtype)
-    return (gate * up) @ lp["w_down"].astype(x.dtype)
+    gate = jax.nn.silu(qdot(x, lp["w_gate"]))
+    up = qdot(x, lp["w_up"])
+    return qdot(gate * up, lp["w_down"])
 
 
 def llama_forward(params: Dict, cfg: LlamaConfig, hidden: jnp.ndarray,
@@ -196,8 +209,7 @@ def llama_forward(params: Dict, cfg: LlamaConfig, hidden: jnp.ndarray,
 def lm_logits(params: Dict, hidden: jnp.ndarray,
               dtype=jnp.float32) -> jnp.ndarray:
     """Project final hidden states to vocab logits (f32 for stable CE)."""
-    w = params["lm_head"].astype(hidden.dtype)
-    return (hidden @ w).astype(dtype)
+    return qdot(hidden, params["lm_head"]).astype(dtype)
 
 
 def embed_tokens(params: Dict, ids: jnp.ndarray,
