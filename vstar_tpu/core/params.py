@@ -49,7 +49,10 @@ def flatten_params(tree: Params, prefix: str = "") -> Iterator[Tuple[str, Any]]:
     """Yield (dotted_path, leaf) pairs in deterministic order."""
     if isinstance(tree, dict):
         for k in sorted(tree.keys()):
-            yield from flatten_params(tree[k], f"{prefix}{k}." if prefix or True else k)
+            yield from flatten_params(tree[k], f"{prefix}{k}.")
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from flatten_params(v, f"{prefix}{i}.")
     else:
         yield prefix.rstrip("."), tree
 
@@ -104,7 +107,13 @@ class KeyGen:
 
 def map_with_path(fn: Callable[[str, Any], Any], tree: Params,
                   prefix: str = "") -> Params:
-    """tree_map that passes the dotted path to `fn` (for partition rules)."""
+    """tree_map that passes the dotted path to `fn` (for partition rules).
+    Recurses into dicts and lists/tuples (param trees contain both)."""
     if isinstance(tree, dict):
-        return {k: map_with_path(fn, v, f"{prefix}{k}.") for k, v in tree.items()}
+        return {k: map_with_path(fn, v, f"{prefix}{k}.")
+                for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        mapped = [map_with_path(fn, v, f"{prefix}{i}.")
+                  for i, v in enumerate(tree)]
+        return type(tree)(mapped) if isinstance(tree, tuple) else mapped
     return fn(prefix.rstrip("."), tree)

@@ -43,8 +43,11 @@ def _on_tpu() -> bool:
 # ---------------------------------------------------------------------------
 
 def mha_reference(q, k, v, kv_lens=None, q_offsets=None, causal: bool = True,
-                  scale: Optional[float] = None):
-    """Pure-jnp masked MHA. q,k,v: [B,S,H,D] -> [B,S,H,D]."""
+                  scale: Optional[float] = None, kv_valid=None):
+    """Pure-jnp masked MHA. q,k,v: [B,S,H,D] -> [B,S,H,D].
+
+    kv_valid: optional bool [B, Skv] per-position key mask (training-time
+    mid-sequence masking, e.g. invalid [LOC] tokens, dataset.py:98-103)."""
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
     scale = scale if scale is not None else D ** -0.5
@@ -56,6 +59,8 @@ def mha_reference(q, k, v, kv_lens=None, q_offsets=None, causal: bool = True,
     logits = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
     ki = jnp.arange(Skv)[None, None, None, :]
     mask = ki < kv_lens[:, None, None, None]
+    if kv_valid is not None:
+        mask = mask & kv_valid[:, None, None, :]
     if causal:
         row = q_offsets[:, None, None, None] + jnp.arange(Sq)[None, None, :, None]
         mask = mask & (ki <= row)
@@ -378,8 +383,12 @@ _flash_attention_pallas.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 def flash_attention(q, k, v, kv_lens=None, q_offsets=None,
                     causal: bool = True, scale: Optional[float] = None,
                     block_q: int = 128, block_k: int = 128,
-                    use_pallas: Optional[bool] = None):
-    """Masked multi-head attention. q,k,v: [B,S,H,D] -> [B,S,H,D]."""
+                    use_pallas: Optional[bool] = None, kv_valid=None):
+    """Masked multi-head attention. q,k,v: [B,S,H,D] -> [B,S,H,D].
+
+    kv_valid (optional bool [B,Skv]) enables mid-sequence key masking;
+    that path currently uses the jnp reference implementation (the pallas
+    kernel covers the inference-critical kv_lens/q_offsets forms)."""
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
     scale = scale if scale is not None else D ** -0.5
@@ -391,6 +400,9 @@ def flash_attention(q, k, v, kv_lens=None, q_offsets=None,
         q_offsets = jnp.zeros((B,), dtype=jnp.int32)
     kv_lens = kv_lens.astype(jnp.int32)
     q_offsets = q_offsets.astype(jnp.int32)
+    if kv_valid is not None:
+        return mha_reference(q, k, v, kv_lens, q_offsets, causal, scale,
+                             kv_valid)
     if not use_pallas or Sq % block_q != 0 or Skv % block_k != 0 or D % 128:
         return mha_reference(q, k, v, kv_lens, q_offsets, causal, scale)
     return _flash_attention_pallas(q, k, v, kv_lens, q_offsets, causal,

@@ -116,13 +116,20 @@ def _attention_block(lp: Dict, cfg: LlamaConfig, x: jnp.ndarray,
                      kv_lens: jnp.ndarray, q_offsets: Optional[jnp.ndarray],
                      cache_k: Optional[jnp.ndarray],
                      cache_v: Optional[jnp.ndarray],
-                     use_pallas: Optional[bool]):
+                     use_pallas: Optional[bool],
+                     kv_valid: Optional[jnp.ndarray] = None):
     B, S, D = x.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = qdot(x, lp["wq"]).reshape(B, S, H, Dh)
+    q = qdot(x, lp["wq"])
     k = qdot(x, lp["wk"]).reshape(B, S, Hkv, Dh)
-    v = qdot(x, lp["wv"]).reshape(B, S, Hkv, Dh)
+    v = qdot(x, lp["wv"])
+    if "lora" in lp:
+        from ..train.lora import lora_delta
+        q = q + lora_delta(lp["lora"], lp["lora_scale"], "wq", x)
+        v = v + lora_delta(lp["lora"], lp["lora_scale"], "wv", x)
+    q = q.reshape(B, S, H, Dh)
+    v = v.reshape(B, S, Hkv, Dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -141,7 +148,7 @@ def _attention_block(lp: Dict, cfg: LlamaConfig, x: jnp.ndarray,
 
     out = flash_attention(q, k_all, v_all, kv_lens=kv_lens,
                           q_offsets=q_offsets, causal=True,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, kv_valid=kv_valid)
     out = out.reshape(B, S, H * Dh)
     return qdot(out, lp["wo"]), cache_k, cache_v
 
@@ -157,7 +164,9 @@ def llama_forward(params: Dict, cfg: LlamaConfig, hidden: jnp.ndarray,
                   q_offsets: Optional[jnp.ndarray] = None,
                   cache: Optional[KVCache] = None,
                   use_pallas: Optional[bool] = None,
-                  remat: bool = False) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+                  remat: bool = False,
+                  kv_valid: Optional[jnp.ndarray] = None
+                  ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack over input embeddings.
 
     hidden:    [B, S, D] input embeddings (token or spliced multimodal)
@@ -182,7 +191,7 @@ def llama_forward(params: Dict, cfg: LlamaConfig, hidden: jnp.ndarray,
         h = rmsnorm(lp["input_norm"], x, cfg.rms_norm_eps)
         attn_out, new_ck, new_cv = _attention_block(
             lp["attn"], cfg, h, cos, sin, kv_lens, q_offsets, ck, cv,
-            use_pallas)
+            use_pallas, kv_valid)
         x = x + attn_out
         h = rmsnorm(lp["post_norm"], x, cfg.rms_norm_eps)
         x = x + _mlp_block(lp["mlp"], h)
