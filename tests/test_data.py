@@ -1,0 +1,175 @@
+"""Data pipeline tests: RLE decode, label masking, VSM collate, dataset
+sampling with synthetic fixtures."""
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vstar_tpu.data.label_masking import preprocess_v1
+from vstar_tpu.data.rle import polygons_to_mask, rle_decode, rle_encode
+from vstar_tpu.data.vsm_collate import VSMRow, collate_vsm_rows
+from vstar_tpu.multimodal.constants import (IGNORE_INDEX,
+                                            IMAGE_TOKEN_INDEX)
+
+VOCAB = 320
+
+
+class WordTokenizer:
+    """SentencePiece-like toy: BOS prepended, '</s>' its own token (id 2),
+    stable word ids."""
+
+    bos_token_id = 1
+    eos_token_id = 2
+    unk_token = "<unk>"
+    pad_token_id = 0
+    model_max_length = 512
+
+    class _Out:
+        def __init__(self, ids):
+            self.input_ids = ids
+
+    def _word_id(self, w):
+        if w == "</s>":
+            return 2
+        if w == "[LOC]":
+            return 3
+        return 4 + zlib.crc32(w.encode()) % (VOCAB - 4)
+
+    def __call__(self, text, add_special_tokens=True):
+        words = []
+        text = text.replace("</s>", " </s> ").replace("[LOC]", " [LOC] ")
+        for chunk in text.split():
+            words.append(chunk)
+        ids = ([self.bos_token_id] if add_special_tokens else []) + \
+            [self._word_id(w) for w in words]
+        return self._Out(ids)
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"t{i}" for i in ids)
+
+
+def test_rle_roundtrip():
+    rng = np.random.RandomState(0)
+    mask = (rng.rand(13, 17) > 0.6).astype(np.uint8)
+    rle = rle_encode(mask)
+    np.testing.assert_array_equal(rle_decode(rle), mask)
+    # all-zero and all-one edge cases
+    for m in (np.zeros((4, 5), np.uint8), np.ones((4, 5), np.uint8)):
+        np.testing.assert_array_equal(rle_decode(rle_encode(m)), m)
+
+
+def test_polygon_rasterization():
+    mask = polygons_to_mask([[1, 1, 8, 1, 8, 8, 1, 8]], 10, 10)
+    assert mask[4, 4] == 1 and mask[0, 0] == 0 and mask[9, 9] == 0
+
+
+def test_preprocess_v1_masks_instructions():
+    tok = WordTokenizer()
+    source = [{"from": "human", "value": "<image>\nwhat is this ?"},
+              {"from": "gpt", "value": "a red cup"},
+              {"from": "human", "value": "and color ?"},
+              {"from": "gpt", "value": "red"}]
+    enc = preprocess_v1(source, tok, has_image=True)
+    ids, labels = enc["input_ids"], enc["labels"]
+    assert (ids == IMAGE_TOKEN_INDEX).sum() == 1
+    # not fully ignored (no tokenization mismatch with this tokenizer)
+    assert (labels != IGNORE_INDEX).any()
+    # answer words appear in the unmasked portion
+    ans_ids = {tok._word_id(w) for w in ["a", "red", "cup"]}
+    unmasked = set(labels[labels != IGNORE_INDEX].tolist())
+    assert ans_ids <= unmasked
+    # the question words (before first ASSISTANT:) are masked
+    q_pos = np.nonzero(ids == tok._word_id("what"))[0]
+    assert (labels[q_pos] == IGNORE_INDEX).all()
+
+
+def _mkrow(valid_boxes=True, loc=True):
+    src = [{"from": "human", "value": "<image>\nPlease locate the cat."},
+           {"from": "gpt", "value": "Sure, [LOC]." if loc else "No."}]
+    return VSMRow(
+        image_clip=np.zeros((28, 28, 3), np.float32),
+        image_owl=np.zeros((48, 48, 3), np.float32),
+        source=src,
+        gt_mask=np.ones((30, 40), np.float32),
+        mask_valid=True,
+        tgt_boxes=np.asarray([[0.5, 0.5, 0.2, 0.2]], np.float32),
+        bboxes_valid=valid_boxes)
+
+
+def test_collate_vsm_rows():
+    tok = WordTokenizer()
+    loc_id = tok._word_id("[LOC]")
+    batch = collate_vsm_rows([_mkrow(True), _mkrow(False)], tok, loc_id,
+                             n_image_tokens=4, seq_bucket=64, t_max=8,
+                             mask_res=24, use_mm_start_end=True)
+    assert batch["text_ids"].shape == (2, 64)
+    assert batch["gt_masks"].shape == (2, 24, 24)
+    assert batch["bboxes_valid"].tolist() == [True, False]
+    # row 0: [LOC] attended; row 1: [LOC] key masked out
+    loc_positions_0 = np.nonzero(batch["text_ids"][0] == loc_id)[0]
+    loc_positions_1 = np.nonzero(batch["text_ids"][1] == loc_id)[0]
+    assert len(loc_positions_0) == 1 and len(loc_positions_1) == 1
+    assert batch["kv_valid"][0, loc_positions_0[0]]
+    assert not batch["kv_valid"][1, loc_positions_1[0]]
+    # loc_hidden_pos = position before [LOC]
+    assert batch["loc_hidden_pos"][0] == loc_positions_0[0] - 1
+    # image expanded into 4 feature tokens before the question
+    assert batch["is_feat"][0].sum() == 4
+
+
+def test_vqa_dataset_and_hybrid(tmp_path):
+    base = tmp_path
+    os.makedirs(base / "vqa_data" / "coco_images")
+    img = Image.fromarray(np.zeros((32, 48, 3), np.uint8))
+    img.save(base / "vqa_data" / "coco_images" / "img0.jpg")
+    data = [{"image": "img0.jpg",
+             "conversations": [
+                 {"from": "human", "value": "<image>\nwhere is the cup?"},
+                 {"from": "gpt", "value": "on the table"}]}]
+    json.dump(data, open(base / "vqa_data"
+                         / "possible_locations_conv_86k.json", "w"))
+
+    from vstar_tpu.data.vsm_datasets import HybridDataset, VQADataset
+    ds = VQADataset(str(base))
+    rows = ds.sample_rows()
+    assert len(rows) == 1
+    assert not rows[0].bboxes_valid
+    assert "[LOC]" in rows[0].source[0]["value"]
+    assert rows[0].source[0]["value"].startswith("<image>[LOC]")
+
+    hybrid = HybridDataset([ds], [1.0], samples_per_epoch=5)
+    batches = list(hybrid.batches(2))
+    assert len(batches) == 2 and all(len(b) == 2 for b in batches)
+
+
+def test_segdet_dataset(tmp_path):
+    base = tmp_path
+    os.makedirs(base / "coco" / "train2017")
+    Image.fromarray(np.zeros((40, 60, 3), np.uint8)).save(
+        base / "coco" / "train2017" / "000001.jpg")
+    ann = {"000001": {"cat": {"bboxes": [[5, 5, 20, 20], [30, 10, 50, 30]],
+                              "cat_id": 7}}}
+    json.dump(ann, open(base / "cocostuff_image2bboxes.json", "w"))
+    os.makedirs(base / "cocostuff" / "train2017")
+    sem = np.full((40, 60), 255, np.uint8)
+    sem[5:20, 5:20] = 7
+    Image.fromarray(sem).save(base / "cocostuff" / "train2017"
+                              / "000001.png")
+
+    from vstar_tpu.data.vsm_datasets import SegDetDataset
+    ds = SegDetDataset(str(base), sources=("cocostuff",))
+    rows = ds.sample_rows()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.bboxes_valid and r.mask_valid
+    assert r.tgt_boxes.shape == (2, 4)
+    # normalized cxcywh of [5,5,20,20] in a 60x40 image
+    np.testing.assert_allclose(r.tgt_boxes[0],
+                               [12.5 / 60, 12.5 / 40, 15 / 60, 15 / 40],
+                               rtol=1e-5)
+    assert r.gt_mask.sum() == 15 * 15
+    assert "please locate the cat" in r.source[0]["value"].lower()

@@ -1,0 +1,283 @@
+"""VSM training datasets: the reference's hybrid mixture, TPU-host-side.
+
+Mirrors VisualSearch/utils/{general_segdet_dataset, refer_seg_dataset,
+mixed_grounding_dataset, vqa_dataset, dataset}.py. Every dataset yields
+per-conversation `VSMRow`s (one [LOC] per row); `HybridDataset` mixes child
+datasets by rate (15,4,4,15 default, dataset.py:183-282). Loaders read the
+same directory/JSON contracts the reference documents:
+
+  base_image_dir/
+    cocostuff_image2bboxes.json, objects365_image2bboxes.json  (preprocess)
+    coco/train2017/*.jpg, cocostuff/train2017/*.png (semantic masks)
+    object365/images/train/...
+    refer_seg/{images, refclef|refcoco|refcoco+|refcocog}.json
+    MixedGrounding/goldG_train.json + OpenSource images
+    vqa_data/{possible_locations_conv_86k,llava_instruct_150k}.json
+    vqa_data/coco_images
+
+All randomness goes through a passed `random.Random` for reproducibility.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ..multimodal.constants import DEFAULT_IMAGE_TOKEN
+from .preprocess import clip_preprocess, expand2square, owlvit_preprocess
+from .rle import polygons_to_mask, rle_decode
+from .vsm_collate import VSMRow
+
+SHORT_QUESTION_LIST = [
+    DEFAULT_IMAGE_TOKEN + "\n" + "Please locate the {class_name} in this "
+    "image."]
+ANSWER_LIST = ["Sure, [LOC]."]
+
+
+def _load_image(path: str) -> Image.Image:
+    return Image.open(path).convert("RGB")
+
+
+def _preprocess_pair(img: Image.Image):
+    """(clip 224² on top-left-squared image, owl 768²) — the VSM-side
+    expand2square pastes top-left (VisualSearch/utils/utils.py:28-39)."""
+    sq, _, _ = expand2square(img, center=False)
+    return clip_preprocess(sq), owlvit_preprocess(img)
+
+
+def _boxes_xyxy_to_cxcywh_norm(boxes: np.ndarray, w: int, h: int
+                               ) -> np.ndarray:
+    boxes = boxes.astype(np.float32)
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2 / w
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2 / h
+    bw = (boxes[:, 2] - boxes[:, 0]) / w
+    bh = (boxes[:, 3] - boxes[:, 1]) / h
+    return np.stack([cx, cy, bw, bh], 1)
+
+
+def _conversation(class_name: str, rng: random.Random) -> List[Dict]:
+    q = rng.choice(SHORT_QUESTION_LIST).format(class_name=class_name.lower())
+    return [{"from": "human", "value": q},
+            {"from": "gpt", "value": rng.choice(ANSWER_LIST)}]
+
+
+class SegDetDataset:
+    """COCO-Stuff semantic masks + Objects365 boxes (+ optional PACO parts);
+    general_segdet_dataset.py:106-412. Requires the image2bboxes.json files
+    built by data/preprocess_annotations.py."""
+
+    def __init__(self, base_image_dir: str, num_classes_per_sample: int = 3,
+                 max_boxes: int = 100, seed: int = 0,
+                 sources: Sequence[str] = ("cocostuff", "objects365")):
+        self.base = base_image_dir
+        self.k = num_classes_per_sample
+        self.max_boxes = max_boxes
+        self.rng = random.Random(seed)
+        self.data: Dict[str, Dict] = {}
+        for src in sources:
+            path = os.path.join(base_image_dir,
+                                f"{src}_image2bboxes.json")
+            if os.path.exists(path):
+                self.data[src] = json.load(open(path))
+        if not self.data:
+            raise FileNotFoundError(
+                f"no *_image2bboxes.json under {base_image_dir}")
+        self.sources = list(self.data.keys())
+
+    def _image_path(self, src: str, image_id: str) -> str:
+        if src == "cocostuff":
+            return os.path.join(self.base, "coco", "train2017",
+                                image_id + ".jpg")
+        return os.path.join(self.base, "object365", "images", "train",
+                            image_id)
+
+    def _semantic_mask(self, src: str, image_id: str, cat_id: int
+                       ) -> Optional[np.ndarray]:
+        if src != "cocostuff":
+            return None
+        p = os.path.join(self.base, "cocostuff", "train2017",
+                         image_id + ".png")
+        if not os.path.exists(p):
+            return None
+        sem = np.asarray(Image.open(p))
+        return (sem == cat_id).astype(np.float32)
+
+    def sample_rows(self) -> List[VSMRow]:
+        src = self.rng.choice(self.sources)
+        image_id = self.rng.choice(list(self.data[src].keys()))
+        entry = self.data[src][image_id]   # {class_name: {'bboxes': [...],
+        #                                     'cat_id': int}, ...}
+        img = _load_image(self._image_path(src, image_id))
+        clip_t, owl_t = _preprocess_pair(img)
+        classes = list(entry.keys())
+        chosen = self.rng.sample(classes, min(self.k, len(classes)))
+        rows = []
+        for cname in chosen:
+            info = entry[cname]
+            boxes = np.asarray(info["bboxes"], np.float32)[:self.max_boxes]
+            boxes = _boxes_xyxy_to_cxcywh_norm(boxes, img.width, img.height)
+            mask = self._semantic_mask(src, image_id, info.get("cat_id", -1))
+            rows.append(VSMRow(
+                image_clip=clip_t, image_owl=owl_t,
+                source=_conversation(cname, self.rng),
+                gt_mask=mask, mask_valid=mask is not None,
+                tgt_boxes=boxes, bboxes_valid=True))
+        return rows
+
+
+class ReferSegDataset:
+    """refclef/refcoco/+/g referring expressions
+    (refer_seg_dataset.py:19-283); annotations pre-merged to
+    refer_seg/<ds>.json: [{'image': path, 'expressions': [...],
+    'segmentation': rle|polygons, 'bbox': xyxy}]."""
+
+    def __init__(self, base_image_dir: str, num_per_sample: int = 3,
+                 seed: int = 0,
+                 datasets: Sequence[str] = ("refclef", "refcoco",
+                                            "refcoco+", "refcocog")):
+        self.base = base_image_dir
+        self.k = num_per_sample
+        self.rng = random.Random(seed)
+        self.items: List[Dict] = []
+        for ds in datasets:
+            p = os.path.join(base_image_dir, "refer_seg", ds + ".json")
+            if os.path.exists(p):
+                self.items.extend(json.load(open(p)))
+        if not self.items:
+            raise FileNotFoundError("no refer_seg annotations")
+
+    def _mask(self, item: Dict, h: int, w: int) -> np.ndarray:
+        seg = item["segmentation"]
+        if isinstance(seg, dict):
+            return rle_decode(seg).astype(np.float32)
+        return polygons_to_mask(seg, h, w).astype(np.float32)
+
+    def sample_rows(self) -> List[VSMRow]:
+        item = self.rng.choice(self.items)
+        img = _load_image(os.path.join(self.base, "refer_seg",
+                                       item["image"]))
+        clip_t, owl_t = _preprocess_pair(img)
+        exprs = item["expressions"]
+        chosen = [self.rng.choice(exprs) for _ in range(
+            min(self.k, len(exprs)))]
+        mask = self._mask(item, img.height, img.width)
+        boxes = _boxes_xyxy_to_cxcywh_norm(
+            np.asarray([item["bbox"]], np.float32), img.width, img.height)
+        return [VSMRow(image_clip=clip_t, image_owl=owl_t,
+                       source=_conversation(e, self.rng),
+                       gt_mask=mask, mask_valid=True,
+                       tgt_boxes=boxes, bboxes_valid=True)
+                for e in chosen]
+
+
+class MixedGroundingDataset:
+    """goldG phrase grounding (mixed_grounding_dataset.py:21-161): boxes
+    only, masks invalid. goldG_train.json: [{'filename', 'caption',
+    'grounding': [{'phrase', 'bboxes': xyxy list}]}]."""
+
+    def __init__(self, base_image_dir: str, num_per_sample: int = 3,
+                 seed: int = 0):
+        p = os.path.join(base_image_dir, "MixedGrounding",
+                         "goldG_train.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(p)
+        self.base = base_image_dir
+        self.items = json.load(open(p))
+        self.k = num_per_sample
+        self.rng = random.Random(seed)
+
+    def sample_rows(self) -> List[VSMRow]:
+        item = self.rng.choice(self.items)
+        img = _load_image(os.path.join(
+            self.base, "MixedGrounding", "OpenSource", item["filename"]))
+        clip_t, owl_t = _preprocess_pair(img)
+        ground = item["grounding"]
+        chosen = [self.rng.choice(ground)
+                  for _ in range(min(self.k, len(ground)))]
+        rows = []
+        for g in chosen:
+            boxes = _boxes_xyxy_to_cxcywh_norm(
+                np.asarray(g["bboxes"], np.float32), img.width, img.height)
+            rows.append(VSMRow(image_clip=clip_t, image_owl=owl_t,
+                               source=_conversation(g["phrase"], self.rng),
+                               gt_mask=None, mask_valid=False,
+                               tgt_boxes=boxes, bboxes_valid=True))
+        return rows
+
+
+class VQADataset:
+    """LLaVA-style VQA with a dummy [LOC] injected after <image>
+    (vqa_dataset.py:19-143): '<image>[LOC]\\nquestion'; dummy box targets
+    with bboxes_valid=0 so the [LOC] key is attention-masked."""
+
+    def __init__(self, base_image_dir: str, seed: int = 0,
+                 vqa_data: Sequence[str] = ("possible_locations_conv_86k",
+                                            "llava_instruct_150k"),
+                 sample_rate: Sequence[float] = (2, 1)):
+        self.base = base_image_dir
+        self.rng = random.Random(seed)
+        self.datasets = []
+        rates = []
+        for name, rate in zip(vqa_data, sample_rate):
+            p = os.path.join(base_image_dir, "vqa_data", name + ".json")
+            if os.path.exists(p):
+                self.datasets.append(json.load(open(p)))
+                rates.append(rate)
+        if not self.datasets:
+            raise FileNotFoundError("no vqa_data jsons")
+        r = np.asarray(rates, np.float64)
+        self.rates = (r / r.sum()).tolist()
+
+    def sample_rows(self) -> List[VSMRow]:
+        ds = self.rng.choices(self.datasets, weights=self.rates)[0]
+        item = self.rng.choice(ds)
+        img = _load_image(os.path.join(self.base, "vqa_data", "coco_images",
+                                       item["image"]))
+        clip_t, owl_t = _preprocess_pair(img)
+        source = []
+        for s in item["conversations"]:
+            v = s["value"]
+            if DEFAULT_IMAGE_TOKEN in v:
+                v = v.replace(DEFAULT_IMAGE_TOKEN, "").strip()
+                v = (DEFAULT_IMAGE_TOKEN + "[LOC]" + "\n" + v).strip()
+            source.append({"from": s["from"], "value": v})
+        return [VSMRow(image_clip=clip_t, image_owl=owl_t, source=source,
+                       gt_mask=None, mask_valid=False,
+                       tgt_boxes=np.asarray([[0.5, 0.5, 1.0, 1.0]],
+                                            np.float32),
+                       bboxes_valid=False)]
+
+
+class HybridDataset:
+    """Rate-weighted mixture (dataset.py:183-282); default
+    general_segdet:15, refer_seg:4, mixed_grounding:4, vqa:15."""
+
+    def __init__(self, children: Sequence, rates: Sequence[float],
+                 samples_per_epoch: int = 80000, seed: int = 0):
+        assert len(children) == len(rates) and children
+        self.children = list(children)
+        r = np.asarray(rates, np.float64)
+        self.rates = (r / r.sum()).tolist()
+        self.samples_per_epoch = samples_per_epoch
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return self.samples_per_epoch
+
+    def sample_rows(self) -> List[VSMRow]:
+        child = self.rng.choices(self.children, weights=self.rates)[0]
+        return child.sample_rows()
+
+    def batches(self, batch_size_rows: int):
+        """Yield lists of VSMRow of (at least) batch_size_rows, trimmed."""
+        buf: List[VSMRow] = []
+        for _ in range(self.samples_per_epoch):
+            buf.extend(self.sample_rows())
+            while len(buf) >= batch_size_rows:
+                yield buf[:batch_size_rows]
+                buf = buf[batch_size_rows:]

