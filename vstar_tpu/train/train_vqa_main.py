@@ -1,0 +1,169 @@
+"""VQA-LLM training CLIs.
+
+Stage 1 (projector alignment; LLaVA/scripts/pretrain.sh + train.py):
+  python -m vstar_tpu.train.train_vqa_main pretrain \\
+      --data_path blip_laion_cc_sbu_558k.json --image_folder images \\
+      --projector linear|perceiver
+  Trains ONLY the selected projector (plus nothing else), lr 2e-3 linear /
+  2e-4 perceiver, and exports just the adapter (mm_projector.bin
+  equivalent; llava_trainer.py:150-175).
+
+Stage 2 (search instruction finetune; finetune.sh + train_search.py):
+  python -m vstar_tpu.train.train_vqa_main finetune \\
+      --model_path <seal_vqa ckpt> --data_path <6-json dir> \\
+      --image_folder <images>
+  Full-model SFT (vision tower frozen) on the search-instruction mixture,
+  bf16, lr 2e-5 — HF Trainer + ZeRO-2 replaced by the pjit-sharded step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import save_params
+from ..core.config import vqa_llm_7b
+from ..core.mesh import make_mesh, shard_params
+from ..core.params import map_with_path
+from ..utils.metrics import AverageMeter, StepTimer
+from .sft import (TrainState, init_train_state, make_optimizer,
+                  sft_train_step)
+
+
+def _common(p):
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--image_folder", required=True)
+    p.add_argument("--output_dir", default="./runs/vqa")
+    p.add_argument("--num_train_epochs", default=1, type=int)
+    p.add_argument("--per_device_batch_size", default=4, type=int)
+    p.add_argument("--seq_bucket", default=2048, type=int)
+    p.add_argument("--log_every", default=50, type=int)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("vstar_tpu VQA-LLM training")
+    sub = p.add_subparsers(dest="stage", required=True)
+    pre = sub.add_parser("pretrain")
+    _common(pre)
+    pre.add_argument("--projector", choices=["linear", "perceiver"],
+                     default="linear")
+    pre.add_argument("--learning_rate", default=None, type=float)
+    fin = sub.add_parser("finetune")
+    _common(fin)
+    fin.add_argument("--model_path", required=True)
+    fin.add_argument("--learning_rate", default=2e-5, type=float)
+    return p.parse_args(argv)
+
+
+def projector_only_mask(params, which: str):
+    key = "proj_image." if which == "linear" else "proj_object."
+    return map_with_path(lambda path, _: path.startswith(key), params)
+
+
+def frozen_vision_mask(params):
+    return map_with_path(lambda path, _: not path.startswith("vision."),
+                         params)
+
+
+def run_training(args, cfg, params, dataset, collate_fn, tokenizer,
+                 trainable_mask, lr):
+    mesh = make_mesh()
+    params = shard_params(params, mesh)
+    steps_per_epoch = max(len(dataset) // args.per_device_batch_size, 1)
+    total = steps_per_epoch * args.num_train_epochs
+    opt = make_optimizer(lr, warmup_steps=min(100, total // 10),
+                         total_steps=total)
+    state = init_train_state(params, opt)
+    step_fn = jax.jit(lambda st, b: sft_train_step(st, b, cfg, opt,
+                                                   trainable_mask),
+                      donate_argnums=(0,))
+    loss_m = AverageMeter("loss", ":.4f")
+    timer = StepTimer()
+    os.makedirs(args.output_dir, exist_ok=True)
+    log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
+
+    with mesh:
+        i = 0
+        for epoch in range(args.num_train_epochs):
+            for start in range(0, len(dataset) - args.per_device_batch_size
+                               + 1, args.per_device_batch_size):
+                instances = [dataset[start + k]
+                             for k in range(args.per_device_batch_size)]
+                batch = collate_fn(instances, tokenizer)
+                timer.data_loaded()
+                state, m = step_fn(state, {k: jnp.asarray(v)
+                                           for k, v in batch.items()})
+                timer.step_done()
+                loss_m.update(float(m["loss"]))
+                if i % args.log_every == 0:
+                    print(f"epoch {epoch} step {i} {loss_m} "
+                          f"({timer.batch_time.avg:.2f}s/it)", flush=True)
+                    log.write(json.dumps({"epoch": epoch, "step": i,
+                                          "loss": loss_m.avg}) + "\n")
+                    log.flush()
+                i += 1
+    return state
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from transformers import AutoTokenizer
+    cfg = vqa_llm_7b()
+
+    if args.stage == "pretrain":
+        from ..data.pretrain_dataset import (PretrainCaptionDataset,
+                                             collate_pretrain)
+        from ..models.vqa_llm import init_vqa_llm_params
+        tokenizer = AutoTokenizer.from_pretrained(
+            "lmsys/vicuna-7b-v1.5", use_fast=False)
+        params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg,
+                                     dtype=jnp.float32)
+        lr = args.learning_rate or (2e-3 if args.projector == "linear"
+                                    else 2e-4)
+        ds = PretrainCaptionDataset(args.data_path, args.image_folder,
+                                    image_size=cfg.vision.image_size)
+
+        def collate(instances, tok):
+            return collate_pretrain(instances, tok,
+                                    n_long=cfg.image_tokens_long,
+                                    n_short=cfg.image_tokens_short,
+                                    image_long=args.projector == "linear",
+                                    seq_bucket=args.seq_bucket)
+
+        state = run_training(args, cfg, params, ds, collate, tokenizer,
+                             projector_only_mask(params, args.projector), lr)
+        # adapter-only export (mm_projector.bin equivalent)
+        key = "proj_image" if args.projector == "linear" else "proj_object"
+        save_params(state.params[key],
+                    os.path.join(args.output_dir, f"{key}_adapter"))
+    else:
+        from ..core.checkpoint import load_torch_dir
+        from ..data.vqa_sft_dataset import (SearchInstructionDataset,
+                                            collate_vqa_sft)
+        from ..models.vqa_llm import vqa_llm_params_from_torch
+        tokenizer = AutoTokenizer.from_pretrained(args.model_path,
+                                                  use_fast=False)
+        params = vqa_llm_params_from_torch(load_torch_dir(args.model_path),
+                                           cfg, dtype=jnp.float32)
+        ds = SearchInstructionDataset(args.data_path, args.image_folder,
+                                      image_size=cfg.vision.image_size)
+
+        def collate(instances, tok):
+            return collate_vqa_sft(instances, tok,
+                                   n_long=cfg.image_tokens_long,
+                                   n_short=cfg.image_tokens_short,
+                                   seq_bucket=args.seq_bucket)
+
+        state = run_training(args, cfg, params, ds, collate, tokenizer,
+                             frozen_vision_mask(params),
+                             args.learning_rate)
+        save_params(state.params, os.path.join(args.output_dir, "params"))
+
+
+if __name__ == "__main__":
+    main()
