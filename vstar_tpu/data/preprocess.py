@@ -75,6 +75,10 @@ def resize_bilinear_torch(x: np.ndarray, out_h: int, out_w: int
     """
     in_h, in_w = x.shape
     x = x.astype(np.float32)
+    from ..native import bilinear_resize_native
+    native = bilinear_resize_native(x, out_h, out_w)
+    if native is not None:
+        return native
 
     def axis_coords(out_n, in_n):
         c = (np.arange(out_n, dtype=np.float64) + 0.5) * in_n / out_n - 0.5

@@ -48,6 +48,10 @@ def rle_decode(rle: Dict) -> np.ndarray:
     counts = np.asarray(counts, np.int64)
     total = int(counts.sum())
     assert total == h * w, f"rle covers {total}, expected {h * w}"
+    from ..native import rle_decode_native
+    native = rle_decode_native(counts, h, w)
+    if native is not None:
+        return native
     # runs alternate 0,1 starting with 0; column-major layout
     flat = np.zeros(h * w, np.uint8)
     ends = np.cumsum(counts)

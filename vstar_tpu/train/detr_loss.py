@@ -76,14 +76,20 @@ def match_cost(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
 
 def _solve_assignment_host(cost: np.ndarray, n_valid: np.ndarray
                            ) -> np.ndarray:
-    """Host callback: [B,Q,T] costs -> matched query per target [B,T]."""
-    from scipy.optimize import linear_sum_assignment
+    """Host callback: [B,Q,T] costs -> matched query per target [B,T].
+    Uses the native C++ JV solver when built, else scipy."""
+    from ..native import hungarian_native
     B, Q, T = cost.shape
     out = np.zeros((B, T), np.int32)
     for b in range(B):
         n = int(n_valid[b])
         if n == 0:
             continue
+        native = hungarian_native(cost[b, :, :n])
+        if native is not None:
+            out[b, :n] = native
+            continue
+        from scipy.optimize import linear_sum_assignment
         rows, cols = linear_sum_assignment(cost[b, :, :n])
         out[b, cols] = rows.astype(np.int32)
     return out
