@@ -1,0 +1,65 @@
+"""Batched search tests: lockstep driver equivalence with serial search."""
+
+import numpy as np
+import pytest
+
+from vstar_tpu.search.batched import _batch_bucket, run_batched_searches
+from vstar_tpu.search.policy import iou_xywh, visual_search
+from tests.test_search_policy import (TARGET, FakeImage, OracleVSM, W, H)
+
+
+class BatchedOracle(OracleVSM):
+    """Adds the *_many interface over the scripted oracle."""
+
+    def detect_many(self, patches, names):
+        return [self.detect(p, n) for p, n in zip(patches, names)]
+
+    def vqa_many(self, patches, qs):
+        return [self.vqa(p, q) for p, q in zip(patches, qs)]
+
+    def segment_many(self, patches, phrases):
+        return [self.segment(p, ph) for p, ph in zip(patches, phrases)]
+
+
+def test_batch_bucket():
+    assert _batch_bucket(1) == 1
+    assert _batch_bucket(3) == 4
+    assert _batch_bucket(9) == 16
+    assert _batch_bucket(99) == 16
+
+
+def test_batched_matches_serial():
+    imgs = [FakeImage(), FakeImage(), FakeImage()]
+    names = ["needle"] * 3
+    serial = [visual_search(OracleVSM(), img, nm, smallest_size=224)
+              for img, nm in zip(imgs, names)]
+    batched = run_batched_searches(BatchedOracle(), imgs, names,
+                                   smallest_size=224)
+    assert len(batched) == 3
+    for (fs_s, pl_s, ok_s, vb_s), (fs_b, pl_b, ok_b, vb_b) in zip(
+            serial, batched):
+        assert ok_s == ok_b and pl_s == pl_b
+        np.testing.assert_allclose(fs_s.detection_result,
+                                   fs_b.detection_result)
+        found = fs_b.detection_result.copy()
+        found[0] += fs_b.bbox[0]
+        found[1] += fs_b.bbox[1]
+        assert iou_xywh(found, TARGET) > 0.5
+
+
+def test_batched_mixed_progress():
+    """Searches finishing at different waves must not stall the rest."""
+    class EarlyOracle(BatchedOracle):
+        def detect(self, patch, name):
+            boxes, logits, hm = super().detect(patch, name)
+            if name == "easy":  # confident at the root
+                boxes[0] = [0.5, 0.5, 0.1, 0.1]
+                logits[0] = 0.95
+            return boxes, logits, hm
+
+    imgs = [FakeImage(), FakeImage()]
+    res = run_batched_searches(EarlyOracle(), imgs, ["easy", "needle"],
+                               smallest_size=224)
+    (f0, p0, ok0, _), (f1, p1, ok1, _) = res
+    assert ok0 and p0 == 1      # finished at the root
+    assert ok1 and p1 > 1       # kept searching after the first finished

@@ -44,17 +44,21 @@ def init_owl_head_params(key, cfg: OwlHeadConfig, dtype=jnp.float32) -> Dict:
 
 
 @functools.lru_cache(maxsize=8)
-def _box_bias(num_patches: int) -> jnp.ndarray:
-    """Grid box bias in logit space (owlvit.py:42-77). [N*N, 4]."""
-    coords = (jnp.stack(
-        jnp.meshgrid(jnp.arange(1, num_patches + 1, dtype=jnp.float32),
-                     jnp.arange(1, num_patches + 1, dtype=jnp.float32)),
+def _box_bias(num_patches: int):
+    """Grid box bias in logit space (owlvit.py:42-77). [N*N, 4].
+
+    Computed (and cached) in numpy — caching a jnp value would leak tracers
+    across jit traces."""
+    import numpy as np
+    coords = (np.stack(
+        np.meshgrid(np.arange(1, num_patches + 1, dtype=np.float32),
+                    np.arange(1, num_patches + 1, dtype=np.float32)),
         axis=-1) / num_patches)
-    coords = jnp.clip(coords.reshape(-1, 2), 0.0, 1.0)
-    coord_bias = jnp.log(coords + 1e-4) - jnp.log1p(-coords + 1e-4)
-    size = jnp.full_like(coord_bias, 1.0 / num_patches)
-    size_bias = jnp.log(size + 1e-4) - jnp.log1p(-size + 1e-4)
-    return jnp.concatenate([coord_bias, size_bias], axis=-1)
+    coords = np.clip(coords.reshape(-1, 2), 0.0, 1.0)
+    coord_bias = np.log(coords + 1e-4) - np.log1p(-coords + 1e-4)
+    size = np.full_like(coord_bias, 1.0 / num_patches)
+    size_bias = np.log(size + 1e-4) - np.log1p(-size + 1e-4)
+    return np.concatenate([coord_bias, size_bias], axis=-1)
 
 
 def owl_class_logits(params: Dict, image_feats: jnp.ndarray,

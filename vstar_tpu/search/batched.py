@@ -1,0 +1,152 @@
+"""Batched visual search: many searches advance in lockstep, and their VSM
+calls execute as one device batch per wave.
+
+This is the throughput capability the reference lacks (its search runs one
+cache-less VSM generation at a time; SURVEY.md §2.8 workload 4): batch
+efficiency comes from sharing the 7B weight reads across concurrent
+searches — decode is weight-bandwidth-bound, so B searches cost barely
+more than one.
+
+Batch sizes are bucketed to powers of two (padded with a repeated row) so
+only a handful of program shapes compile.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.preprocess import (clip_preprocess, expand2square,
+                               owlvit_preprocess)
+from ..multimodal.splicing import build_layout
+from ..multimodal.tokenizer import tokenize_with_image
+from .engine import VSMEngine, _round128
+from .policy import visual_search_gen
+
+
+def _batch_bucket(n: int, buckets=(1, 2, 4, 8, 16)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class BatchedVSMEngine(VSMEngine):
+    """VSMEngine whose modes also accept lists (one device batch)."""
+
+    def _run_many(self, images: Sequence, questions: Sequence[str]):
+        n = len(images)
+        assert n > 0
+        prompts = [self._build_prompt(q) for q in questions]
+        ids_list = [tokenize_with_image(p, self.tokenizer) for p in prompts]
+        n_img = self.cfg.image_tokens
+        bucket = self._bucket(max(len(ids) - 1 + n_img
+                                  for ids in ids_list))
+        lays = [build_layout(ids, bucket, n_long=n_img, n_short=0,
+                             image_long=True) for ids in ids_list]
+
+        bb = _batch_bucket(n)
+        pad = bb - n
+        clip_size = self.cfg.vision.image_size
+        owl_size = self.cfg.owl_vision.image_size
+        clips, owls = [], []
+        for img in images:
+            sq, _, _ = expand2square(img)
+            clips.append(clip_preprocess(sq, clip_size))
+            owls.append(owlvit_preprocess(img, owl_size))
+        for _ in range(pad):
+            clips.append(clips[0])
+            owls.append(owls[0])
+            lays.append(lays[0])
+
+        out = self._jit_generate(
+            self.params, self.cfg, jnp.asarray(np.stack(clips)),
+            jnp.asarray(np.stack(owls)),
+            jnp.asarray(np.stack([l.text_ids for l in lays])),
+            jnp.asarray(np.stack([l.feat_idx for l in lays])),
+            jnp.asarray(np.stack([l.is_feat for l in lays])),
+            jnp.asarray([l.length for l in lays], jnp.int32),
+            loc_token_id=self.loc_token_id,
+            max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
+            cache_len=bucket + _round128(self.max_new_tokens),
+            compute_dtype=self.compute_dtype)
+        return out, n
+
+    def _heatmap_row(self, out, b: int, size: Tuple[int, int]) -> np.ndarray:
+        from ..data.preprocess import resize_bilinear_torch
+        if not bool(out.loc_valid[b]):
+            return np.zeros(size, np.float32)
+        low = np.asarray(out.mask_logits[b], np.float32)
+        return np.clip(resize_bilinear_torch(low, size[0], size[1]), 0, None)
+
+    def detect_many(self, patches: Sequence, names: Sequence[str]):
+        qs = [f"Please locate the {n} in this image." for n in names]
+        out, n = self._run_many(patches, qs)
+        results = []
+        for b in range(n):
+            size = (patches[b].height, patches[b].width)
+            if not bool(out.loc_valid[b]):
+                results.append((np.zeros((0, 4), np.float32),
+                                np.zeros((0,), np.float32),
+                                np.zeros(size, np.float32)))
+                continue
+            boxes = np.asarray(out.det_boxes[b], np.float32)
+            logits = 1.0 / (1.0 + np.exp(-np.asarray(out.det_logits[b],
+                                                     np.float32)))
+            results.append((boxes, logits, self._heatmap_row(out, b, size)))
+        return results
+
+    def vqa_many(self, patches: Sequence, questions: Sequence[str]):
+        out, n = self._run_many(patches, questions)
+        results = []
+        for b in range(n):
+            ng = int(out.num_generated[b])
+            toks = [int(t) for t in np.asarray(out.tokens[b, :ng])]
+            text = self.tokenizer.decode(toks, skip_special_tokens=True)
+            results.append(text.replace("\n", "").replace("  ", " ").strip())
+        return results
+
+    def segment_many(self, patches: Sequence, phrases: Sequence[str]):
+        qs = [f"Please locate the {p} in this image." for p in phrases]
+        out, n = self._run_many(patches, qs)
+        return [self._heatmap_row(out, b, (patches[b].height,
+                                           patches[b].width))
+                for b in range(n)]
+
+
+def run_batched_searches(engine: BatchedVSMEngine, images: Sequence,
+                         names: Sequence[str], **search_kwargs
+                         ) -> List[Tuple]:
+    """Run len(images) guided searches concurrently; VSM requests of the
+    same kind execute as one batch per wave. Results match
+    `visual_search`'s return tuple per image."""
+    n = len(images)
+    gens = [visual_search_gen(images[i], names[i], **search_kwargs)
+            for i in range(n)]
+    results: List[Optional[Tuple]] = [None] * n
+    pending: Dict[int, Tuple] = {}
+    for i, g in enumerate(gens):
+        try:
+            pending[i] = next(g)
+        except StopIteration as stop:  # pragma: no cover (degenerate)
+            results[i] = stop.value
+
+    dispatch = {"detect": engine.detect_many, "vqa": engine.vqa_many,
+                "segment": engine.segment_many}
+    while pending:
+        for kind in ("detect", "vqa", "segment"):
+            idxs = [i for i, (k, _, _) in pending.items() if k == kind]
+            if not idxs:
+                continue
+            patches = [pending[i][1] for i in idxs]
+            texts = [pending[i][2] for i in idxs]
+            outs = dispatch[kind](patches, texts)
+            for i, out in zip(idxs, outs):
+                try:
+                    pending[i] = gens[i].send(out)
+                except StopIteration as stop:
+                    results[i] = stop.value
+                    del pending[i]
+    return results

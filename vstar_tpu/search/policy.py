@@ -104,17 +104,19 @@ def iou_xywh(b1, b2) -> float:
 # The search
 # ---------------------------------------------------------------------------
 
-def _process_patch(vsm: VSMClient, image, name: str, step: SearchStep,
-                   search_path: List[SearchStep], heap, counter,
-                   smallest_size, confidence_high, tct, tct_decay, tct_min):
-    """One expansion: detect; accept / stash; heatmap; push children.
-
-    Returns (accepted, all_valid_boxes)."""
+def _process_patch_gen(image, name: str, step: SearchStep,
+                       search_path: List[SearchStep], heap, counter,
+                       smallest_size, confidence_high, tct, tct_decay,
+                       tct_min):
+    """One expansion as a coroutine: yields ("detect"|"vqa"|"segment",
+    patch, text) requests and receives their results via send(); returns
+    (accepted, all_valid_boxes). Enables batching VSM calls across many
+    concurrent searches (search/batched.py)."""
     bbox = step.bbox
     patch = image.crop((int(bbox[0]), int(bbox[1]),
                         int(bbox[0] + bbox[2]), int(bbox[1] + bbox[3])))
     question_name = name
-    boxes, logits, heatmap = vsm.detect(patch, question_name)
+    boxes, logits, heatmap = yield ("detect", patch, question_name)
 
     if len(logits) > 0:
         top = int(np.argmax(logits))
@@ -145,7 +147,7 @@ def _process_patch(vsm: VSMClient, image, name: str, step: SearchStep,
         question = ("According to the common sense knowledge and possible "
                     "visual cues, what is the most likely location of the "
                     f"{name} in the image?")
-        vqa_answer = vsm.vqa(patch, question)
+        vqa_answer = yield ("vqa", patch, question)
         phrase = vqa_answer.split("most likely to appear")[-1].strip()
         if phrase.endswith("."):
             phrase = phrase[:-1]
@@ -156,7 +158,7 @@ def _process_patch(vsm: VSMClient, image, name: str, step: SearchStep,
             phrase = chunks[0]
         else:
             phrase = f"region {phrase}"
-        ctx = vsm.segment(patch, phrase)
+        ctx = yield ("segment", patch, phrase)
         ctx = np.asarray(ctx, np.float32).reshape(bbox[3], bbox[2])
         step.final_heatmap = normalize_score(ctx)
         step.context_cue = vqa_answer + "#" + phrase
@@ -182,18 +184,16 @@ def _process_patch(vsm: VSMClient, image, name: str, step: SearchStep,
     return False, None
 
 
-def visual_search(vsm: VSMClient, image, target_object_name: str,
-                  target_bbox=None, smallest_size: int = 224,
-                  confidence_high: float = 0.5, confidence_low: float = 0.3,
-                  target_cue_threshold: float = 6.0,
-                  target_cue_threshold_decay: float = 0.7,
-                  target_cue_threshold_minimum: float = 3.0,
-                  max_steps: Optional[int] = None):
-    """Best-first guided search (visual_search.py:484-516 semantics).
-
-    Returns (final_step, path_length, search_successful, all_valid_boxes).
-    """
-    del target_bbox  # only used for visualization in the reference
+def visual_search_gen(image, target_object_name: str,
+                      smallest_size: int = 224,
+                      confidence_high: float = 0.5,
+                      confidence_low: float = 0.3,
+                      target_cue_threshold: float = 6.0,
+                      target_cue_threshold_decay: float = 0.7,
+                      target_cue_threshold_minimum: float = 3.0,
+                      max_steps: Optional[int] = None):
+    """Coroutine form of the search: yields VSM requests, returns
+    (final_step, path_length, search_successful, all_valid_boxes)."""
     import itertools
     counter = itertools.count()
 
@@ -206,8 +206,8 @@ def visual_search(vsm: VSMClient, image, target_object_name: str,
     all_valid_boxes = None
     step = root
     while True:
-        accepted, all_valid_boxes = _process_patch(
-            vsm, image, target_object_name, step, search_path, heap, counter,
+        accepted, all_valid_boxes = yield from _process_patch_gen(
+            image, target_object_name, step, search_path, heap, counter,
             smallest_size, confidence_high, target_cue_threshold,
             target_cue_threshold_decay, target_cue_threshold_minimum)
         if accepted:
@@ -238,3 +238,36 @@ def visual_search(vsm: VSMClient, image, target_object_name: str,
         if max_logit >= confidence_low:
             success = True
     return final_step, path_length, success, all_valid_boxes
+
+
+def visual_search(vsm: VSMClient, image, target_object_name: str,
+                  target_bbox=None, smallest_size: int = 224,
+                  confidence_high: float = 0.5, confidence_low: float = 0.3,
+                  target_cue_threshold: float = 6.0,
+                  target_cue_threshold_decay: float = 0.7,
+                  target_cue_threshold_minimum: float = 3.0,
+                  max_steps: Optional[int] = None):
+    """Best-first guided search (visual_search.py:484-516 semantics).
+
+    Returns (final_step, path_length, search_successful, all_valid_boxes).
+    """
+    del target_bbox  # only used for visualization in the reference
+    gen = visual_search_gen(
+        image, target_object_name, smallest_size=smallest_size,
+        confidence_high=confidence_high, confidence_low=confidence_low,
+        target_cue_threshold=target_cue_threshold,
+        target_cue_threshold_decay=target_cue_threshold_decay,
+        target_cue_threshold_minimum=target_cue_threshold_minimum,
+        max_steps=max_steps)
+    try:
+        kind, patch, text = next(gen)
+        while True:
+            if kind == "detect":
+                result = vsm.detect(patch, text)
+            elif kind == "vqa":
+                result = vsm.vqa(patch, text)
+            else:
+                result = vsm.segment(patch, text)
+            kind, patch, text = gen.send(result)
+    except StopIteration as stop:
+        return stop.value
