@@ -1,0 +1,102 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh: sharded execution
+must be numerically equivalent to single-device execution, and the graft
+dryrun path must hold for both train steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vstar_tpu.core.config import _tiny_llama, vqa_llm_tiny
+from vstar_tpu.core.mesh import (DATA_AXIS, make_mesh, partition_specs,
+                                 shard_params, spec_for)
+from vstar_tpu.nn.llama import (embed_tokens, init_llama_params,
+                                llama_forward, lm_logits)
+
+
+def test_partition_rules():
+    assert spec_for("llama.layers.attn.wq") == P("fsdp", "model")
+    assert spec_for("llama.layers.attn.wo") == P("model", "fsdp")
+    assert spec_for("llama.layers.mlp.w_down") == P("model", "fsdp")
+    assert spec_for("llama.final_norm.scale") == P()
+    assert spec_for("llama.embed_tokens") == P("fsdp", "model")
+
+
+def test_sharded_forward_matches_single_device(cpu_mesh):
+    cfg = _tiny_llama()
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                             cfg.vocab_size)
+
+    def fwd(params, ids):
+        h = embed_tokens(params, ids, jnp.float32)
+        pos = jnp.broadcast_to(jnp.arange(16), (4, 16))
+        out, _ = llama_forward(params, cfg, h, pos,
+                               jnp.full((4,), 16, jnp.int32))
+        return lm_logits(params, out)
+
+    base = np.asarray(jax.jit(fwd)(params, ids))
+
+    sharded_params = shard_params(params, cpu_mesh)
+    ids_sh = jax.device_put(ids, NamedSharding(cpu_mesh, P(DATA_AXIS)))
+    with cpu_mesh:
+        out = np.asarray(jax.jit(fwd)(sharded_params, ids_sh))
+    np.testing.assert_allclose(out, base, rtol=1e-5, atol=1e-5)
+    # something actually got sharded
+    wq = sharded_params["layers"]["attn"]["wq"]
+    assert len(wq.sharding.device_set) > 1
+
+
+def test_sharded_train_step_matches_single_device(cpu_mesh):
+    from vstar_tpu.multimodal.constants import (IGNORE_INDEX,
+                                                IMAGE_TOKEN_INDEX)
+    from vstar_tpu.multimodal.splicing import build_layout, stack_layouts
+    from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+    from vstar_tpu.train.sft import (init_train_state, make_optimizer,
+                                     sft_train_step)
+
+    cfg = vqa_llm_tiny()
+    params = init_vqa_llm_params(jax.random.PRNGKey(2), cfg)
+    opt = make_optimizer(1e-3, warmup_steps=0, total_steps=10)
+
+    B, S = 4, 48
+    img = cfg.vision.image_size
+    ids = [1, IMAGE_TOKEN_INDEX, 7, 8, 9]
+    lay = build_layout(ids, S, n_long=cfg.image_tokens_long,
+                       n_short=cfg.image_tokens_short, image_long=True,
+                       labels=[IGNORE_INDEX] * 4 + [9])
+    text_ids, feat_idx, is_feat, lens, labs = stack_layouts([lay] * B)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.randn(B, img, img, 3).astype(np.float32),
+        "objects": np.zeros((B, cfg.max_objects, img, img, 3), np.float32),
+        "text_ids": text_ids, "feat_idx": feat_idx, "is_feat": is_feat,
+        "lens": lens, "labels": labs,
+    }
+
+    def run(params, batch, mesh=None):
+        state = init_train_state(params, opt)
+        step = jax.jit(lambda st, b: sft_train_step(
+            st, b, cfg, opt, compute_dtype=jnp.float32))
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(DATA_AXIS))
+            b = {k: jax.device_put(v, sh) for k, v in b.items()}
+        new_state, metrics = step(state, b)
+        return float(metrics["loss"]), new_state
+
+    loss_base, st_base = run(params, batch)
+    sharded = shard_params(params, cpu_mesh)
+    with cpu_mesh:
+        loss_sh, st_sh = run(sharded, batch, cpu_mesh)
+    np.testing.assert_allclose(loss_sh, loss_base, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_sh.params["llama"]["final_norm"]["scale"]),
+        np.asarray(st_base.params["llama"]["final_norm"]["scale"]),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_graft_dryrun_smoke():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
