@@ -43,11 +43,13 @@ def _load_image(path: str) -> Image.Image:
     return Image.open(path).convert("RGB")
 
 
-def _preprocess_pair(img: Image.Image):
-    """(clip 224² on top-left-squared image, owl 768²) — the VSM-side
-    expand2square pastes top-left (VisualSearch/utils/utils.py:28-39)."""
+def _preprocess_pair(img: Image.Image, clip_size: int = 224,
+                     owl_size: int = 768):
+    """(clip on the top-left-squared image, owl on the raw image) — the
+    VSM-side expand2square pastes top-left
+    (VisualSearch/utils/utils.py:28-39)."""
     sq, _, _ = expand2square(img, center=False)
-    return clip_preprocess(sq), owlvit_preprocess(img)
+    return clip_preprocess(sq, clip_size), owlvit_preprocess(img, owl_size)
 
 
 def _boxes_xyxy_to_cxcywh_norm(boxes: np.ndarray, w: int, h: int

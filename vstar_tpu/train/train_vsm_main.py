@@ -169,7 +169,29 @@ def main(argv=None):
             # checkpoint (best-det-acc gating when a val set exists)
             det_acc = None
             if not args.no_eval:
-                det_acc = None  # validation requires refcoco val data
+                try:
+                    from ..data.val_dataset import ValDataset
+                    from .validate import validate
+                    from .vsm_train import vsm_val_forward
+                    val_ds = ValDataset(args.dataset_dir)
+                    jfwd = jax.jit(
+                        lambda p, b: vsm_val_forward(p, cfg, b))
+
+                    def forward_fn(p, b):
+                        jb = {k: jnp.asarray(v) for k, v in b.items()}
+                        return jfwd(p, jb)
+
+                    metrics_val = validate(
+                        state.params, cfg,
+                        val_ds.batches(tokenizer, loc_token_id,
+                                       batch_size=args.batch_size,
+                                       n_image_tokens=cfg.image_tokens,
+                                       seq_bucket=args.seq_bucket),
+                        forward_fn)
+                    det_acc = metrics_val["det_acc"]
+                    print(f"[val] epoch {epoch}: {metrics_val}", flush=True)
+                except FileNotFoundError:
+                    det_acc = None
             save = True if det_acc is None else det_acc > best_det_acc
             if save:
                 os.makedirs(ckpt_dir, exist_ok=True)

@@ -166,6 +166,29 @@ def vsm_loss(params: Dict, cfg: VSMConfig, batch: Dict,
     return total, metrics
 
 
+def vsm_val_forward(params: Dict, cfg: VSMConfig, batch: Dict,
+                    compute_dtype=jnp.bfloat16):
+    """Validation forward: [LOC]-driven head outputs for metric computation
+    (train.py:570-644). Returns (mask_logits [B,h,w], det_logits [B,Q],
+    det_boxes [B,Q,4])."""
+    bank = encode_clip_bank(params, cfg, batch["images_clip"])         .astype(compute_dtype)
+    tok = embed_tokens(params["llama"], batch["text_ids"], compute_dtype)
+    h = apply_splice(tok, bank, batch["feat_idx"], batch["is_feat"])
+    B, S = batch["text_ids"].shape
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    hidden, _ = llama_forward(params["llama"], cfg.llama, h, pos,
+                              batch["lens"], kv_valid=batch["kv_valid"])
+    loc_hidden = jnp.take_along_axis(
+        hidden, batch["loc_hidden_pos"][:, None, None].astype(jnp.int32),
+        axis=1)[:, 0].astype(compute_dtype)
+    fmap = _owl_feature_map_trainable_ln(params, cfg, batch["images_owl"])
+    fmap = fmap.astype(compute_dtype)
+    mask_logits = vsm_segmentation(params, cfg, fmap, loc_hidden)
+    det_logits, det_boxes = vsm_detection(params, cfg, fmap, loc_hidden)
+    return (mask_logits.astype(jnp.float32),
+            det_logits.astype(jnp.float32), det_boxes.astype(jnp.float32))
+
+
 def vsm_train_step(state: VSMTrainState, batch: Dict, cfg: VSMConfig,
                    optimizer, trainable_mask: Optional[Dict] = None,
                    weights: VSMLossWeights = VSMLossWeights(),
