@@ -1,0 +1,155 @@
+"""Batched V*Bench evaluation — workload 4 (SURVEY.md §2.8): mesh/device
+batching over many images' searches.
+
+The per-sample SEAL loop stays semantically identical to eval/seal.py;
+what batches is the expensive part — all visual searches of an image
+group advance in lockstep waves through `run_batched_searches`, sharing
+every 7B weight read across concurrent searches."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from copy import deepcopy
+from typing import Dict, List, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ..data.preprocess import expand2square
+from ..search.batched import run_batched_searches
+from .seal import focus_prompt, normalize_bbox, parse_missing_objects
+
+
+def _finish_sample(vqa_engine, image, question, options, missing_objects,
+                   search_result, prediction) -> Dict:
+    """Focused multiple-choice re-ask (seal_answer's tail)."""
+    squared, left, top = expand2square(image)
+    if missing_objects:
+        names = [r["name"] for r in search_result]
+        bboxes = deepcopy([r["bbox"] for r in search_result])
+        if len(names) <= 2:
+            images_long, objects_long = [False], [True] * len(names)
+        else:
+            images_long, objects_long = [False], [False] * len(names)
+        crops = [vqa_engine.get_object_crop(image, b, 1.2) for b in bboxes]
+        bbox_list = []
+        for b in bboxes:
+            b = [b[0] + left, b[1] + top, b[2], b[3]]
+            bbox_list.append(normalize_bbox(b, squared.width,
+                                            squared.height))
+        q = focus_prompt(question, names, bbox_list)
+        chosen = vqa_engine.multiple_choice(squared, q, options, crops,
+                                            images_long=images_long,
+                                            objects_long=objects_long)
+    else:
+        chosen = vqa_engine.multiple_choice(squared, question, options)
+    return {
+        "question": question, "options": list(options),
+        "prediction_freeform": prediction,
+        "missing_objects": missing_objects,
+        "search_result": search_result,
+        "option_chosen": int(chosen), "correct": int(chosen == 0),
+    }
+
+
+def eval_batch(vqa_engine, vsm_batched, samples: Sequence[Dict],
+               minimum_size_scale=4.0, minimum_size=224,
+               max_search_steps=None) -> List[Dict]:
+    """samples: [{'image': PIL, 'question': str, 'options': [...]}]."""
+    # Phase 1: free-form answers (one device call each; decode dominates).
+    predictions = []
+    for s in samples:
+        sq, _, _ = expand2square(s["image"])
+        predictions.append(vqa_engine.free_form(sq, s["question"]))
+    missing = [parse_missing_objects(p) for p in predictions]
+
+    # Phase 2: ALL searches across the batch advance in lockstep waves.
+    tasks = []      # (sample_idx, object_name)
+    for i, objs in enumerate(missing):
+        for name in objs:
+            tasks.append((i, name))
+    search_results: List[List[Dict]] = [[] for _ in samples]
+    if tasks:
+        imgs = [samples[i]["image"] for i, _ in tasks]
+        names = [n for _, n in tasks]
+        smallest = [max(int(np.ceil(min(im.width, im.height)
+                                    / minimum_size_scale)), minimum_size)
+                    for im in imgs]
+        # run_batched_searches takes shared kwargs; group tasks by their
+        # smallest_size so the policy parameters stay exact per task.
+        by_small = defaultdict(list)
+        for t_idx, s_val in enumerate(smallest):
+            by_small[s_val].append(t_idx)
+        outs: List = [None] * len(tasks)
+        for s_val, t_idxs in by_small.items():
+            res = run_batched_searches(
+                vsm_batched, [imgs[t] for t in t_idxs],
+                [names[t] for t in t_idxs], smallest_size=s_val,
+                max_steps=max_search_steps)
+            for t, r in zip(t_idxs, res):
+                outs[t] = r
+        for (i, name), (final_step, _, ok, all_boxes) in zip(tasks, outs):
+            if final_step is None or final_step.detection_result is None:
+                continue
+            if all_boxes is not None:
+                for sb in all_boxes:
+                    sb = np.asarray(sb, np.float64).copy()
+                    sb[0] += final_step.bbox[0]
+                    sb[1] += final_step.bbox[1]
+                    search_results[i].append({"bbox": sb.tolist(),
+                                              "name": name})
+            else:
+                sb = np.asarray(final_step.detection_result,
+                                np.float64).copy()
+                sb[0] += final_step.bbox[0]
+                sb[1] += final_step.bbox[1]
+                search_results[i].append({"bbox": sb.tolist(),
+                                          "name": name})
+
+    # Phase 3: focused multiple choice.
+    return [_finish_sample(vqa_engine, s["image"], s["question"],
+                           s["options"], missing[i], search_results[i],
+                           predictions[i])
+            for i, s in enumerate(samples)]
+
+
+def eval_model_batched(args, vqa_engine, vsm_batched, image_batch: int = 4):
+    """Batched counterpart of eval/vstar_bench.eval_model."""
+    results = {}
+    per_type = defaultdict(list)
+    all_acc = []
+    latencies = []
+    for test_type in ["direct_attributes", "relative_position"]:
+        results[test_type] = []
+        folder = os.path.join(args.benchmark_folder, test_type)
+        files = [f for f in sorted(os.listdir(folder)) if ".json" not in f]
+        for start in range(0, len(files), image_batch):
+            chunk = files[start:start + image_batch]
+            samples = []
+            for f in chunk:
+                path = os.path.join(folder, f)
+                ann = json.load(open(path.rsplit(".", 1)[0] + ".json"))
+                samples.append({"image": Image.open(path).convert("RGB"),
+                                "question": ann["question"],
+                                "options": ann["options"], "file": f})
+            t0 = time.perf_counter()
+            recs = eval_batch(vqa_engine, vsm_batched, samples,
+                              args.minimum_size_scale, args.minimum_size)
+            dt = (time.perf_counter() - t0) / len(samples)
+            for s, rec in zip(samples, recs):
+                rec["image"] = s["file"]
+                per_type[test_type].append(rec["correct"])
+                all_acc.append(rec["correct"])
+                latencies.append(dt)
+                results[test_type].append(rec)
+        if per_type[test_type]:
+            print(test_type, np.mean(per_type[test_type]))
+    if all_acc:
+        print(np.mean(all_acc))
+        print(f"throughput: {1.0 / np.mean(latencies):.3f} images/s")
+    with open(args.output_path, "w") as f:
+        json.dump(results, f, indent=4)
+    return results
