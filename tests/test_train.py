@@ -167,3 +167,29 @@ def test_vsm_train_step_runs_and_respects_freezing():
     assert not np.array_equal(
         np.asarray(new_state.params["fc_seg"]["fc0"]["w"]),
         np.asarray(params["fc_seg"]["fc0"]["w"]))
+
+
+def test_grad_accumulation_matches_full_batch():
+    from vstar_tpu.train.accumulate import accumulated_grads
+    params = {"w": jnp.ones((4, 4)) * 0.5}
+
+    def loss_fn(p, b):
+        y = b["x"] @ p["w"]
+        return jnp.mean((y - b["t"]) ** 2), {"m": jnp.mean(y)}
+
+    rng = np.random.RandomState(0)
+    batch = {"x": jnp.asarray(rng.randn(8, 4), jnp.float32),
+             "t": jnp.asarray(rng.randn(8, 4), jnp.float32)}
+
+    def mean_loss(p, b):
+        l, aux = loss_fn(p, b)
+        return l, aux
+
+    l1, a1, g1 = accumulated_grads(mean_loss, params, batch, 1,
+                                   has_aux=True)
+    l4, a4, g4 = accumulated_grads(mean_loss, params, batch, 4,
+                                   has_aux=True)
+    np.testing.assert_allclose(float(l1), float(l4), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1["w"]), np.asarray(g4["w"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(a1["m"]), float(a4["m"]), rtol=1e-6)

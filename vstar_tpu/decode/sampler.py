@@ -13,13 +13,33 @@ that *produced* `tokens[i]` — exactly the state the reference gathers for
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..core.config import LlamaConfig
 from ..nn.llama import KVCache, embed_tokens, llama_forward, lm_logits
+
+
+def sample_token(logits: jnp.ndarray, key, temperature: float = 0.0,
+                 top_p: Optional[float] = None) -> jnp.ndarray:
+    """Greedy (temperature 0) or temperature/top-p sampling, matching the
+    reference's generate flags (vstar_bench_eval.py:97-100: do_sample when
+    temperature > 0). logits: [B, V] -> int32 [B]."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / temperature
+    if top_p is not None and top_p < 1.0:
+        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix with cumulative mass >= top_p
+        keep = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
+                         keepdims=True)
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
 
 class DecodeResult(NamedTuple):
@@ -32,8 +52,11 @@ class DecodeResult(NamedTuple):
 def greedy_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
                   first_logits: jnp.ndarray, first_hidden: jnp.ndarray,
                   max_new_tokens: int, stop_ids: Sequence[int],
-                  compute_dtype=jnp.bfloat16) -> DecodeResult:
-    """Greedy decode after a prefill.
+                  compute_dtype=jnp.bfloat16, temperature: float = 0.0,
+                  top_p: Optional[float] = None,
+                  rng_key=None) -> DecodeResult:
+    """Decode after a prefill: greedy by default, temperature/top-p
+    sampling when temperature > 0.
 
     first_logits: [B, vocab] logits at the last prompt position
     first_hidden: [B, D] hidden at the last prompt position
@@ -42,11 +65,14 @@ def greedy_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
     B = first_logits.shape[0]
     D = first_hidden.shape[-1]
     stop_arr = jnp.asarray(list(stop_ids), jnp.int32)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
 
     tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
     hiddens0 = jnp.zeros((B, max_new_tokens, D), first_hidden.dtype)
 
-    tok0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+    rng_key, sub = jax.random.split(rng_key)
+    tok0 = sample_token(first_logits, sub, temperature, top_p)
     tokens0 = tokens0.at[:, 0].set(tok0)
     hiddens0 = hiddens0.at[:, 0].set(first_hidden)
     done0 = jnp.isin(tok0, stop_arr)
@@ -57,7 +83,7 @@ def greedy_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
         return jnp.logical_and(t < max_new_tokens, ~jnp.all(done))
 
     def body(state):
-        t, cache, tokens, hiddens, done, ngen = state
+        t, cache, tokens, hiddens, done, ngen, key = state
         cur_tok = jax.lax.dynamic_slice_in_dim(tokens, t - 1, 1, axis=1)
         h = embed_tokens(params, cur_tok, compute_dtype)
         pos = cache.length[:, None]
@@ -67,7 +93,8 @@ def greedy_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
             q_offsets=cache.length, cache=cache)
         new_cache = KVCache(new_cache.k, new_cache.v, new_lens)
         logits = lm_logits(params, hidden)[:, 0]
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        nxt = sample_token(logits, sub, temperature, top_p)
         nxt = jnp.where(done, stop_arr[0], nxt)
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, nxt[:, None], t, axis=1)
@@ -75,10 +102,10 @@ def greedy_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
             hiddens, hidden[:, 0][:, None].astype(hiddens.dtype), t, axis=1)
         new_done = jnp.logical_or(done, jnp.isin(nxt, stop_arr))
         ngen = jnp.where(done, ngen, ngen + 1)
-        return (t + 1, new_cache, tokens, hiddens, new_done, ngen)
+        return (t + 1, new_cache, tokens, hiddens, new_done, ngen, key)
 
-    state = (jnp.int32(1), cache, tokens0, hiddens0, done0, ngen0)
-    t, cache, tokens, hiddens, done, ngen = jax.lax.while_loop(
+    state = (jnp.int32(1), cache, tokens0, hiddens0, done0, ngen0, rng_key)
+    t, cache, tokens, hiddens, done, ngen, _ = jax.lax.while_loop(
         cond, body, state)
     return DecodeResult(tokens=tokens, hiddens=hiddens, num_generated=ngen,
                         cache=cache)

@@ -68,7 +68,9 @@ class VQAEngine:
 
         self._jit_free_form = jax.jit(
             self._free_form_device,
-            static_argnames=("bucket", "max_new_tokens"))
+            static_argnames=("bucket", "max_new_tokens", "temperature",
+                             "top_p"))
+        self._rng = jax.random.PRNGKey(0)
         self._jit_prefill = jax.jit(
             self._prefill_device, static_argnames=("bucket",))
         self._jit_option_ce = jax.jit(
@@ -142,7 +144,8 @@ class VQAEngine:
         return logits, last_hidden, cache
 
     def _free_form_device(self, params, image, objects, text_ids, feat_idx,
-                          is_feat, lens, *, bucket, max_new_tokens):
+                          is_feat, lens, rng_key, *, bucket,
+                          max_new_tokens, temperature=0.0, top_p=None):
         bank = encode_feature_bank(params, self.cfg, image, objects)
         bank = bank.astype(self.compute_dtype)
         cache_len = bucket + ((max_new_tokens + 127) // 128) * 128
@@ -155,14 +158,16 @@ class VQAEngine:
         last_hidden = jnp.take_along_axis(hidden, last_idx, axis=1)[:, 0]
         res = greedy_decode(params["llama"], self.cfg.llama, cache, logits,
                             last_hidden, max_new_tokens, [self.eos_id],
-                            self.compute_dtype)
+                            self.compute_dtype, temperature=temperature,
+                            top_p=top_p, rng_key=rng_key)
         return res.tokens, res.num_generated
 
     # -- public API ----------------------------------------------------------
 
     def free_form(self, image: Image.Image, question: str,
                   object_crops=None, images_long=None, objects_long=None,
-                  max_new_tokens: int = 200) -> str:
+                  max_new_tokens: int = 200, temperature: float = 0.0,
+                  top_p=None) -> str:
         """Greedy free-form answer (vstar_bench_eval.py:78-114).
         `image` must already be expand2square'd by the caller, as in the
         reference loop (vstar_bench_eval.py:192)."""
@@ -177,11 +182,13 @@ class VQAEngine:
 
         img = jnp.asarray(self.preprocess_image(image)[None])
         objs = jnp.asarray(self._object_stack(object_crops)[None])
+        self._rng, sub = jax.random.split(self._rng)
         tokens, ngen = self._jit_free_form(
             self.params, img, objs, jnp.asarray(lay.text_ids[None]),
             jnp.asarray(lay.feat_idx[None]), jnp.asarray(lay.is_feat[None]),
-            jnp.asarray([lay.length], jnp.int32), bucket=bucket,
-            max_new_tokens=max_new_tokens)
+            jnp.asarray([lay.length], jnp.int32), sub, bucket=bucket,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p)
         n_out = int(ngen[0])
         toks = [int(t) for t in np.asarray(tokens[0, :n_out])]
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()

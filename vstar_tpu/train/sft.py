@@ -77,13 +77,16 @@ def sft_loss(params: Dict, cfg: VQALLMConfig, batch: Dict,
 def sft_train_step(state: TrainState, batch: Dict, cfg: VQALLMConfig,
                    optimizer: optax.GradientTransformation,
                    trainable_mask: Optional[Dict] = None,
-                   compute_dtype=jnp.bfloat16
+                   compute_dtype=jnp.bfloat16, grad_accum: int = 1
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SFT step. Freezing (e.g. the vision tower, frozen in the
     reference: clip_encoder requires_grad_(False)) is expressed with a
-    trainable_mask pytree of booleans."""
-    loss, grads = jax.value_and_grad(sft_loss)(state.params, cfg, batch,
-                                               compute_dtype)
+    trainable_mask pytree of booleans. grad_accum > 1 scans the batch in
+    micro-slices (DeepSpeed-equivalent accumulation)."""
+    from .accumulate import accumulated_grads
+    loss, _, grads = accumulated_grads(
+        lambda p, b: sft_loss(p, cfg, b, compute_dtype), state.params,
+        batch, grad_accum)
     if trainable_mask is not None:
         grads = jax.tree_util.tree_map(
             lambda g, m: g * m, grads,

@@ -127,7 +127,8 @@ def main(argv=None):
                              bce=args.bce_loss_weight,
                              det=args.det_loss_weight)
     step_fn = jax.jit(
-        lambda st, b: vsm_train_step(st, b, cfg, opt, mask, weights),
+        lambda st, b: vsm_train_step(st, b, cfg, opt, mask, weights,
+                                     grad_accum=args.grad_accumulation_steps),
         donate_argnums=(0,))
 
     hybrid = build_datasets(args, tokenizer)

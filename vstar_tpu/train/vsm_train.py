@@ -192,10 +192,12 @@ def vsm_val_forward(params: Dict, cfg: VSMConfig, batch: Dict,
 def vsm_train_step(state: VSMTrainState, batch: Dict, cfg: VSMConfig,
                    optimizer, trainable_mask: Optional[Dict] = None,
                    weights: VSMLossWeights = VSMLossWeights(),
-                   compute_dtype=jnp.bfloat16
+                   compute_dtype=jnp.bfloat16, grad_accum: int = 1
                    ) -> Tuple[VSMTrainState, Dict[str, jnp.ndarray]]:
-    (loss, metrics), grads = jax.value_and_grad(vsm_loss, has_aux=True)(
-        state.params, cfg, batch, weights, compute_dtype)
+    from .accumulate import accumulated_grads
+    loss, metrics, grads = accumulated_grads(
+        lambda p, b: vsm_loss(p, cfg, b, weights, compute_dtype),
+        state.params, batch, grad_accum, has_aux=True)
     if trainable_mask is not None:
         grads = jax.tree_util.tree_map(
             lambda g, m: g * jnp.asarray(m, g.dtype), grads, trainable_mask)
