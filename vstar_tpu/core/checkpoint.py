@@ -11,12 +11,10 @@
 
 from __future__ import annotations
 
-import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
-import jax
-import numpy as np
+
 
 
 def load_torch_dir(path: str) -> Dict[str, Any]:

@@ -16,8 +16,7 @@ from typing import Dict, Mapping
 import jax.numpy as jnp
 import numpy as np
 
-from .config import (LlamaConfig, OwlHeadConfig, PerceiverConfig,
-                     ProjectorConfig, SamDecoderConfig, ViTConfig)
+from .config import LlamaConfig, PerceiverConfig, ViTConfig
 
 
 def _np(x) -> np.ndarray:

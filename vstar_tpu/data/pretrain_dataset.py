@@ -10,13 +10,12 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 from PIL import Image
 
-from ..multimodal.constants import (DEFAULT_IMAGE_TOKEN, IGNORE_INDEX,
-                                    IMAGE_TOKEN_INDEX)
+from ..multimodal.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from .preprocess import clip_preprocess, expand2square
 
 

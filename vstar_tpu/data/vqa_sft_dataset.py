@@ -13,7 +13,7 @@ import copy
 import json
 import os
 import random
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 from PIL import Image

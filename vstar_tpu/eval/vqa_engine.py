@@ -20,11 +20,10 @@ import numpy as np
 from PIL import Image
 
 from ..core.config import VQALLMConfig
-from ..data.preprocess import clip_preprocess, expand2square
+from ..data.preprocess import clip_preprocess
 from ..decode.sampler import greedy_decode
 from ..decode.scorer import option_ce
-from ..models.vqa_llm import (decode_step, encode_feature_bank, prefill,
-                              vqa_llm_params_from_torch)
+from ..models.vqa_llm import encode_feature_bank, prefill
 from ..multimodal.constants import DEFAULT_IMAGE_TOKEN
 from ..multimodal.conversation import CONV_TEMPLATES
 from ..multimodal.splicing import build_layout, spliced_length

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from ..core.config import VQALLMConfig

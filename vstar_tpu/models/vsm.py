@@ -25,10 +25,10 @@ from ..core.config import VSMConfig
 from ..core.hf_import import (_lin, _np, linear_projector_from_torch,
                               llama_params_from_torch, vit_params_from_torch)
 from ..core.params import KeyGen
-from ..decode.sampler import DecodeResult, greedy_decode
+from ..decode.sampler import greedy_decode
 from ..multimodal.splicing import apply_splice
 from ..nn.basic import dense, init_dense, init_layernorm
-from ..nn.llama import KVCache, embed_tokens, llama_forward, lm_logits
+from ..nn.llama import embed_tokens, llama_forward, lm_logits
 from ..nn.llama import init_llama_params
 from ..nn.owl_heads import (init_owl_head_params, owl_detect,
                             owl_head_params_from_torch)

@@ -50,7 +50,12 @@ def conv_vicuna_v1() -> Conversation:
                         sep=" ", sep2="</s>")
 
 
+def conv_llava_v1() -> Conversation:
+    return conv_vicuna_v1()
+
+
 CONV_TEMPLATES = {
     "v1": conv_vicuna_v1,
     "vicuna_v1": conv_vicuna_v1,
+    "llava_v1": conv_llava_v1,
 }

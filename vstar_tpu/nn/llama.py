@@ -17,7 +17,6 @@ Weight layout: dense weights are (in_dim, out_dim) — transposed from torch.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -25,7 +24,7 @@ import jax.numpy as jnp
 
 from ..core.config import LlamaConfig
 from ..core.params import KeyGen, dense_init, embed_init
-from ..kernels.flash_attention import flash_attention, mha_reference
+from ..kernels.flash_attention import flash_attention
 from .basic import init_rmsnorm, rmsnorm
 from .quant import qdot
 from .rope import apply_rope, rope_angles

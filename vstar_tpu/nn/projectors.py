@@ -52,4 +52,6 @@ def apply_projector(params: Dict, cfg: ProjectorConfig,
         return x
     if cfg.type == "perceiver":
         return perceiver_resample(params["perceiver"], cfg.perceiver, feats)
+    if cfg.type == "identity":
+        return feats
     raise ValueError(f"unknown projector type {cfg.type}")

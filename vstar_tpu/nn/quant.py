@@ -11,7 +11,7 @@ Replaces the reference's optional bitsandbytes 4/8-bit load path
 
 from __future__ import annotations
 
-from typing import Any, Dict, Union
+from typing import Dict, Union
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import SamDecoderConfig
-from ..core.params import KeyGen, dense_init
+from ..core.params import KeyGen
 from .basic import dense, init_dense, init_layernorm, layernorm
 
 

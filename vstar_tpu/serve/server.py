@@ -65,7 +65,7 @@ class SealService:
         import numpy as np
 
         from ..data.preprocess import expand2square
-        from ..eval.seal import (FOCUS_MSG, focus_prompt, normalize_bbox,
+        from ..eval.seal import (focus_prompt, normalize_bbox,
                                  parse_missing_objects)
         from ..search.policy import visual_search
 

@@ -9,7 +9,7 @@ inside the attention block; `merge_lora` folds them into the base weights.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

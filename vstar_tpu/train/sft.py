@@ -13,7 +13,6 @@ matching LlamaForCausalLM's shift-CE (llava_search_llama.py:94-105).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -21,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..core.config import VQALLMConfig
-from ..core.mesh import DATA_AXIS, partition_specs, shard_params
+from ..core.mesh import DATA_AXIS
 from ..models.vqa_llm import encode_feature_bank, spliced_embeds
 from ..multimodal.constants import IGNORE_INDEX
 from ..nn.llama import llama_forward, lm_logits

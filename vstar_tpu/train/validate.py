@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import VSMConfig
-from ..models.vsm import owl_features, vsm_detection, vsm_segmentation
+from ..models.vsm import owl_features
 from ..train.detr_loss import box_cxcywh_to_xyxy
 from ..utils.metrics import AverageMeter
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import enum
 import time
-from typing import Dict, Iterable, List
+from typing import List
 
 
 class Summary(enum.Enum):
