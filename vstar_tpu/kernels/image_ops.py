@@ -1,0 +1,85 @@
+"""On-device image preprocessing (the SURVEY §7.6 "fused image hot path").
+
+Host-side PIL preprocessing is exact-HF but becomes the bottleneck for
+batched search (every wave crops + bicubic-resizes patches per image on
+the CPU). These jittable ops move the hot path onto the TPU:
+
+  * `device_preprocess`   — uint8 image -> resized + normalized float
+    (bicubic via jax.image, matching PIL/HF's resampler family)
+  * `crop_resize_normalize` — crop a bbox out of a device-resident image
+    and resize+normalize in one fused program (the search crop pyramid:
+    the full image uploads once; every patch of every wave is cropped on
+    device with `jax.image.scale_and_translate`).
+
+PIL and jax.image bicubic differ slightly at edges (anti-aliasing
+windows), so the default engines keep PIL for exact reference parity;
+the batched throughput path opts in.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..multimodal.constants import CLIP_MEAN, CLIP_STD
+
+
+def _normalize(x: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+    return (x / 255.0 - mean) / std
+
+
+def device_preprocess(image_u8: jnp.ndarray, out_size: int,
+                      method: str = "cubic") -> jnp.ndarray:
+    """[H, W, 3] uint8 -> [out, out, 3] f32 normalized (aspect-distorting
+    resize, OwlViTProcessor semantics)."""
+    x = image_u8.astype(jnp.float32)
+    y = jax.image.resize(x, (out_size, out_size, 3), method=method)
+    return _normalize(y)
+
+
+def expand2square_device(image_u8: jnp.ndarray, center: bool = True
+                         ) -> jnp.ndarray:
+    """Pad to square with the CLIP mean color on device. Static shapes:
+    output side = max(H, W) (a static property of the input shape)."""
+    H, W, _ = image_u8.shape
+    side = max(H, W)
+    fill = jnp.asarray([int(c * 255) for c in CLIP_MEAN], jnp.uint8)
+    out = jnp.broadcast_to(fill, (side, side, 3)).astype(jnp.uint8)
+    top = (side - H) // 2 if center else 0
+    left = (side - W) // 2 if center else 0
+    return jax.lax.dynamic_update_slice(out, image_u8, (top, left, 0))
+
+
+def crop_resize_normalize(image_u8: jnp.ndarray, bbox: jnp.ndarray,
+                          out_size: int, method: str = "cubic"
+                          ) -> jnp.ndarray:
+    """Crop [x, y, w, h] (pixels, f32, dynamic) from a device-resident
+    image and resize+normalize to [out, out, 3] — one fused XLA program,
+    no host round trip per patch.
+
+    Uses scale_and_translate: output pixel centers map linearly onto the
+    crop window (half-pixel convention), equivalent to crop-then-resize.
+    """
+    H, W, _ = image_u8.shape
+    x0, y0, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
+    scale = jnp.stack([out_size / h, out_size / w]).astype(jnp.float32)
+    # out = (in - crop_origin) * scale. Matches crop-then-resize exactly
+    # in the interior; at crop borders the sampling kernel legitimately
+    # sees pixels just outside the box (crop-then-resize clamps instead).
+    translation = -jnp.stack([y0, x0]).astype(jnp.float32) * scale
+    y = jax.image.scale_and_translate(
+        image_u8.astype(jnp.float32),
+        (out_size, out_size, 3), (0, 1), scale, translation,
+        method=method)
+    return _normalize(y)
+
+
+def batched_crop_preprocess(image_u8: jnp.ndarray, bboxes: jnp.ndarray,
+                            out_size: int) -> jnp.ndarray:
+    """[N, 4] crops of one image -> [N, out, out, 3] (vmapped fused op)."""
+    return jax.vmap(lambda b: crop_resize_normalize(image_u8, b, out_size)
+                    )(bboxes.astype(jnp.float32))
