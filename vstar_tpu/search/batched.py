@@ -61,6 +61,9 @@ class BatchedVSMEngine(VSMEngine):
             owls.append(owls[0])
             lays.append(lays[0])
 
+        draft = None
+        if self._draft_row is not None:
+            draft = jnp.asarray(np.tile(self._draft_row[None], (bb, 1)))
         out = self._jit_generate(
             self.params, self.cfg, jnp.asarray(np.stack(clips)),
             jnp.asarray(np.stack(owls)),
@@ -71,7 +74,8 @@ class BatchedVSMEngine(VSMEngine):
             loc_token_id=self.loc_token_id,
             max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
             cache_len=bucket + _round128(self.max_new_tokens),
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype, draft_ids=draft,
+            spec_chunk=self.spec_chunk)
         return out, n
 
     def _heatmap_row(self, out, b: int, size: Tuple[int, int]) -> np.ndarray:

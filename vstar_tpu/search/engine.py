@@ -38,7 +38,8 @@ class VSMEngine:
                  conv_type: str = "v1", use_mm_start_end: bool = True,
                  max_new_tokens: int = 100,
                  prompt_buckets: Tuple[int, ...] = (384, 512),
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 speculative_template: Optional[str] = "Sure, [LOC]."):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -49,11 +50,23 @@ class VSMEngine:
         self.max_new_tokens = max_new_tokens
         self.prompt_buckets = tuple(sorted(prompt_buckets))
         self.compute_dtype = compute_dtype
+        self.spec_chunk = 8
+        self._draft_row = None
+        if speculative_template:
+            ids = tokenizer(speculative_template).input_ids
+            if ids and ids[0] == tokenizer.bos_token_id:
+                ids = ids[1:]
+            ids = list(ids) + [eos_id]
+            row = np.full(max_new_tokens + self.spec_chunk, eos_id,
+                          np.int32)
+            row[:min(len(ids), len(row))] = ids[:len(row)]
+            self._draft_row = row
 
         self._jit_generate = jax.jit(
             functools.partial(vsm_generate),
             static_argnames=("cfg", "loc_token_id", "max_new_tokens",
-                             "eos_id", "cache_len", "compute_dtype"))
+                             "eos_id", "cache_len", "compute_dtype",
+                             "spec_chunk"))
 
     # -- prompt/layout -----------------------------------------------------
 
@@ -92,6 +105,9 @@ class VSMEngine:
         img_owl = owlvit_preprocess(image,
                                     self.cfg.owl_vision.image_size)[None]
 
+        draft = None
+        if self._draft_row is not None:
+            draft = jnp.asarray(self._draft_row[None])
         out = self._jit_generate(
             self.params, self.cfg, jnp.asarray(img_clip),
             jnp.asarray(img_owl), jnp.asarray(lay.text_ids[None]),
@@ -100,7 +116,8 @@ class VSMEngine:
             loc_token_id=self.loc_token_id,
             max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
             cache_len=bucket + _round128(self.max_new_tokens),
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype, draft_ids=draft,
+            spec_chunk=self.spec_chunk)
         return out, (image.height, image.width)
 
     def _heatmap(self, out: VSMOutput, size: Tuple[int, int]) -> np.ndarray:
