@@ -257,7 +257,11 @@ class VQADataset:
 
 class HybridDataset:
     """Rate-weighted mixture (dataset.py:183-282); default
-    general_segdet:15, refer_seg:4, mixed_grounding:4, vqa:15."""
+    general_segdet:15, refer_seg:4, mixed_grounding:4, vqa:15.
+
+    Bad samples (missing/corrupt files) are retried with a fresh draw, the
+    TPU equivalent of the reference's substitute-index-0 fallback
+    (refer_seg_dataset.py:130-131 etc.)."""
 
     def __init__(self, children: Sequence, rates: Sequence[float],
                  samples_per_epoch: int = 80000, seed: int = 0):
@@ -272,8 +276,14 @@ class HybridDataset:
         return self.samples_per_epoch
 
     def sample_rows(self) -> List[VSMRow]:
-        child = self.rng.choices(self.children, weights=self.rates)[0]
-        return child.sample_rows()
+        for _ in range(8):
+            child = self.rng.choices(self.children, weights=self.rates)[0]
+            try:
+                return child.sample_rows()
+            except (OSError, KeyError, ValueError) as e:
+                print(f"[data] bad sample from {type(child).__name__}: {e};"
+                      " resampling")
+        raise RuntimeError("8 consecutive bad samples; check dataset_dir")
 
     def batches(self, batch_size_rows: int):
         """Yield lists of VSMRow of (at least) batch_size_rows, trimmed."""
