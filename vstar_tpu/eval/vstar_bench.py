@@ -35,7 +35,7 @@ def load_engines(vqa_model_path: str, vsm_model_path: str,
     from ..core.config import vqa_llm_7b, vsm_7b
     from ..models.vqa_llm import vqa_llm_params_from_torch
     from ..models.vsm import vsm_params_from_torch
-    from ..search.engine import VSMEngine
+    from ..search.batched import BatchedVSMEngine as VSMEngine
     from .vqa_engine import VQAEngine
 
     vqa_cfg = vqa_llm_7b()
@@ -59,6 +59,11 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
         vqa_engine, vsm_engine = load_engines(args.vqa_model_path,
                                               args.vsm_model_path,
                                               args.conv_type)
+    if getattr(args, "image_batch", 1) > 1:
+        # workload 4: batched lockstep searches (eval/batched_bench.py)
+        from .batched_bench import eval_model_batched
+        return eval_model_batched(args, vqa_engine, vsm_engine,
+                                  image_batch=args.image_batch), None, None
     results = {}
     per_type_acc = defaultdict(list)
     all_acc = []
@@ -109,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-path", type=str, default="eval_result.json")
     p.add_argument("--minimum_size_scale", default=4.0, type=float)
     p.add_argument("--minimum_size", default=224, type=int)
+    p.add_argument("--image-batch", dest="image_batch", default=1, type=int,
+                   help=">1 runs all searches of an image group as one "
+                        "lockstep device batch (requires a batched VSM "
+                        "engine)")
     return p
 
 
