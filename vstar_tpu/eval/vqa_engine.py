@@ -22,6 +22,7 @@ from PIL import Image
 from ..core.config import VQALLMConfig
 from ..data.preprocess import clip_preprocess
 from ..decode.sampler import greedy_decode
+from ..decode.speculative import speculative_decode
 from ..decode.scorer import option_ce
 from ..models.vqa_llm import encode_feature_bank, prefill
 from ..multimodal.constants import DEFAULT_IMAGE_TOKEN
@@ -51,11 +52,23 @@ def get_patch(bbox, image_width, image_height, patch_size=224,
 
 
 class VQAEngine:
+    # The trigger sentence is a fixed training template
+    # (vstar_bench_eval.py:180) — a high-hit-rate draft for speculative
+    # decoding of free-form answers.
+    SPEC_TEMPLATE = ("Sorry, I can not answer the question. Some visual "
+                     "information about the following objects is missing "
+                     "or unclear:")
+
     def __init__(self, params, cfg: VQALLMConfig, tokenizer,
                  conv_type: str = "v1", eos_id: int = 2,
                  prompt_buckets: Tuple[int, ...] = (512, 768, 1024),
                  option_bucket: int = 64,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 speculative_template: Optional[str] = None):
+        if speculative_template is None:
+            speculative_template = self.SPEC_TEMPLATE
+        self._spec_template = speculative_template
+        self.spec_chunk = 8
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -68,7 +81,7 @@ class VQAEngine:
         self._jit_free_form = jax.jit(
             self._free_form_device,
             static_argnames=("bucket", "max_new_tokens", "temperature",
-                             "top_p"))
+                             "top_p", "use_speculative"))
         self._rng = jax.random.PRNGKey(0)
         self._jit_prefill = jax.jit(
             self._prefill_device, static_argnames=("bucket",))
@@ -143,8 +156,9 @@ class VQAEngine:
         return logits, last_hidden, cache
 
     def _free_form_device(self, params, image, objects, text_ids, feat_idx,
-                          is_feat, lens, rng_key, *, bucket,
-                          max_new_tokens, temperature=0.0, top_p=None):
+                          is_feat, lens, rng_key, draft=None, *, bucket,
+                          max_new_tokens, temperature=0.0, top_p=None,
+                          use_speculative=False):
         bank = encode_feature_bank(params, self.cfg, image, objects)
         bank = bank.astype(self.compute_dtype)
         cache_len = bucket + ((max_new_tokens + 127) // 128) * 128
@@ -155,10 +169,17 @@ class VQAEngine:
                                         self.compute_dtype)
         last_idx = (lens - 1)[:, None, None].astype(jnp.int32)
         last_hidden = jnp.take_along_axis(hidden, last_idx, axis=1)[:, 0]
-        res = greedy_decode(params["llama"], self.cfg.llama, cache, logits,
-                            last_hidden, max_new_tokens, [self.eos_id],
-                            self.compute_dtype, temperature=temperature,
-                            top_p=top_p, rng_key=rng_key)
+        if use_speculative:
+            res = speculative_decode(params["llama"], self.cfg.llama, cache,
+                                     logits, last_hidden, draft,
+                                     max_new_tokens, [self.eos_id],
+                                     self.spec_chunk, self.compute_dtype)
+        else:
+            res = greedy_decode(params["llama"], self.cfg.llama, cache,
+                                logits, last_hidden, max_new_tokens,
+                                [self.eos_id], self.compute_dtype,
+                                temperature=temperature, top_p=top_p,
+                                rng_key=rng_key)
         return res.tokens, res.num_generated
 
     # -- public API ----------------------------------------------------------
@@ -182,12 +203,22 @@ class VQAEngine:
         img = jnp.asarray(self.preprocess_image(image)[None])
         objs = jnp.asarray(self._object_stack(object_crops)[None])
         self._rng, sub = jax.random.split(self._rng)
+        draft = None
+        use_spec = (temperature <= 0.0 and self._spec_template is not None)
+        if use_spec:
+            t_ids = self.tokenizer(self._spec_template).input_ids
+            if t_ids and t_ids[0] == self.tokenizer.bos_token_id:
+                t_ids = t_ids[1:]
+            row = np.full(max_new_tokens + self.spec_chunk, self.eos_id,
+                          np.int32)
+            row[:min(len(t_ids), len(row))] = t_ids[:len(row)]
+            draft = jnp.asarray(row[None])
         tokens, ngen = self._jit_free_form(
             self.params, img, objs, jnp.asarray(lay.text_ids[None]),
             jnp.asarray(lay.feat_idx[None]), jnp.asarray(lay.is_feat[None]),
-            jnp.asarray([lay.length], jnp.int32), sub, bucket=bucket,
+            jnp.asarray([lay.length], jnp.int32), sub, draft, bucket=bucket,
             max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p)
+            top_p=top_p, use_speculative=use_spec)
         n_out = int(ngen[0])
         toks = [int(t) for t in np.asarray(tokens[0, :n_out])]
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
