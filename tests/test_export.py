@@ -66,3 +66,24 @@ def test_safetensors_roundtrip(tmp_path):
     from vstar_tpu.core.checkpoint import load_torch_dir
     sd2 = load_torch_dir(str(tmp_path / "ckpt"))
     np.testing.assert_array_equal(np.asarray(sd2["a.weight"]), sd["a.weight"])
+
+
+def test_projector_adapter_roundtrip(tmp_path):
+    import jax
+    from vstar_tpu.core.checkpoint import (load_projector_adapter,
+                                           save_params)
+    from vstar_tpu.core.config import vqa_llm_tiny
+    from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+    cfg = vqa_llm_tiny()
+    p1 = init_vqa_llm_params(jax.random.PRNGKey(0), cfg)
+    p2 = init_vqa_llm_params(jax.random.PRNGKey(1), cfg)
+    save_params(p1["proj_object"], str(tmp_path / "adapter"))
+    merged = load_projector_adapter(p2, str(tmp_path / "adapter"),
+                                    "proj_object")
+    a = np.asarray(jax.tree_util.tree_leaves(merged["proj_object"])[0])
+    b = np.asarray(jax.tree_util.tree_leaves(p1["proj_object"])[0])
+    np.testing.assert_array_equal(a, b)
+    # other components untouched
+    np.testing.assert_array_equal(
+        np.asarray(merged["llama"]["embed_tokens"]),
+        np.asarray(p2["llama"]["embed_tokens"]))

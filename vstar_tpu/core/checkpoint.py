@@ -56,3 +56,16 @@ def load_params(path: str, like=None):
     if like is not None:
         return ckptr.restore(os.path.abspath(path), like)
     return ckptr.restore(os.path.abspath(path))
+
+
+def load_projector_adapter(params, adapter_path: str, which: str):
+    """Attach a stage-1 pretrained projector adapter to a model pytree —
+    the mm_projector.bin handoff between pretrain and finetune
+    (LLaVA builder.py projector-only path / train_search.py:1012-1044).
+
+    which: 'proj_image' (linear) or 'proj_object' (perceiver)."""
+    assert which in ("proj_image", "proj_object"), which
+    adapter = load_params(adapter_path, like=params[which])
+    out = dict(params)
+    out[which] = adapter
+    return out
