@@ -87,3 +87,15 @@ def test_projector_adapter_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(merged["llama"]["embed_tokens"]),
         np.asarray(p2["llama"]["embed_tokens"]))
+
+
+def test_vsm_export_import_roundtrip():
+    import jax
+    from vstar_tpu.core.config import vsm_tiny
+    from vstar_tpu.core.hf_export import vsm_state_dict
+    from vstar_tpu.models.vsm import init_vsm_params, vsm_params_from_torch
+    cfg = vsm_tiny()
+    params = init_vsm_params(jax.random.PRNGKey(9), cfg)
+    sd = vsm_state_dict(params)
+    back = vsm_params_from_torch(sd, cfg)
+    _tree_allclose(params, back)

@@ -139,3 +139,98 @@ def save_safetensors(sd: Dict[str, np.ndarray], path: str,
         with open(os.path.join(path, "model.safetensors.index.json"),
                   "w") as f:
             json.dump(index, f, indent=2)
+
+
+def _lin_sd(sd, name, entry):
+    sd[name + ".weight"] = _t(entry["w"])
+    if "b" in entry:
+        sd[name + ".bias"] = np.asarray(entry["b"], np.float32)
+
+
+def vsm_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+    """Full VSMForCausalLM export — inverse of
+    hf_import/models.vsm.vsm_params_from_torch (LoRA merged). Covers the
+    decoder, CLIP tower, projector, OWL-ViT tower/heads, SAM prompt
+    encoder/mask decoder, and the [LOC] text FCs."""
+    sd: Dict[str, np.ndarray] = {}
+    sd.update(llama_state_dict(params["llama"]))
+    sd.update(vit_state_dict(
+        params["vision"],
+        prefix="model.vision_tower.vision_tower.vision_model."))
+    sd.update(vit_state_dict(params["owl_tower"],
+                             prefix="model.owlvit.vision_model.",
+                             pre_ln_name="pre_layernorm"))
+    _lin_sd(sd, "model.mm_projector", params["proj"]["proj"])
+    sd["model.owlvit.layer_norm.weight"] = np.asarray(
+        params["owl_merge_ln"]["scale"], np.float32)
+    sd["model.owlvit.layer_norm.bias"] = np.asarray(
+        params["owl_merge_ln"]["bias"], np.float32)
+    for name, key in (("dense0", "dense0"), ("logit_shift", "logit_shift"),
+                      ("logit_scale", "logit_scale")):
+        _lin_sd(sd, f"model.owlvit.class_head.{name}",
+                params["owl_heads"]["class_head"][key])
+    for name in ("dense0", "dense1", "dense2"):
+        _lin_sd(sd, f"model.owlvit.box_head.{name}",
+                params["owl_heads"]["box_head"][name])
+    sd["model.visual_projection.weight"] = _t(
+        params["visual_projection"]["w"])
+
+    pe = params["prompt_encoder"]
+    sd["model.prompt_encoder.pe_layer."
+       "positional_encoding_gaussian_matrix"] = np.asarray(
+        pe["pe_gaussian"], np.float32)
+    sd["model.prompt_encoder.no_mask_embed.weight"] = np.asarray(
+        pe["no_mask_embed"], np.float32)[None]
+
+    dec = params["mask_decoder"]
+    dp = "model.mask_decoder."
+    sd[dp + "iou_token.weight"] = np.asarray(dec["iou_token"], np.float32)
+    sd[dp + "mask_tokens.weight"] = np.asarray(dec["mask_tokens"],
+                                               np.float32)
+
+    def attn_sd(base, a):
+        for jn, tn in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                       ("out", "out_proj")):
+            _lin_sd(sd, base + "." + tn, a[jn])
+
+    for i, lp in enumerate(dec["transformer"]["layers"]):
+        b = f"{dp}transformer.layers.{i}."
+        attn_sd(b + "self_attn", lp["self_attn"])
+        attn_sd(b + "cross_attn_token_to_image", lp["cross_t2i"])
+        attn_sd(b + "cross_attn_image_to_token", lp["cross_i2t"])
+        _lin_sd(sd, b + "mlp.lin1", lp["mlp_in"])
+        _lin_sd(sd, b + "mlp.lin2", lp["mlp_out"])
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            sd[b + n + ".weight"] = np.asarray(lp[n]["scale"], np.float32)
+            sd[b + n + ".bias"] = np.asarray(lp[n]["bias"], np.float32)
+    attn_sd(dp + "transformer.final_attn_token_to_image",
+            dec["transformer"]["final_attn"])
+    sd[dp + "transformer.norm_final_attn.weight"] = np.asarray(
+        dec["transformer"]["norm_final"]["scale"], np.float32)
+    sd[dp + "transformer.norm_final_attn.bias"] = np.asarray(
+        dec["transformer"]["norm_final"]["bias"], np.float32)
+
+    def conv_sd(name, entry):
+        sd[name + ".weight"] = np.asarray(entry["w"],
+                                          np.float32).transpose(3, 2, 0, 1)
+        sd[name + ".bias"] = np.asarray(entry["b"], np.float32)
+
+    conv_sd(dp + "output_upscaling.0.conv", dec["upscale_conv1"])
+    sd[dp + "output_upscaling.1.weight"] = np.asarray(
+        dec["upscale_ln"]["scale"], np.float32)
+    sd[dp + "output_upscaling.1.bias"] = np.asarray(
+        dec["upscale_ln"]["bias"], np.float32)
+    conv_sd(dp + "output_upscaling.3.conv", dec["upscale_conv2"])
+    for i, mlp in enumerate(dec["hyper_mlps"]):
+        for j in range(3):
+            _lin_sd(sd, f"{dp}output_hypernetworks_mlps.{i}.layers.{j}",
+                    mlp[f"fc{j}"])
+    for j in range(3):
+        _lin_sd(sd, f"{dp}iou_prediction_head.layers.{j}",
+                dec["iou_head"][f"fc{j}"])
+
+    for fc, tname in (("fc_det", "text_hidden_fcs_det"),
+                      ("fc_seg", "text_hidden_fcs_seg")):
+        _lin_sd(sd, f"model.{tname}.0.0", params[fc]["fc0"])
+        _lin_sd(sd, f"model.{tname}.0.2", params[fc]["fc1"])
+    return sd

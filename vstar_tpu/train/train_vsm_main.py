@@ -138,6 +138,13 @@ def main(argv=None):
                "detection_loss")}
     timer = StepTimer()
     metrics_log = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+    tb = None
+    try:  # TensorBoard scalars on rank 0 (train.py:126-130,520-548)
+        from torch.utils.tensorboard import SummaryWriter
+        if jax.process_index() == 0:
+            tb = SummaryWriter(log_dir)
+    except Exception:
+        pass
 
     best_det_acc = -1.0
     with mesh:
@@ -166,6 +173,12 @@ def main(argv=None):
                          **{k: v.avg for k, v in meters.items()},
                          "secs_per_batch": timer.batch_time.avg}) + "\n")
                     metrics_log.flush()
+                    if tb is not None:
+                        gstep = epoch * args.steps_per_epoch + step_i
+                        for k, m in meters.items():
+                            tb.add_scalar(f"train/{k}", m.avg, gstep)
+                        tb.add_scalar("metrics/total_secs_per_batch",
+                                      timer.batch_time.avg, gstep)
 
             # checkpoint (best-det-acc gating when a val set exists)
             det_acc = None
