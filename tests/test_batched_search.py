@@ -63,3 +63,38 @@ def test_batched_mixed_progress():
     (f0, p0, ok0, _), (f1, p1, ok1, _) = res
     assert ok0 and p0 == 1      # finished at the root
     assert ok1 and p1 > 1       # kept searching after the first finished
+
+
+def test_batched_engine_matches_serial_engine():
+    """BatchedVSMEngine._run_many (padding, stacked layouts, drafts) must
+    give the same per-patch outputs as the serial engine."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from vstar_tpu.core.config import vsm_tiny
+    from vstar_tpu.models.vsm import init_vsm_params
+    from vstar_tpu.search.batched import BatchedVSMEngine
+    from tests.test_data import WordTokenizer
+
+    cfg = vsm_tiny()
+    tok = WordTokenizer()
+    eng = BatchedVSMEngine(
+        init_vsm_params(jax.random.PRNGKey(2), cfg), cfg, tok,
+        loc_token_id=tok._word_id("[LOC]"), max_new_tokens=4,
+        prompt_buckets=(64, 128), compute_dtype=jnp.float32)
+
+    rng = np.random.RandomState(3)
+    patches = [Image.fromarray((rng.rand(40 + 8 * i, 60, 3) * 255
+                                ).astype("uint8")) for i in range(3)]
+    names = ["cat", "dog", "cup"]
+
+    serial = [eng.detect(p, n) for p, n in zip(patches, names)]
+    batched = eng.detect_many(patches, names)
+    for (b1, l1, h1), (b2, l2, h2) in zip(serial, batched):
+        np.testing.assert_allclose(b1, b2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(h1, h2, rtol=1e-3, atol=1e-3)
+
+    s_txt = [eng.vqa(p, "what is here?") for p in patches]
+    b_txt = eng.vqa_many(patches, ["what is here?"] * 3)
+    assert s_txt == b_txt
