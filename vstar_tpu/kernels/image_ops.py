@@ -18,8 +18,6 @@ the batched throughput path opts in.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Dict, Union
 
-import jax
 import jax.numpy as jnp
 
 WeightEntry = Union[jnp.ndarray, Dict[str, jnp.ndarray]]

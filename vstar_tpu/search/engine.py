@@ -25,7 +25,7 @@ from ..multimodal.constants import (DEFAULT_IM_END_TOKEN,
                                     DEFAULT_IM_START_TOKEN,
                                     DEFAULT_IMAGE_TOKEN)
 from ..multimodal.conversation import CONV_TEMPLATES
-from ..multimodal.splicing import build_layout, round_to_bucket
+from ..multimodal.splicing import build_layout
 from ..multimodal.tokenizer import tokenize_with_image
 
 

@@ -5,7 +5,7 @@ blends, final search-result crop, and the context-cue text dump."""
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 from PIL import Image, ImageDraw

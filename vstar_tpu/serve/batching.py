@@ -12,7 +12,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Any, Callable, List, Tuple
+from typing import Any, Callable, List
 
 
 class MicroBatcher:

@@ -31,8 +31,7 @@ from ..core.config import vqa_llm_7b
 from ..core.mesh import make_mesh, shard_params
 from ..core.params import map_with_path
 from ..utils.metrics import AverageMeter, StepTimer
-from .sft import (TrainState, init_train_state, make_optimizer,
-                  sft_train_step)
+from .sft import init_train_state, make_optimizer, sft_train_step
 
 
 def _common(p):

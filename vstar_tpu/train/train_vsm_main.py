@@ -12,19 +12,17 @@ best-det-acc checkpoint gating (train.py:389-411).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import time
-from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import load_params, save_params
-from ..core.config import VSMConfig, vsm_7b
-from ..core.mesh import DATA_AXIS, make_mesh, shard_params
+from ..core.config import vsm_7b
+from ..core.mesh import make_mesh, shard_params
 from ..utils.metrics import AverageMeter, ProgressMeter, StepTimer
 from .lora import add_lora, vsm_trainable_mask
 from .vsm_train import (VSMLossWeights, VSMTrainState, make_vsm_optimizer,
