@@ -63,3 +63,82 @@ def test_eval_model_batched_files(tmp_path):
     assert {"question", "options", "image", "prediction_freeform",
             "missing_objects", "search_result", "option_chosen",
             "correct"} <= set(rec)
+
+
+def test_vqa_engine_batched_methods_match_serial():
+    import jax
+    import jax.numpy as jnp
+    from vstar_tpu.core.config import vqa_llm_tiny
+    from vstar_tpu.eval.vqa_engine import VQAEngine
+    from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+    from tests.test_data import WordTokenizer
+
+    cfg = vqa_llm_tiny()
+    eng = VQAEngine(init_vqa_llm_params(jax.random.PRNGKey(5), cfg), cfg,
+                    WordTokenizer(), prompt_buckets=(64, 128),
+                    option_bucket=16, compute_dtype=jnp.float32)
+    imgs = [Image.fromarray((np.random.RandomState(i).rand(40, 50, 3) * 255
+                             ).astype("uint8")) for i in range(3)]
+    qs = ["what color ?", "how many ?", "where is it ?"]
+
+    serial = [eng.free_form(im, q, max_new_tokens=5)
+              for im, q in zip(imgs, qs)]
+    batched = eng.free_form_many(imgs, qs, max_new_tokens=5)
+    assert serial == batched
+
+    opts = [["red", "blue"], ["one", "two"], ["left", "right"]]
+    serial_mc = [eng.multiple_choice(im, q, o)
+                 for im, q, o in zip(imgs, qs, opts)]
+    batched_mc = eng.multiple_choice_many(imgs, qs, opts)
+    assert serial_mc == batched_mc
+
+
+def test_eval_batch_real_engines_matches_serial_seal():
+    """Fully-batched phases (free_form_many / lockstep search /
+    multiple_choice_many) must reproduce the serial seal_answer records."""
+    import jax
+    import jax.numpy as jnp
+    from vstar_tpu.core.config import vqa_llm_tiny, vsm_tiny
+    from vstar_tpu.eval.seal import seal_answer
+    from vstar_tpu.eval.vqa_engine import VQAEngine
+    from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+    from vstar_tpu.models.vsm import init_vsm_params
+    from vstar_tpu.search.batched import BatchedVSMEngine
+    from tests.test_data import WordTokenizer
+
+    vqa_cfg, vsm_cfg = vqa_llm_tiny(), vsm_tiny()
+    tok = WordTokenizer()
+
+    class ShortVQA(VQAEngine):
+        def free_form(self, image, question, **kw):
+            kw.setdefault("max_new_tokens", 5)
+            return super().free_form(image, question, **kw)
+
+        def free_form_many(self, images, questions, **kw):
+            kw.setdefault("max_new_tokens", 5)
+            return super().free_form_many(images, questions, **kw)
+
+    vqa = ShortVQA(init_vqa_llm_params(jax.random.PRNGKey(0), vqa_cfg),
+                   vqa_cfg, tok, prompt_buckets=(64, 128), option_bucket=16,
+                   compute_dtype=jnp.float32)
+    vsm = BatchedVSMEngine(init_vsm_params(jax.random.PRNGKey(1), vsm_cfg),
+                           vsm_cfg, tok, loc_token_id=tok._word_id("[LOC]"),
+                           max_new_tokens=4, prompt_buckets=(64, 128),
+                           compute_dtype=jnp.float32)
+
+    rng = np.random.RandomState(7)
+    samples = [{"image": Image.fromarray(
+                    (rng.rand(230, 250, 3) * 255).astype("uint8")),
+                "question": f"what color is object {i} ?",
+                "options": ["red", "blue"]} for i in range(2)]
+
+    from vstar_tpu.eval.batched_bench import eval_batch
+    batched = eval_batch(vqa, vsm, samples, max_search_steps=4)
+    serial = [seal_answer(vqa, vsm, s["image"], s["question"],
+                          s["options"], max_search_steps=4)
+              for s in samples]
+    for b, s in zip(batched, serial):
+        assert b["prediction_freeform"] == s["prediction_freeform"]
+        assert b["missing_objects"] == s["missing_objects"]
+        assert b["option_chosen"] == s["option_chosen"]
+        assert len(b["search_result"]) == len(s["search_result"])

@@ -59,11 +59,15 @@ def eval_batch(vqa_engine, vsm_batched, samples: Sequence[Dict],
                minimum_size_scale=4.0, minimum_size=224,
                max_search_steps=None) -> List[Dict]:
     """samples: [{'image': PIL, 'question': str, 'options': [...]}]."""
-    # Phase 1: free-form answers (one device call each; decode dominates).
-    predictions = []
-    for s in samples:
-        sq, _, _ = expand2square(s["image"])
-        predictions.append(vqa_engine.free_form(sq, s["question"]))
+    # Phase 1: free-form answers — one batched device call when the
+    # engine supports it (VQAEngine.free_form_many), else sequential.
+    squared_imgs = [expand2square(s["image"])[0] for s in samples]
+    if hasattr(vqa_engine, "free_form_many"):
+        predictions = vqa_engine.free_form_many(
+            squared_imgs, [s["question"] for s in samples])
+    else:
+        predictions = [vqa_engine.free_form(img, s["question"])
+                       for img, s in zip(squared_imgs, samples)]
     missing = [parse_missing_objects(p) for p in predictions]
 
     # Phase 2: ALL searches across the batch advance in lockstep waves.
@@ -109,11 +113,49 @@ def eval_batch(vqa_engine, vsm_batched, samples: Sequence[Dict],
                 search_results[i].append({"bbox": sb.tolist(),
                                           "name": name})
 
-    # Phase 3: focused multiple choice.
-    return [_finish_sample(vqa_engine, s["image"], s["question"],
-                           s["options"], missing[i], search_results[i],
-                           predictions[i])
-            for i, s in enumerate(samples)]
+    # Phase 3: focused multiple choice — batched when supported.
+    if not hasattr(vqa_engine, "multiple_choice_many"):
+        return [_finish_sample(vqa_engine, s["image"], s["question"],
+                               s["options"], missing[i], search_results[i],
+                               predictions[i])
+                for i, s in enumerate(samples)]
+
+    mc_imgs, mc_qs, mc_opts, mc_crops, mc_il, mc_ol = [], [], [], [], [], []
+    for i, s in enumerate(samples):
+        squared, left, top = expand2square(s["image"])
+        if missing[i]:
+            names = [r["name"] for r in search_results[i]]
+            bboxes = deepcopy([r["bbox"] for r in search_results[i]])
+            if len(names) <= 2:
+                il, ol = [False], [True] * len(names)
+            else:
+                il, ol = [False], [False] * len(names)
+            crops = [vqa_engine.get_object_crop(s["image"], b, 1.2)
+                     for b in bboxes]
+            bbox_list = []
+            for b in bboxes:
+                b = [b[0] + left, b[1] + top, b[2], b[3]]
+                bbox_list.append(normalize_bbox(b, squared.width,
+                                                squared.height))
+            q = focus_prompt(s["question"], names, bbox_list)
+        else:
+            il, ol, crops, q = None, None, None, s["question"]
+        mc_imgs.append(squared)
+        mc_qs.append(q)
+        mc_opts.append(list(s["options"]))
+        mc_crops.append(crops)
+        mc_il.append(il)
+        mc_ol.append(ol)
+    chosen = vqa_engine.multiple_choice_many(
+        mc_imgs, mc_qs, mc_opts, object_crops_list=mc_crops,
+        images_long=mc_il, objects_long=mc_ol)
+    return [{
+        "question": s["question"], "options": list(s["options"]),
+        "prediction_freeform": predictions[i],
+        "missing_objects": missing[i],
+        "search_result": search_results[i],
+        "option_chosen": int(chosen[i]), "correct": int(chosen[i] == 0),
+    } for i, s in enumerate(samples)]
 
 
 def eval_model_batched(args, vqa_engine, vsm_batched, image_batch: int = 4):

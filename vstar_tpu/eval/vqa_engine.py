@@ -224,6 +224,132 @@ class VQAEngine:
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         return text
 
+    def _batch_bucket(self, n: int) -> int:
+        for b in (1, 2, 4, 8, 16):
+            if n <= b:
+                return b
+        return 16
+
+    def free_form_many(self, images, questions, object_crops_list=None,
+                       images_long=None, objects_long=None,
+                       max_new_tokens: int = 200):
+        """Batched free_form across images (one device batch; workload 4).
+        object_crops_list / images_long / objects_long are per-row lists
+        (None entries use the defaults)."""
+        n = len(images)
+        lays, imgs, objs = [], [], []
+        for i in range(n):
+            il = True if images_long is None or images_long[i] is None \
+                else bool(images_long[i][0])
+            ol = None if objects_long is None else objects_long[i]
+            prompt = self._prompt(questions[i])
+            ids = self._tokenize(prompt)
+            lays.append((ids, il, ol))
+            imgs.append(self.preprocess_image(images[i]))
+            crops = None if object_crops_list is None \
+                else object_crops_list[i]
+            objs.append(self._object_stack(crops))
+        lengths = [spliced_length(ids, n_long=self.cfg.image_tokens_long,
+                                  n_short=self.cfg.image_tokens_short,
+                                  image_long=il, objects_long=ol)
+                   for ids, il, ol in lays]
+        bucket = self._bucket(max(lengths))
+        built = [self._layout(ids, il, ol, bucket) for ids, il, ol in lays]
+
+        bb = self._batch_bucket(n)
+        for _ in range(bb - n):
+            built.append(built[0])
+            imgs.append(imgs[0])
+            objs.append(objs[0])
+
+        self._rng, sub = jax.random.split(self._rng)
+        draft = None
+        use_spec = self._spec_template is not None
+        if use_spec:
+            t_ids = self.tokenizer(self._spec_template).input_ids
+            if t_ids and t_ids[0] == self.tokenizer.bos_token_id:
+                t_ids = t_ids[1:]
+            row = np.full(max_new_tokens + self.spec_chunk, self.eos_id,
+                          np.int32)
+            row[:min(len(t_ids), len(row))] = t_ids[:len(row)]
+            draft = jnp.asarray(np.tile(row[None], (bb, 1)))
+        tokens, ngen = self._jit_free_form(
+            self.params, jnp.asarray(np.stack(imgs)),
+            jnp.asarray(np.stack(objs)),
+            jnp.asarray(np.stack([l.text_ids for l in built])),
+            jnp.asarray(np.stack([l.feat_idx for l in built])),
+            jnp.asarray(np.stack([l.is_feat for l in built])),
+            jnp.asarray([l.length for l in built], jnp.int32), sub, draft,
+            bucket=bucket, max_new_tokens=max_new_tokens,
+            use_speculative=use_spec)
+        out = []
+        for b in range(n):
+            n_out = int(ngen[b])
+            toks = [int(t) for t in np.asarray(tokens[b, :n_out])]
+            out.append(self.tokenizer.decode(
+                toks, skip_special_tokens=True).strip())
+        return out
+
+    def multiple_choice_many(self, images, questions, options_list,
+                             object_crops_list=None, images_long=None,
+                             objects_long=None):
+        """Batched option scoring across images (all rows must have the
+        same option count, as V*Bench does)."""
+        n = len(images)
+        n_opts = len(options_list[0])
+        assert all(len(o) == n_opts for o in options_list)
+        lays, imgs, objs, q_ids_list, flags = [], [], [], [], []
+        for i in range(n):
+            il = True if images_long is None or images_long[i] is None \
+                else bool(images_long[i][0])
+            ol = None if objects_long is None else objects_long[i]
+            prompt = self._prompt(questions[i])
+            ids = self._tokenize(prompt)
+            q_ids_list.append(ids)
+            flags.append((il, ol))
+            imgs.append(self.preprocess_image(images[i]))
+            crops = None if object_crops_list is None \
+                else object_crops_list[i]
+            objs.append(self._object_stack(crops))
+        lengths = [spliced_length(ids, n_long=self.cfg.image_tokens_long,
+                                  n_short=self.cfg.image_tokens_short,
+                                  image_long=f[0], objects_long=f[1])
+                   for ids, f in zip(q_ids_list, flags)]
+        bucket = self._bucket(max(lengths))
+        built = [self._layout(ids, f[0], f[1], bucket)
+                 for ids, f in zip(q_ids_list, flags)]
+        bb = self._batch_bucket(n)
+        for _ in range(bb - n):
+            built.append(built[0])
+            imgs.append(imgs[0])
+            objs.append(objs[0])
+        last_logits, _, cache = self._jit_prefill(
+            self.params, jnp.asarray(np.stack(imgs)),
+            jnp.asarray(np.stack(objs)),
+            jnp.asarray(np.stack([l.text_ids for l in built])),
+            jnp.asarray(np.stack([l.feat_idx for l in built])),
+            jnp.asarray(np.stack([l.is_feat for l in built])),
+            jnp.asarray([l.length for l in built], jnp.int32),
+            bucket=bucket)
+
+        O = self.option_bucket
+        losses = np.zeros((n, n_opts), np.float64)
+        for opt_i in range(n_opts):
+            padded = np.zeros((bb, O), np.int32)
+            lens = np.ones((bb,), np.int32)
+            for b in range(n):
+                full_ids = self._tokenize(
+                    self._prompt(questions[b], options_list[b][opt_i]))
+                opt_ids = full_ids[len(q_ids_list[b]):]
+                assert len(opt_ids) <= O, "option too long for bucket"
+                padded[b, :len(opt_ids)] = opt_ids
+                lens[b] = len(opt_ids)
+            ce = self._jit_option_ce(
+                self.params["llama"], self.cfg.llama, cache, last_logits,
+                jnp.asarray(padded), jnp.asarray(lens))
+            losses[:, opt_i] = np.asarray(ce[:n], np.float64)
+        return [int(np.argmin(losses[b])) for b in range(n)]
+
     def multiple_choice(self, image: Image.Image, question: str,
                         options: Sequence[str], object_crops=None,
                         images_long=None, objects_long=None) -> int:
