@@ -1,0 +1,46 @@
+"""End-to-end batched SEAL phases 1+3 (free-form trigger + option scoring)
+at 7B on TPU: images/s without search (search cost measured separately)."""
+import time, zlib, sys
+import numpy as np
+from PIL import Image
+import jax, jax.numpy as jnp
+from vstar_tpu.core.config import vqa_llm_7b
+from vstar_tpu.eval.vqa_engine import VQAEngine
+from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+from vstar_tpu.nn.llama import init_llama_params
+
+class Tok:
+    bos_token_id = 1; eos_token_id = 2
+    class _O:
+        def __init__(s, i): s.input_ids = i
+    def __call__(self, text, add_special_tokens=True):
+        text = text.replace("</s>", " </s> ").replace("[LOC]", " [LOC] ")
+        ids = [1] if add_special_tokens else []
+        for w in text.split():
+            ids.append(2 if w == "</s>" else 3 if w == "[LOC]"
+                       else 4 + zlib.crc32(w.encode()) % 31000)
+        return self._O(ids)
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"t{i}" for i in ids if i > 3)
+
+cfg = vqa_llm_7b()
+params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
+                             quantize_llm=True)
+eng = VQAEngine(params, cfg, Tok(), prompt_buckets=(512,), option_bucket=64)
+
+rng = np.random.RandomState(0)
+imgs = [Image.fromarray((rng.rand(500, 600, 3) * 255).astype("uint8"))
+        for _ in range(8)]
+qs = [f"is the small object number {i} red or blue ?" for i in range(8)]
+opts = [["red thing", "blue thing", "green", "none"]] * 8
+
+for B in (1, 4):
+    # warm (compile)
+    eng.free_form_many(imgs[:B], qs[:B], max_new_tokens=32)
+    eng.multiple_choice_many(imgs[:B], qs[:B], opts[:B])
+    t0 = time.perf_counter()
+    preds = eng.free_form_many(imgs[:B], qs[:B], max_new_tokens=32)
+    chosen = eng.multiple_choice_many(imgs[:B], qs[:B], opts[:B])
+    dt = time.perf_counter() - t0
+    print(f"B={B}: phases 1+3 {dt*1000:7.0f} ms -> {B/dt:5.2f} images/s "
+          f"(no-search path)", flush=True)

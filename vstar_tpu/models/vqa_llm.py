@@ -28,10 +28,12 @@ from ..nn.projectors import apply_projector, init_projector_params
 from ..nn.vit import clip_patch_features, init_vit_params
 
 
-def init_vqa_llm_params(key, cfg: VQALLMConfig, dtype=jnp.float32) -> Dict:
+def init_vqa_llm_params(key, cfg: VQALLMConfig, dtype=jnp.float32,
+                        quantize_llm: bool = False) -> Dict:
     kg = KeyGen(key)
     return {
-        "llama": init_llama_params(kg(), cfg.llama, dtype),
+        "llama": init_llama_params(kg(), cfg.llama, dtype,
+                                   quantize=quantize_llm),
         "vision": init_vit_params(kg(), cfg.vision, dtype),
         "proj_image": init_projector_params(kg(), cfg.projector_image, dtype),
         "proj_object": init_projector_params(kg(), cfg.projector_object,
