@@ -97,3 +97,24 @@ def test_engine_through_search_policy(setup):
     assert plen >= 0
     if ok:
         assert final is not None and final.detection_result is not None
+
+
+def test_engine_speculative_equals_greedy(setup):
+    """VSMEngine with the template draft must produce identical outputs to
+    the greedy engine (speculative decoding is greedy-equivalent)."""
+    params, tok, img, loc_id = setup
+    common = dict(loc_token_id=loc_id, eos_id=2, max_new_tokens=4,
+                  prompt_buckets=(64, 128), compute_dtype=jnp.float32)
+    greedy = VSMEngine(params, CFG, tok, speculative_template=None,
+                       **common)
+    spec = VSMEngine(params, CFG, tok,
+                     speculative_template="Sure, [LOC].", **common)
+    for name in ("cat", "tiny dog"):
+        bg, lg, hg = greedy.detect(img, name)
+        bs, ls, hs = spec.detect(img, name)
+        np.testing.assert_array_equal(bg.shape, bs.shape)
+        if len(lg):
+            np.testing.assert_allclose(bg, bs, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(lg, ls, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(hg, hs, rtol=1e-4, atol=1e-4)
+    assert greedy.vqa(img, "what?") == spec.vqa(img, "what?")
