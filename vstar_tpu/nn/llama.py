@@ -54,15 +54,21 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
 # ---------------------------------------------------------------------------
 
 def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32,
-                      quantize: bool = False) -> Dict:
-    """quantize=True builds int8 decoder weights tensor-by-tensor so the
-    full bf16 model never has to fit in memory (16 GB v5e serving)."""
+                      quantize=False) -> Dict:
+    """quantize: False | True/'int8' | 'int4' — builds quantized decoder
+    weights tensor-by-tensor so the full bf16 model never has to fit in
+    memory (16 GB v5e serving)."""
     kg = KeyGen(key)
     D, L = cfg.hidden_size, cfg.num_layers
 
     def stack(fn):
         if not quantize:
             return jnp.stack([fn(kg()) for _ in range(L)])
+        if quantize == "int4":
+            from .quant import quantize_weight_int4
+            qs = [quantize_weight_int4(fn(kg())) for _ in range(L)]
+            return {"q4": jnp.stack([e["q4"] for e in qs]),
+                    "s4": jnp.stack([e["s4"] for e in qs])}
         from .quant import quantize_weight
         qs = [quantize_weight(fn(kg())) for _ in range(L)]
         return {"q": jnp.stack([e["q"] for e in qs]),
@@ -87,7 +93,12 @@ def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32,
         },
     }
     lm_head = dense_init(kg(), D, cfg.vocab_size, dtype=dtype)
-    if quantize:
+    if quantize == "int4":
+        # vocab dim not group-divisible constraints don't apply (grouping is
+        # along IN=hidden); int4 lm_head is fine.
+        from .quant import quantize_weight_int4
+        lm_head = quantize_weight_int4(lm_head)
+    elif quantize:
         from .quant import quantize_weight
         lm_head = quantize_weight(lm_head)
     return {

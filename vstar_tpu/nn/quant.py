@@ -28,8 +28,57 @@ def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": q, "s": scale}
 
 
+GROUP4 = 128  # int4 group size along the reduction dim
+
+
+def quantize_weight_int4(w: jnp.ndarray, group: int = GROUP4
+                         ) -> Dict[str, jnp.ndarray]:
+    """Group-wise symmetric int4, two nibbles packed per uint8.
+
+    EXPERIMENTAL: measured 300 ms/token vs int8's 15.7 ms on the 7B v5e
+    decode — XLA does not fuse the nibble unpack into the matvec, so this
+    needs a custom unpack-fused kernel before it's a win. Kept for the
+    storage format + a future Pallas kernel; int8 remains the serving
+    default.
+
+    w: [..., in, out] with in % group == 0 ->
+    {'q4': uint8 [..., in/2, out] (consecutive pairs packed lo|hi<<4),
+     's4': f32 [..., in/group, out]}"""
+    wf = w.astype(jnp.float32)
+    lead = wf.shape[:-2]
+    IN, OUT = wf.shape[-2], wf.shape[-1]
+    if IN % group != 0:
+        group = IN  # small dims: one group (per-channel int4)
+    assert IN % 2 == 0, IN
+    g = wf.reshape(lead + (IN // group, group, OUT))
+    scale = jnp.maximum(jnp.max(jnp.abs(g), axis=-2, keepdims=True) / 7.0,
+                        1e-8)
+    q = jnp.clip(jnp.round(g / scale), -8, 7).astype(jnp.int8) + 8
+    q = q.reshape(lead + (IN, OUT)).astype(jnp.uint8)
+    packed = (q[..., 0::2, :] | (q[..., 1::2, :] << 4)).astype(jnp.uint8)
+    return {"q4": packed, "s4": scale[..., 0, :]}
+
+
+def _deq4(entry: Dict, dtype) -> jnp.ndarray:
+    qp = entry["q4"]
+    lead = qp.shape[:-2]
+    IN2, OUT = qp.shape[-2], qp.shape[-1]
+    lo = (qp & 0xF).astype(jnp.int8) - 8
+    hi = ((qp >> 4) & 0xF).astype(jnp.int8) - 8
+    w = jnp.stack([lo, hi], axis=-2)              # [..., IN/2, 2, OUT]
+    w = w.reshape(lead + (IN2 * 2, OUT))
+    s = entry["s4"]
+    G = (IN2 * 2) // s.shape[-2]
+    w = w.reshape(lead + (s.shape[-2], G, OUT)).astype(dtype)
+    w = w * s[..., :, None, :].astype(dtype)
+    return w.reshape(lead + (IN2 * 2, OUT))
+
+
 def qdot(x: jnp.ndarray, entry: WeightEntry) -> jnp.ndarray:
-    """x @ W for a raw or quantized weight entry."""
+    """x @ W for a raw or quantized (int8 per-channel / int4 group-wise)
+    weight entry."""
+    if isinstance(entry, dict) and "q4" in entry:
+        return x @ _deq4(entry, x.dtype)
     if isinstance(entry, dict) and "q" in entry:
         w = entry["q"].astype(x.dtype) * entry["s"].astype(x.dtype)
         return x @ w
@@ -54,6 +103,8 @@ def quantize_llama_params(llama_params: Dict) -> Dict:
 
 
 def dequantize_weight(entry: WeightEntry, dtype=jnp.float32) -> jnp.ndarray:
+    if isinstance(entry, dict) and "q4" in entry:
+        return _deq4(entry, jnp.float32).astype(dtype)
     if isinstance(entry, dict) and "q" in entry:
         return (entry["q"].astype(jnp.float32) * entry["s"]).astype(dtype)
     return entry.astype(dtype)
