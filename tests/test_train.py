@@ -142,15 +142,18 @@ def test_vsm_train_step_runs_and_respects_freezing():
     state = VSMTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     batch = _make_batch()
 
-    loss0, metrics0 = vsm_loss(params, CFG, batch,
-                               compute_dtype=jnp.float32)
+    loss0, metrics0 = jax.jit(
+        lambda p, b: vsm_loss(p, CFG, b, compute_dtype=jnp.float32))(
+        params, batch)
     assert np.isfinite(float(loss0))
     for k in ("ce_loss", "mask_bce_loss", "mask_dice_loss",
               "detection_loss"):
         assert np.isfinite(float(metrics0[k])), k
 
-    new_state, metrics = vsm_train_step(state, batch, CFG, opt, mask,
-                                        compute_dtype=jnp.float32)
+    new_state, metrics = jax.jit(
+        lambda st, b: vsm_train_step(st, b, CFG, opt, mask,
+                                     compute_dtype=jnp.float32))(
+        state, batch)
     assert np.isfinite(float(metrics["loss"]))
 
     # frozen: base decoder weight and CLIP tower unchanged
