@@ -90,3 +90,21 @@ def test_int4_llama_forward_close():
     assert np.abs(lf - lq).max() < 1.0
     corr = np.corrcoef(lf.ravel(), lq.ravel())[0, 1]
     assert corr > 0.98
+
+
+def test_stream_matvec_parity():
+    """Experimental streaming kernel: parity only (perf documented in the
+    module; CPU falls back to interpret-incompatible → skip off-TPU)."""
+    import jax
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("pallas DMA kernel needs a TPU")
+    from vstar_tpu.kernels.stream_matvec import stream_int8_matvec
+    from vstar_tpu.nn.quant import quantize_weight, qdot
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 512)) * 0.05
+    q = quantize_weight(w)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 256), jnp.bfloat16)
+    got = stream_int8_matvec(x, q["q"], q["s"].reshape(1, -1))
+    want = qdot(x, q)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=1e-2, atol=1e-2)
