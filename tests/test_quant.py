@@ -1,6 +1,7 @@
 """Weight-only int8 quantization tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
