@@ -108,4 +108,4 @@ def test_stream_matvec_parity():
     want = qdot(x, q)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
-                               rtol=1e-2, atol=1e-2)
+                               rtol=3e-2, atol=3e-2)  # bf16 accumulation
