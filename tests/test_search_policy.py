@@ -64,16 +64,24 @@ class OracleVSM:
 
 class FakeImage:
     """PIL-like image that hands crops their absolute box (so the oracle
-    can reason in global coordinates)."""
+    can reason in global coordinates). Delegates save/copy to a real PIL
+    image so visualization works on it too."""
 
     def __init__(self, w=W, h=H):
         self.width, self.height = w, h
+        self._img = Image.new("RGB", (w, h))
 
     def crop(self, ltrb):
         l, t, r, b = ltrb
         img = Image.new("RGB", (int(r - l), int(b - t)))
         img._box = [int(l), int(t), int(r - l), int(b - t)]
         return img
+
+    def save(self, path):
+        self._img.save(path)
+
+    def copy(self):
+        return self._img.copy()
 
 
 def test_geometry_helpers():

@@ -55,3 +55,18 @@ def test_phase_timer():
     s = t.summary()
     assert set(s) == {"a", "b"} and t.counts["a"] == 2
     assert "a" in t.report()
+
+
+def test_visual_search_visualization_flag(tmp_path):
+    """visual_search(visualize=True) writes the reference's file set."""
+    from tests.test_search_policy import FakeImage, OracleVSM, TARGET
+    from vstar_tpu.search.policy import visual_search
+    final, plen, ok, _ = visual_search(
+        OracleVSM(), FakeImage(), "needle", target_bbox=TARGET,
+        smallest_size=224, visualize=True,
+        save_path=str(tmp_path / "vis"))
+    assert ok
+    files = set(os.listdir(tmp_path / "vis"))
+    assert "whole_image.jpg" in files
+    assert "search_result.jpg" in files
+    assert any(f.startswith("step_") for f in files)

@@ -22,7 +22,8 @@ def evaluate_search(vsm_engine, benchmark_folder: str,
                     confidence_low: float = 0.3,
                     target_cue_threshold: float = 6.0,
                     target_cue_threshold_decay: float = 0.7,
-                    target_cue_threshold_minimum: float = 3.0):
+                    target_cue_threshold_minimum: float = 3.0,
+                    visualization: bool = False, output_path: str = ""):
     acc_list = []
     path_lengths = []
     for test_type in ["direct_attributes", "relative_position"]:
@@ -32,13 +33,21 @@ def evaluate_search(vsm_engine, benchmark_folder: str,
         for image_file in image_files:
             image_path = os.path.join(folder, image_file)
             ann = json.load(open(image_path.rsplit(".", 1)[0] + ".json"))
-            for gt_bbox, name in zip(ann["bbox"], ann["target_object"]):
+            for i, (gt_bbox, name) in enumerate(zip(ann["bbox"],
+                                                    ann["target_object"])):
                 image = Image.open(image_path).convert("RGB")
                 smallest = max(
                     int(np.ceil(min(image.width, image.height)
                                 / minimum_size_scale)), minimum_size)
+                vis_path = None
+                if visualization:
+                    vis_path = os.path.join(
+                        output_path, test_type,
+                        f"{image_file.rsplit('.', 1)[0]}_{i}")
                 final_step, plen, ok, _ = visual_search(
                     vsm_engine, image, name, smallest_size=smallest,
+                    target_bbox=gt_bbox, visualize=visualization,
+                    save_path=vis_path,
                     confidence_high=confidence_high,
                     confidence_low=confidence_low,
                     target_cue_threshold=target_cue_threshold,
@@ -75,6 +84,8 @@ def main():
     p.add_argument("--target_cue_threshold_minimum", default=3.0, type=float)
     p.add_argument("--minimum_size_scale", default=4.0, type=float)
     p.add_argument("--minimum_size", default=224, type=int)
+    p.add_argument("--visualization", action="store_true", default=False)
+    p.add_argument("--output_path", default="", type=str)
     args = p.parse_args()
 
     from .vstar_bench import load_engines
@@ -87,7 +98,9 @@ def main():
                     target_cue_threshold=args.target_cue_threshold,
                     target_cue_threshold_decay=args.target_cue_threshold_decay,
                     target_cue_threshold_minimum=args
-                    .target_cue_threshold_minimum)
+                    .target_cue_threshold_minimum,
+                    visualization=args.visualization,
+                    output_path=args.output_path)
 
 
 if __name__ == "__main__":

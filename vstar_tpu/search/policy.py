@@ -104,6 +104,9 @@ def iou_xywh(b1, b2) -> float:
 # The search
 # ---------------------------------------------------------------------------
 
+# Most recent search path (for the serial driver's visualization hook).
+_LAST_SEARCH_PATH: dict = {}
+
 def _process_patch_gen(image, name: str, step: SearchStep,
                        search_path: List[SearchStep], heap, counter,
                        smallest_size, confidence_high, tct, tct_decay,
@@ -200,6 +203,7 @@ def visual_search_gen(image, target_object_name: str,
     root = SearchStep(bbox=[0, 0, image.width, image.height], scale_level=1,
                       score=None, parent_index=-1)
     search_path: List[SearchStep] = [root]
+    _LAST_SEARCH_PATH["path"] = search_path
     heap: list = []
 
     success = False
@@ -246,12 +250,16 @@ def visual_search(vsm: VSMClient, image, target_object_name: str,
                   target_cue_threshold: float = 6.0,
                   target_cue_threshold_decay: float = 0.7,
                   target_cue_threshold_minimum: float = 3.0,
-                  max_steps: Optional[int] = None):
+                  max_steps: Optional[int] = None,
+                  visualize: bool = False, save_path: Optional[str] = None):
     """Best-first guided search (visual_search.py:484-516 semantics).
 
     Returns (final_step, path_length, search_successful, all_valid_boxes).
+    With visualize=True, writes the step/heatmap overlays under save_path
+    (visual_search.py:512-514).
     """
-    del target_bbox  # only used for visualization in the reference
+    if visualize:
+        assert save_path is not None
     gen = visual_search_gen(
         image, target_object_name, smallest_size=smallest_size,
         confidence_high=confidence_high, confidence_low=confidence_low,
@@ -270,4 +278,11 @@ def visual_search(vsm: VSMClient, image, target_object_name: str,
                 result = vsm.segment(patch, text)
             kind, patch, text = gen.send(result)
     except StopIteration as stop:
+        final_step, path_length, success, all_valid_boxes = stop.value
+        if visualize:
+            from .visualize import visualize_search_path
+            path = _LAST_SEARCH_PATH.get("path", [])
+            vis_len = path_length if success else len(path)
+            visualize_search_path(image, path, vis_len, target_bbox,
+                                  target_object_name, save_path)
         return stop.value
