@@ -173,3 +173,22 @@ def test_segdet_dataset(tmp_path):
                                rtol=1e-5)
     assert r.gt_mask.sum() == 15 * 15
     assert "please locate the cat" in r.source[0]["value"].lower()
+
+
+def test_paco_annotation_builder(tmp_path):
+    from vstar_tpu.data.preprocess_annotations import build_image2bboxes_paco
+    data = {"categories": [
+                {"id": 1, "name": "mug_(cup)"},
+                {"id": 2, "name": "mug_(cup):handle"}],
+            "images": [{"id": 5, "file_name": "coco/a.jpg"}],
+            "annotations": [
+                {"id": 1, "image_id": 5, "category_id": 1,
+                 "bbox": [1, 2, 10, 10]},
+                {"id": 2, "image_id": 5, "category_id": 2,
+                 "bbox": [3, 4, 2, 2]}]}
+    src = tmp_path / "paco.json"
+    json.dump(data, open(src, "w"))
+    out = build_image2bboxes_paco(str(src), str(tmp_path / "out.json"))
+    entry = out["a.jpg"]
+    assert "mug" in entry and "handle of the mug" in entry
+    assert entry["handle of the mug"]["bboxes"] == [[3, 4, 5, 6]]

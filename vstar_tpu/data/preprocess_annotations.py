@@ -76,3 +76,32 @@ def merge_goldG(mixed_json: str, flickr_json: str, out_path: str) -> list:
     with open(out_path, "w") as f:
         json.dump(merged, f)
     return merged
+
+
+def build_image2bboxes_paco(paco_json: str, out_path: str,
+                            max_per_class: int = 100) -> Dict:
+    """PACO-LVIS -> paco_image2bboxes.json. PACO category names encode
+    object:part; the reference renders them as "part of the object" (or
+    just the object when no part; general_segdet_dataset.py:221-233)."""
+    data = json.load(open(paco_json))
+    def render(name: str) -> str:
+        obj_part = name.split(":")
+        obj = obj_part[0].split("_(")[0].replace("_", " ")
+        if len(obj_part) == 1:
+            return obj
+        part = obj_part[1].replace("_", " ")
+        return f"{part} of the {obj}"
+    cats = {c["id"]: render(c["name"]) for c in data["categories"]}
+    img_name = {im["id"]: os.path.basename(im["file_name"])
+                for im in data["images"]}
+    out: Dict[str, Dict] = defaultdict(dict)
+    for ann in data["annotations"]:
+        name = cats[ann["category_id"]]
+        x, y, w, h = ann["bbox"]
+        entry = out[img_name[ann["image_id"]]].setdefault(
+            name, {"bboxes": [], "cat_id": ann["category_id"]})
+        if len(entry["bboxes"]) < max_per_class:
+            entry["bboxes"].append([x, y, x + w, y + h])
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    return out
