@@ -269,3 +269,46 @@ def test_perceiver_parity():
         want = oracle(torch.tensor(media)).numpy()
     got = np.asarray(perceiver_resample(params, cfg, jnp.asarray(media)))
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_tower_attention_kernel_parity():
+    """Pallas tower kernel (interpret mode) == fused-XLA einsum attention,
+    including the S % block_q != 0 key-masking path (257 -> pad 304)."""
+    import jax.numpy as jnp
+
+    from vstar_tpu.kernels.tower_attention import tower_attention
+
+    rng = np.random.RandomState(7)
+    B, S, H, D = 2, 257, 4, 64
+    q, k, v = (jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+               .astype(jnp.bfloat16) for _ in range(3))
+    ref = tower_attention(q, k, v)                  # einsum fallback on CPU
+    ker = tower_attention(q, k, v, interpret=True)  # pallas interpret mode
+    err = float(jnp.abs(ref.astype(jnp.float32)
+                        - ker.astype(jnp.float32)).max())
+    assert err < 2e-2, err
+
+
+def test_tower_attention_grad_parity():
+    """custom_vjp backward == autodiff through plain einsum attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from vstar_tpu.kernels.tower_attention import tower_attention
+
+    rng = np.random.RandomState(3)
+    B, S, H, D = 1, 64, 2, 16
+    q, k, v, w = (jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+                  for _ in range(4))
+
+    def ref(q, k, v):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * D ** -0.5, k)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(ref(*a) * w), argnums=(0, 1, 2))(
+        q, k, v)
+    g_ker = jax.grad(lambda *a: jnp.sum(tower_attention(*a) * w),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_ker):
+        assert float(jnp.abs(a - b).max()) < 1e-4

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..core.config import ViTConfig
 from ..core.params import KeyGen, dense_init
+from ..kernels.tower_attention import tower_attention
 from .basic import ACTIVATIONS, dense, init_dense, init_layernorm, layernorm
 
 
@@ -75,6 +76,17 @@ def patchify(pixel_values: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch * patch * C)
 
 
+def _xla_attention(q, k, v):
+    """Fused-XLA softmax attention — faster than any kernel at short tower
+    lengths (CLIP @224 is 257 tokens), where the [S, S] logits fit cache."""
+    Dh = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32) * Dh ** -0.5,
+                        k.astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    B, S, H, _ = q.shape
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, H * Dh)
+
+
 def _vit_attention(p: Dict, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     B, S, D = x.shape
     Dh = D // num_heads
@@ -82,15 +94,13 @@ def _vit_attention(p: Dict, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     k = dense(p["wk"], x).reshape(B, S, num_heads, Dh)
     v = dense(p["wv"], x).reshape(B, S, num_heads, Dh)
 
-    # NOTE(perf): routing this through the Pallas flash kernel (head_dim
-    # zero-padded 64->128, seq padded to 128) measured 83 ms vs 15.5 ms for
-    # the XLA einsum on the 768^2 OWL tower — the kernel's whole-KV-per-
-    # program layout doesn't fit 2305-token/12-head shapes. XLA's fused
-    # softmax path stays until a tower-shaped kernel exists.
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32) * Dh ** -0.5,
-                        k.astype(jnp.float32))
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, D)
+    # tower_attention keeps the [S, S] logits in VMEM (the einsum path
+    # writes ~255 MB of f32 logits per OWL image to HBM). The generic
+    # flash kernel measured 83 ms here (head padded 64->128, decode-shaped
+    # KV layout); the tower-shaped kernel replaces it. Off-TPU it falls
+    # back to the fused-XLA einsum internally.
+    out = tower_attention(q, k, v).reshape(B, S, D) if S >= 512 \
+        else _xla_attention(q, k, v)
     return dense(p["wo"], out)
 
 

@@ -51,7 +51,13 @@ def sft_loss(params: Dict, cfg: VQALLMConfig, batch: Dict,
              compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """batch: image [B,H,W,3], objects [B,M,H,W,3], text_ids/feat_idx/
     is_feat [B,S], lens [B], labels [B,S] (IGNORE at prompts/feats/pad)."""
-    bank = encode_feature_bank(params, cfg, batch["image"],
+    # CLIP tower is frozen in every reference stage (pretrain trains the
+    # projectors, finetune adds the LLM; train.py keeps the tower out of the
+    # trainable set) — stop_gradient at the params so AD skips 24 tower
+    # layers instead of computing gradients that the mask would zero.
+    bank_params = dict(params,
+                       vision=jax.lax.stop_gradient(params["vision"]))
+    bank = encode_feature_bank(bank_params, cfg, batch["image"],
                                batch["objects"]).astype(compute_dtype)
     h = spliced_embeds(params, batch["text_ids"], bank, batch["feat_idx"],
                        batch["is_feat"], compute_dtype)

@@ -58,8 +58,14 @@ def _owl_feature_map_trainable_ln(params: Dict, cfg: VSMConfig,
                                   images_owl: jnp.ndarray) -> jnp.ndarray:
     """OWL feature map with the tower frozen (stop_gradient) but the merge
     layer_norm trainable (train.py:236-245 keeps owlvit.layer_norm in the
-    trainable set while the vision tower is frozen)."""
-    feats = vit_forward(params["owl_tower"], cfg.owl_vision, images_owl,
+    trainable set while the vision tower is frozen).
+
+    Tower params are stop_gradient'd at the source (not just the output) so
+    AD never traces tangents through the tower — the Pallas tower-attention
+    kernel then stays on its forward-only path and no JVP work is spent on
+    24 frozen layers."""
+    feats = vit_forward(jax.lax.stop_gradient(params["owl_tower"]),
+                        cfg.owl_vision, images_owl,
                         feature_layer=-1, apply_post_ln=True)
     feats = jax.lax.stop_gradient(feats)
     cls = feats[:, :1]
@@ -96,10 +102,10 @@ def vsm_loss(params: Dict, cfg: VSMConfig, batch: Dict,
       tgt_boxes [B,T,4] cxcywh, tgt_valid [B,T], bboxes_valid [B]
     """
     # frozen CLIP tower + frozen linear projector (VSM freezes the mm
-    # adapter, VSM.py:157)
-    bank = jax.lax.stop_gradient(
-        encode_clip_bank(params, cfg, batch["images_clip"])
-    ).astype(compute_dtype)
+    # adapter, VSM.py:157); params stopped at the source so AD never traces
+    # tangents through the tower (see _owl_feature_map_trainable_ln).
+    bank = encode_clip_bank(jax.lax.stop_gradient(params), cfg,
+                            batch["images_clip"]).astype(compute_dtype)
 
     tok = embed_tokens(params["llama"], batch["text_ids"], compute_dtype)
     h = apply_splice(tok, bank, batch["feat_idx"], batch["is_feat"])
