@@ -76,3 +76,31 @@ def test_val_dataset_and_validate(tmp_path):
     assert set(metrics) == {"giou", "ciou", "det_acc"}
     for v in metrics.values():
         assert np.isfinite(v) and 0.0 <= v <= 1.0
+
+
+def test_val_batches_process_sharding(tmp_path):
+    """rank/world sharding splits the val set disjointly and covers it
+    (DistributedSampler equivalent, reference train.py:355-371)."""
+    os.makedirs(tmp_path / "refer_seg" / "imgs")
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        tmp_path / "refer_seg" / "imgs" / "v.jpg")
+    mask = np.zeros((8, 8), np.uint8)
+    mask[2:4, 2:4] = 1
+    items = [{"image": "imgs/v.jpg", "expression": f"thing {i}",
+              "segmentation": rle_encode(mask), "bbox": [2, 2, 4, 4]}
+             for i in range(7)]
+    json.dump(items, open(tmp_path / "refer_seg" / "refcoco_val.json", "w"))
+    ds = ValDataset(str(tmp_path), clip_size=28, owl_size=48)
+    tok = WordTokenizer()
+    loc_id = tok._word_id("[LOC]")
+    kw = dict(n_image_tokens=CFG.image_tokens, seq_bucket=64, mask_res=8)
+
+    def n_rows(rank, world):
+        return sum(b["text_ids"].shape[0]
+                   for b in ds.batches(tok, loc_id, batch_size=1,
+                                       rank=rank, world=world, **kw))
+
+    # 7 items over 2 shards: 4 + 3, disjoint interleaved split
+    assert n_rows(0, 2) == 4 and n_rows(1, 2) == 3
+    # defaults (single process) see everything
+    assert n_rows(None, None) == 7

@@ -62,8 +62,21 @@ class ValDataset:
                       tgt_boxes=box, bboxes_valid=True)
 
     def batches(self, tokenizer, loc_token_id: int, batch_size: int = 4,
+                rank: int | None = None, world: int | None = None,
                 **collate_kw) -> Iterator[Dict[str, np.ndarray]]:
-        for start in range(0, len(self) - batch_size + 1, batch_size):
-            rows = [self[start + k] for k in range(batch_size)]
+        """Iterate collated batches over this process's shard of the val
+        set. rank/world default to jax.process_index()/process_count() —
+        the DistributedSampler equivalent (reference train.py:355-371);
+        metric reduction across shards happens in utils.metrics
+        AverageMeter. Interleaved sharding, drop-last within the shard."""
+        if rank is None or world is None:
+            import jax
+            rank = jax.process_index() if rank is None else rank
+            world = jax.process_count() if world is None else world
+        if not 0 <= rank < world:
+            raise ValueError(f"rank {rank} not in [0, {world})")
+        idx = list(range(rank, len(self), world))
+        for start in range(0, len(idx) - batch_size + 1, batch_size):
+            rows = [self[idx[start + k]] for k in range(batch_size)]
             yield collate_vsm_rows(rows, tokenizer, loc_token_id,
                                    **collate_kw)
