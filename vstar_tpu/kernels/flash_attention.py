@@ -79,7 +79,8 @@ def mha_reference(q, k, v, kv_lens=None, q_offsets=None, causal: bool = True,
 # block (1, H, block_q) is fully written before the grid moves on.
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(kv_lens_ref, q_off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_kernel(kv_lens_ref, q_off_ref, kv_valid_ref, q_ref, k_ref, v_ref,
+                o_ref, lse_ref,
                 *, scale: float, causal: bool, block_q: int, block_k: int,
                 kv_seq_len: int):
     b = pl.program_id(0)
@@ -110,6 +111,8 @@ def _fwd_kernel(kv_lens_ref, q_off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         col = (j * block_k
                + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1))
         mask = col < kv_len
+        valid = kv_valid_ref[0, 0, pl.ds(j * block_k, block_k)] > 0  # [bk]
+        mask = jnp.logical_and(mask, valid[None, :])
         if causal:
             mask = jnp.logical_and(mask, col <= row)
         s = jnp.where(mask, s, NEG_INF)
@@ -141,7 +144,8 @@ def _fwd_kernel(kv_lens_ref, q_off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     lse_ref[0] = jnp.where(col_ids == h, lse, lse_ref[0])
 
 
-def _fwd(q, k, v, kv_lens, q_offsets, causal, scale, block_q, block_k):
+def _fwd(q, k, v, kv_lens, q_offsets, kv_valid, causal, scale, block_q,
+         block_k, interpret=False):
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
     assert Sq % block_q == 0 and Skv % block_k == 0, (Sq, Skv)
@@ -161,6 +165,7 @@ def _fwd(q, k, v, kv_lens, q_offsets, causal, scale, block_q, block_k):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Skv), lambda b, i, h: (b, 0, 0)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, i, h: (b, h, i, 0)),
             pl.BlockSpec((1, 1, Skv, D), lambda b, i, h: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, Skv, D), lambda b, i, h: (b, h, 0, 0)),
@@ -177,7 +182,8 @@ def _fwd(q, k, v, kv_lens, q_offsets, causal, scale, block_q, block_k):
             flops=4 * B * H * Sq * Skv * D,
             bytes_accessed=2 * B * H * (Sq + 2 * Skv) * D,
             transcendentals=B * H * Sq * Skv),
-    )(kv_lens, q_offsets, qt, kt, vt)
+        interpret=interpret,
+    )(kv_lens, q_offsets, kv_valid, qt, kt, vt)
     return out.transpose(0, 2, 1, 3), lse
 
 
@@ -185,8 +191,8 @@ def _fwd(q, k, v, kv_lens, q_offsets, causal, scale, block_q, block_k):
 # Backward kernels.  Grid: (B, H, blocks).
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(kv_lens_ref, q_off_ref, q_ref, k_ref, v_ref, do_ref,
-                   lse_ref, delta_ref, dq_ref,
+def _bwd_dq_kernel(kv_lens_ref, q_off_ref, kv_valid_ref, q_ref, k_ref, v_ref,
+                   do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, causal, block_q, block_k, kv_seq_len):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -218,6 +224,8 @@ def _bwd_dq_kernel(kv_lens_ref, q_off_ref, q_ref, k_ref, v_ref, do_ref,
         col = (j * block_k
                + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1))
         mask = col < kv_len
+        valid = kv_valid_ref[0, 0, pl.ds(j * block_k, block_k)] > 0  # [bk]
+        mask = jnp.logical_and(mask, valid[None, :])
         if causal:
             mask = jnp.logical_and(mask, col <= row)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
@@ -233,8 +241,8 @@ def _bwd_dq_kernel(kv_lens_ref, q_off_ref, q_ref, k_ref, v_ref, do_ref,
     dq_ref[0, 0] = (acc * scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(kv_lens_ref, q_off_ref, q_ref, k_ref, v_ref, do_ref,
-                    lse_ref, delta_ref, dk_ref, dv_ref,
+def _bwd_dkv_kernel(kv_lens_ref, q_off_ref, kv_valid_ref, q_ref, k_ref,
+                    v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
                     *, scale, causal, block_q, block_k, q_seq_len):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -248,6 +256,7 @@ def _bwd_dkv_kernel(kv_lens_ref, q_off_ref, q_ref, k_ref, v_ref, do_ref,
     q_off = q_off_ref[b]
     col = (ki * block_k
            + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1))
+    valid = (kv_valid_ref[0, 0] > 0)[None, :]                 # [1, bk]
 
     num_q_blocks = pl.cdiv(q_seq_len, block_q)
     start_q_block = 0
@@ -272,6 +281,7 @@ def _bwd_dkv_kernel(kv_lens_ref, q_off_ref, q_ref, k_ref, v_ref, do_ref,
         row = (q_off + i * block_q
                + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
         mask = col < kv_len
+        mask = jnp.logical_and(mask, valid)
         if causal:
             mask = jnp.logical_and(mask, col <= row)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)            # [bq, bk]
@@ -294,8 +304,8 @@ def _bwd_dkv_kernel(kv_lens_ref, q_off_ref, q_ref, k_ref, v_ref, do_ref,
     dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
 
 
-def _bwd(causal, scale, block_q, block_k, res, g):
-    q, k, v, kv_lens, q_offsets, out, lse = res
+def _bwd(causal, scale, block_q, block_k, interpret, res, g):
+    q, k, v, kv_lens, q_offsets, kv_valid, out, lse = res
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
     do = g
@@ -314,6 +324,7 @@ def _bwd(causal, scale, block_q, block_k, res, g):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Skv), lambda b, h, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((1, 1, Skv, D), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, Skv, D), lambda b, h, i: (b, h, 0, 0)),
@@ -324,7 +335,8 @@ def _bwd(causal, scale, block_q, block_k, res, g):
         out_specs=pl.BlockSpec((1, 1, block_q, D),
                                lambda b, h, i: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
-    )(kv_lens, q_offsets, qt, kt, vt, dot, lse, delta)
+        interpret=interpret,
+    )(kv_lens, q_offsets, kv_valid, qt, kt, vt, dot, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
@@ -333,6 +345,7 @@ def _bwd(causal, scale, block_q, block_k, res, g):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, j: (b, 0, j)),
             pl.BlockSpec((1, 1, Sq, D), lambda b, h, j: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0)),
@@ -348,33 +361,34 @@ def _bwd(causal, scale, block_q, block_k, res, g):
             jax.ShapeDtypeStruct((B, H, Skv, D), k.dtype),
             jax.ShapeDtypeStruct((B, H, Skv, D), v.dtype),
         ],
-    )(kv_lens, q_offsets, qt, kt, vt, dot, lse, delta)
+        interpret=interpret,
+    )(kv_lens, q_offsets, kv_valid, qt, kt, vt, dot, lse, delta)
 
     return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
-            dv.transpose(0, 2, 1, 3), None, None)
+            dv.transpose(0, 2, 1, 3), None, None, None)
 
 
 # ---------------------------------------------------------------------------
 # Public entry point
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_attention_pallas(q, k, v, kv_lens, q_offsets, causal, scale,
-                            block_q, block_k):
-    out, _ = _fwd(q, k, v, kv_lens, q_offsets, causal, scale, block_q,
-                  block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _flash_attention_pallas(q, k, v, kv_lens, q_offsets, kv_valid, causal,
+                            scale, block_q, block_k, interpret):
+    out, _ = _fwd(q, k, v, kv_lens, q_offsets, kv_valid, causal, scale,
+                  block_q, block_k, interpret)
     return out
 
 
-def _flash_fwd_rule(q, k, v, kv_lens, q_offsets, causal, scale, block_q,
-                    block_k):
-    out, lse = _fwd(q, k, v, kv_lens, q_offsets, causal, scale, block_q,
-                    block_k)
-    return out, (q, k, v, kv_lens, q_offsets, out, lse)
+def _flash_fwd_rule(q, k, v, kv_lens, q_offsets, kv_valid, causal, scale,
+                    block_q, block_k, interpret):
+    out, lse = _fwd(q, k, v, kv_lens, q_offsets, kv_valid, causal, scale,
+                    block_q, block_k, interpret)
+    return out, (q, k, v, kv_lens, q_offsets, kv_valid, out, lse)
 
 
-def _flash_bwd_rule(causal, scale, block_q, block_k, res, g):
-    return _bwd(causal, scale, block_q, block_k, res, g)
+def _flash_bwd_rule(causal, scale, block_q, block_k, interpret, res, g):
+    return _bwd(causal, scale, block_q, block_k, interpret, res, g)
 
 
 _flash_attention_pallas.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -383,12 +397,18 @@ _flash_attention_pallas.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 def flash_attention(q, k, v, kv_lens=None, q_offsets=None,
                     causal: bool = True, scale: Optional[float] = None,
                     block_q: int = 128, block_k: int = 128,
-                    use_pallas: Optional[bool] = None, kv_valid=None):
+                    use_pallas: Optional[bool] = None, kv_valid=None,
+                    interpret: bool = False):
     """Masked multi-head attention. q,k,v: [B,S,H,D] -> [B,S,H,D].
 
-    kv_valid (optional bool [B,Skv]) enables mid-sequence key masking;
-    that path currently uses the jnp reference implementation (the pallas
-    kernel covers the inference-critical kv_lens/q_offsets forms)."""
+    kv_valid (optional bool [B,Skv]) is a per-position key mask for
+    training-time mid-sequence masking — invalid [LOC] keys and masked
+    dummy object slots (reference dataset.py:98-103,
+    train_search.py:854-860) — handled natively inside the Pallas kernel
+    as one extra [Skv]-row load per (batch, q-block) program.
+
+    interpret=True runs the Pallas kernels in interpreter mode (works on
+    CPU; used by CI for fwd/bwd parity against mha_reference)."""
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
     scale = scale if scale is not None else D ** -0.5
@@ -400,10 +420,14 @@ def flash_attention(q, k, v, kv_lens=None, q_offsets=None,
         q_offsets = jnp.zeros((B,), dtype=jnp.int32)
     kv_lens = kv_lens.astype(jnp.int32)
     q_offsets = q_offsets.astype(jnp.int32)
-    if kv_valid is not None:
+    if ((not use_pallas and not interpret) or Sq % block_q != 0
+            or Skv % block_k != 0 or D % 128):
         return mha_reference(q, k, v, kv_lens, q_offsets, causal, scale,
                              kv_valid)
-    if not use_pallas or Sq % block_q != 0 or Skv % block_k != 0 or D % 128:
-        return mha_reference(q, k, v, kv_lens, q_offsets, causal, scale)
-    return _flash_attention_pallas(q, k, v, kv_lens, q_offsets, causal,
-                                   scale, block_q, block_k)
+    if kv_valid is None:
+        kv_valid_i32 = jnp.ones((B, 1, Skv), jnp.int32)
+    else:
+        kv_valid_i32 = kv_valid.astype(jnp.int32)[:, None, :]
+    return _flash_attention_pallas(q, k, v, kv_lens, q_offsets,
+                                   kv_valid_i32, causal, scale, block_q,
+                                   block_k, interpret)
