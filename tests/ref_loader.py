@@ -80,3 +80,34 @@ def load_reference():
         AutoConfig.register = orig_cfg
         AutoModelForCausalLM.register = orig_lm
     return lm, vsm_mod
+
+
+def load_reference_visual_search():
+    """Import /root/reference/visual_search.py (the search policy) as an
+    isolated module. spaCy and cv2 are not installed; both are stubbed —
+    spaCy's chunker is only reached through `extract_noun_chunks`, which
+    search-path parity tests override on the module, and cv2 only feeds
+    the visualization helpers, never the search itself."""
+    name = "ref_visual_search"
+    if name in sys.modules:
+        return sys.modules[name]
+    load_reference()  # sys.path + package shims
+
+    import importlib.machinery
+    import importlib.util
+    for stub_name, attrs in (("spacy", {"load": lambda *a, **k: None}),
+                             ("cv2", {})):
+        if stub_name not in sys.modules:
+            m = types.ModuleType(stub_name)
+            m.__spec__ = importlib.machinery.ModuleSpec(stub_name, None)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            m.__getattr__ = lambda _n: None
+            sys.modules[stub_name] = m
+
+    spec = importlib.util.spec_from_file_location(
+        name, "/root/reference/visual_search.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod

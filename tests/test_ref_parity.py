@@ -265,3 +265,190 @@ class TestVQAComposedParity:
             tgt = torch.tensor(opt_ids)
             ces.append(float(torch.nn.functional.cross_entropy(logits, tgt)))
         assert ours == int(np.argmin(ces))
+
+
+# ---------------------------------------------------------------------------
+# VSM composed parity (VSM.py:438-554)
+# ---------------------------------------------------------------------------
+
+LOC_OFFSET = 255   # the reference's hardcoded 256-token image splice offset
+
+
+def _our_vsm_cfg():
+    from vstar_tpu.core.config import (OwlHeadConfig, SamDecoderConfig,
+                                       VSMConfig)
+    return VSMConfig(
+        llama=_tiny_llama_cfg(),
+        vision=ViTConfig(image_size=224, patch_size=14, hidden_size=32,
+                         intermediate_size=64, num_layers=2, num_heads=4),
+        owl_vision=ViTConfig(image_size=768, patch_size=16, hidden_size=32,
+                             intermediate_size=64, num_layers=2, num_heads=4,
+                             feature_layer=-1),
+        owl_head=OwlHeadConfig(vision_dim=32, query_dim=24),
+        sam=SamDecoderConfig(),   # dims hardcoded in VSM.py:92-112
+        projector=ProjectorConfig(type="linear", in_dim=32, out_dim=64),
+        out_dim=24,
+        seg_dim=256,
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_vsm(clip_dir):
+    _, vsm_mod = load_reference()
+    from VisualSearch.model.llava.model.language_model.llava_llama import \
+        LlavaConfig
+    from transformers import OwlViTConfig
+
+    cfg = LlavaConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        mm_hidden_size=32, mm_vision_select_layer=-2,
+        mm_vision_select_feature="patch")
+    cfg._attn_implementation = "eager"
+
+    tiny_owl = OwlViTConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=768, patch_size=16),
+        text_config=dict(hidden_size=24, intermediate_size=48,
+                         num_hidden_layers=1, num_attention_heads=2))
+    orig = OwlViTConfig.from_pretrained
+    OwlViTConfig.from_pretrained = classmethod(lambda c, *a, **k: tiny_owl)
+    try:
+        torch.manual_seed(1)
+        model = vsm_mod.VSMForCausalLM(
+            cfg, train_mask_decoder=True, out_dim=24, loc_token_idx=3,
+            vision_tower=clip_dir)
+        model.config.mm_vision_tower = clip_dir
+        model.config.vision_tower = clip_dir
+        model.get_model().initialize_lisa_modules(model.config, is_eval=True)
+    finally:
+        OwlViTConfig.from_pretrained = orig
+    model.get_model().get_vision_tower().load_model()
+    return model.float().eval()
+
+
+def _ref_vsm_greedy(ref, ids, images_clip, max_new=4):
+    """Manual greedy loop over the reference llava forward with
+    use_cache=False — exactly what its generate does (config.use_cache is
+    forced off, VSM.py:151) — keeping the final full-sequence hidden states
+    (the eval-mode hidden hack, llava_llama.py:124-127). The reference's
+    own `inference` hardcodes .cuda() so it cannot run here; this mirrors
+    VSM.py:452-473 on CPU."""
+    cur = list(ids)
+    out, hidden = [], None
+    for _ in range(max_new):
+        t = torch.tensor([cur], dtype=torch.long)
+        with torch.no_grad():
+            o = ref(input_ids=t,
+                    attention_mask=torch.ones_like(t, dtype=torch.bool),
+                    images=images_clip, past_key_values=None,
+                    use_cache=False, output_hidden_states=True)
+        hidden = o.hidden_states          # final-layer tensor (eval hack)
+        nxt = int(o.logits[0, -1].argmax())
+        out.append(nxt)
+        cur.append(nxt)
+        if nxt == EOS:
+            break
+    # `hidden` came from the forward whose input was cur[:-1] — the same
+    # alignment HF generate gives the reference (hidden_states[-1] is from
+    # the step that produced the final token).
+    full_ids = torch.tensor([cur], dtype=torch.long)
+    return out, hidden, full_ids
+
+
+def _ref_vsm_heads(ref, full_ids, hidden, images_owl, loc_id):
+    """Mirror VSM.py:465-552 (the [LOC] gather + seg/det heads) with the
+    reference modules, minus the .cuda() calls."""
+    loc_mask = full_ids[:, 1:] == loc_id
+    loc_mask = torch.cat(
+        [torch.zeros((loc_mask.shape[0], LOC_OFFSET)).bool(), loc_mask],
+        dim=1)
+    with torch.no_grad():
+        seg_emb = ref.model.text_hidden_fcs_seg[0](hidden)
+        det_emb = ref.model.text_hidden_fcs_det[0](hidden)
+        pe_seg = seg_emb[loc_mask]
+        pe_det = det_emb[loc_mask]
+        image_embeddings = ref.get_visual_embs(images_owl)  # [1,48,48,32]
+
+        sparse, dense_e = ref.model.prompt_encoder(
+            points=None, boxes=None, masks=None,
+            text_embeds=pe_seg.unsqueeze(1))
+        low_res, _ = ref.model.mask_decoder(
+            image_embeddings=ref.model.visual_projection(
+                image_embeddings).permute(0, 3, 1, 2),
+            image_pe=ref.model.prompt_encoder.get_dense_pe(),
+            sparse_prompt_embeddings=sparse,
+            dense_prompt_embeddings=dense_e,
+            multimask_output=False)
+
+        n_loc = pe_det.shape[0]
+        det = ref.model.owlvit(image_embeddings.repeat(n_loc, 1, 1, 1),
+                               pe_det.unsqueeze(1))
+    return low_res[:, 0], det["pred_logits"][..., 0], det["pred_boxes"]
+
+
+class TestVSMComposedParity:
+
+    def test_generate_and_heads(self, ref_vsm):
+        from vstar_tpu.models.vsm import vsm_generate, vsm_params_from_torch
+        from vstar_tpu.multimodal.splicing import build_layout
+        import VisualSearch.model.llava.mm_utils as ref_mm
+        import VisualSearch.model.llava.conversation as ref_conv
+
+        cfg = _our_vsm_cfg()
+        params = vsm_params_from_torch(ref_vsm.state_dict(), cfg)
+        tok = WordTokenizer()
+
+        # Reference-side prompt construction (visual_search.py:174-190).
+        conv = ref_conv.conv_templates["v1"].copy()
+        conv.append_message(
+            conv.roles[0],
+            "<im_start><image><im_end>\nPlease locate the red cup "
+            "in this image.")
+        conv.append_message(conv.roles[1], None)
+        ids = ref_mm.tokenizer_image_token(conv.get_prompt(), tok)
+
+        rng = np.random.RandomState(4)
+        clip_np = rng.randn(1, 224, 224, 3).astype(np.float32)
+        owl_np = rng.randn(1, 768, 768, 3).astype(np.float32)
+        clip_t = _nchw(clip_np)
+        owl_t = _nchw(owl_np)
+
+        max_new = 4
+        ref_out, hidden, full_ids = _ref_vsm_greedy(ref_vsm, ids, clip_t,
+                                                    max_new)
+        # Use the first naturally-generated token as the "[LOC]" id: both
+        # stacks parameterize it, and this guarantees >=1 hit without
+        # rigging weights. It must not collide with a prompt token (the
+        # reference mask also scans the prompt).
+        loc_id = ref_out[0]
+        assert loc_id not in ids
+        low_res_ref, det_logits_ref, det_boxes_ref = _ref_vsm_heads(
+            ref_vsm, full_ids, hidden, owl_t, loc_id)
+
+        lay = build_layout(ids, 384, n_long=256, n_short=32,
+                           image_long=True)
+        out = vsm_generate(
+            params, cfg, jnp.asarray(clip_np), jnp.asarray(owl_np),
+            jnp.asarray(lay.text_ids[None]), jnp.asarray(lay.feat_idx[None]),
+            jnp.asarray(lay.is_feat[None]),
+            jnp.asarray([lay.length], jnp.int32), loc_token_id=loc_id,
+            max_new_tokens=max_new, eos_id=EOS, cache_len=512,
+            compute_dtype=jnp.float32)
+
+        n = int(out.num_generated[0])
+        got_ids = [int(t) for t in np.asarray(out.tokens[0, :n])]
+        assert got_ids == ref_out
+        assert bool(out.loc_valid[0])
+
+        # det = first [LOC], seg = last [LOC] (visual_search.py:222-225).
+        np.testing.assert_allclose(
+            np.asarray(out.det_logits[0]),
+            det_logits_ref[0].numpy(), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(out.det_boxes[0]),
+            det_boxes_ref[0].numpy(), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(out.mask_logits[0]),
+            low_res_ref[-1].numpy(), rtol=5e-3, atol=5e-3)

@@ -1,0 +1,249 @@
+"""Search-path parity: our policy vs the reference's visual_search.py,
+both driven by ONE scripted VSM oracle on a synthetic image.
+
+Covers VERDICT r1 missing #1 ("an identical search path on a synthetic
+image"): same visited-patch sequence, path length, success flag, final
+detection box, and multi-instance root boxes, across the four control-flow
+regimes — root acceptance, target-cue-guided descent, context-cue descent
+(common chunker injected on both sides; chunker fidelity itself is covered
+by test_cues.py), and the low-confidence fallback.
+
+The oracle encodes each crop's absolute box into its first pixels because
+the reference deepcopies patches before inference (visual_search.py:397),
+which drops ad-hoc attributes.
+"""
+
+import copy
+
+import numpy as np
+import pytest
+from PIL import Image
+
+torch = pytest.importorskip("torch")
+
+from vstar_tpu.search import policy as our_policy
+from vstar_tpu.search.policy import visual_search as our_visual_search
+
+from tests.ref_loader import load_reference_visual_search
+
+
+# ---------------------------------------------------------------------------
+# Shared synthetic world
+# ---------------------------------------------------------------------------
+
+class CoordImage:
+    """PIL-like image whose crops carry their absolute [x, y, w, h] box
+    encoded in the first four pixels (2 bytes per coordinate), surviving
+    deepcopy/pickle."""
+
+    def __init__(self, w, h):
+        self.width, self.height = w, h
+        self._img = Image.new("RGB", (w, h))
+
+    def crop(self, ltrb):
+        l, t, r, b = (int(v) for v in ltrb)
+        img = Image.new("RGB", (r - l, b - t))
+        for i, v in enumerate((l, t, r - l, b - t)):
+            img.putpixel((i, 0), (v // 256, v % 256, 0))
+        return img
+
+    def save(self, path):
+        self._img.save(path)
+
+    def copy(self):
+        return self._img.copy()
+
+
+def _decode_box(img):
+    vals = []
+    for i in range(4):
+        hi, lo, _ = img.getpixel((i, 0))
+        vals.append(hi * 256 + lo)
+    return vals
+
+
+class ScriptedVSM:
+    """One deterministic world: a hidden target box; detection confidence
+    appears only once the target fills >1% of the patch; the heatmap is a
+    gaussian bump at the target center."""
+
+    def __init__(self, target, max_logit=0.9, heat_amp=10.0,
+                 ctx_amp=1.0, sigma=60.0):
+        self.target = target
+        self.max_logit = max_logit
+        self.heat_amp = heat_amp
+        self.ctx_amp = ctx_amp
+        self.sigma = sigma
+        self.detect_calls = []
+        self.vqa_calls = []
+        self.segment_calls = []
+
+    def _gauss(self, box, amp):
+        x0, y0, w, h = box
+        ys, xs = np.mgrid[0:h, 0:w]
+        cx = self.target[0] + self.target[2] / 2 - x0
+        cy = self.target[1] + self.target[3] / 2 - y0
+        d2 = (xs - cx) ** 2 + (ys - cy) ** 2
+        return (amp * np.exp(-d2 / (2 * self.sigma ** 2))).astype(np.float32)
+
+    def _target_in(self, box):
+        t = self.target
+        return (t[0] >= box[0] and t[1] >= box[1]
+                and t[0] + t[2] <= box[0] + box[2]
+                and t[1] + t[3] <= box[1] + box[3])
+
+    def detect_np(self, box, name):
+        self.detect_calls.append((tuple(box), name))
+        w, h = box[2], box[3]
+        boxes = np.zeros((16, 4), np.float32)
+        logits = np.full(16, 0.01, np.float32)
+        if self._target_in(box):
+            t = self.target
+            boxes[0] = [(t[0] + t[2] / 2 - box[0]) / w,
+                        (t[1] + t[3] / 2 - box[1]) / h, t[2] / w, t[3] / h]
+            frac = (t[2] * t[3]) / (w * h)
+            logits[0] = self.max_logit if frac > 0.01 else \
+                min(0.45, self.max_logit)
+            # a second, weaker instance for the multi-instance root case
+            boxes[1] = boxes[0] + np.float32([0.05, 0.05, 0, 0])
+            logits[1] = logits[0] * 0.8
+        return boxes, logits, self._gauss(box, self.heat_amp)
+
+    def vqa_text(self, box, question):
+        self.vqa_calls.append((tuple(box), question))
+        return ("The object is most likely to appear on the wooden table "
+                "near the window.")
+
+    def segment_np(self, box, phrase):
+        self.segment_calls.append((tuple(box), phrase))
+        return self._gauss(box, self.ctx_amp)
+
+
+class OurAdapter:
+    def __init__(self, oracle):
+        self.o = oracle
+
+    def detect(self, patch, name):
+        return self.o.detect_np(_decode_box(patch), name)
+
+    def vqa(self, patch, question):
+        return self.o.vqa_text(_decode_box(patch), question)
+
+    def segment(self, patch, phrase):
+        return self.o.segment_np(_decode_box(patch), phrase)
+
+
+class RefAdapter:
+    """The reference wrapper's inference contract
+    (visual_search.py:174-225): torch tensors, heatmap at patch size."""
+
+    def __init__(self, oracle):
+        self.o = oracle
+
+    def inference(self, patch, question, mode):
+        box = _decode_box(patch)
+        if mode == "detection":
+            name = question[len("Please locate the "):-len(" in this image.")]
+            boxes, logits, heat = self.o.detect_np(box, name)
+            return (torch.tensor(boxes), torch.tensor(logits),
+                    torch.tensor(heat))
+        if mode == "vqa":
+            return self.o.vqa_text(box, question)
+        phrase = question[len("Please locate the "):-len(" in this image.")]
+        return torch.tensor(self.o.segment_np(box, phrase))
+
+
+def _run_both(make_oracle, name="needle", size=(896, 896), **kw):
+    ref_vs = load_reference_visual_search()
+    # Common chunker on both sides (reference spaCy is stubbed out; the
+    # heuristic-vs-spaCy fidelity is a separate test).
+    from vstar_tpu.search.cues import extract_noun_chunks
+    ref_vs.extract_noun_chunks = extract_noun_chunks
+
+    o_ours, o_ref = make_oracle(), make_oracle()
+    img = CoordImage(*size)
+    ours = our_visual_search(OurAdapter(o_ours), img, name,
+                             smallest_size=kw.pop("smallest_size", 224),
+                             **kw)
+    ref = ref_vs.visual_search(RefAdapter(o_ref), img, name, None,
+                               smallest_size=224, **kw)
+    return ours, ref, o_ours, o_ref
+
+
+def _assert_paths_equal(ours, ref, o_ours, o_ref):
+    final_ours, plen_ours, ok_ours, valid_ours = ours
+    final_ref, plen_ref, ok_ref, valid_ref = ref
+    # identical traversal: every VSM call, in order, on the same patches
+    assert o_ours.detect_calls == o_ref.detect_calls
+    assert o_ours.vqa_calls == o_ref.vqa_calls
+    assert o_ours.segment_calls == o_ref.segment_calls
+    assert ok_ours == bool(ok_ref)
+    assert plen_ours == plen_ref
+    if final_ref is None:
+        assert final_ours is None
+        return
+    assert final_ours.bbox == list(final_ref["bbox"])
+    assert final_ours.scale_level == final_ref["scale_level"]
+    if final_ref.get("detection_result") is not None:
+        np.testing.assert_allclose(
+            np.asarray(final_ours.detection_result),
+            np.asarray(final_ref["detection_result"]), rtol=1e-6, atol=1e-6)
+    if valid_ref is not None:
+        np.testing.assert_allclose(np.asarray(valid_ours),
+                                   np.asarray(valid_ref),
+                                   rtol=1e-6, atol=1e-6)
+    else:
+        assert valid_ours is None
+
+
+def test_root_acceptance_multi_instance():
+    # big target -> confident at the whole-image step -> all boxes >0.5
+    ours, ref, o1, o2 = _run_both(
+        lambda: ScriptedVSM(target=[300, 280, 320, 300]))
+    _assert_paths_equal(ours, ref, o1, o2)
+    assert ours[1] == 1 and ours[3] is not None and len(ours[3]) == 2
+
+
+def test_target_cue_guided_descent():
+    ours, ref, o1, o2 = _run_both(
+        lambda: ScriptedVSM(target=[700, 650, 60, 50]))
+    _assert_paths_equal(ours, ref, o1, o2)
+    assert ours[2] and ours[1] > 1
+    assert not o1.vqa_calls  # target cue stayed prominent
+
+
+def test_context_cue_descent():
+    # weak heatmap (< minimum threshold 3.0) -> VQA + segmentation cue
+    ours, ref, o1, o2 = _run_both(
+        lambda: ScriptedVSM(target=[700, 650, 60, 50], heat_amp=2.0))
+    _assert_paths_equal(ours, ref, o1, o2)
+    assert ours[2]
+    # the context-cue branch ran on both sides, with the same phrase
+    # extracted from the VQA answer (call equality is checked above)
+    assert o1.vqa_calls and o1.segment_calls
+    assert o1.segment_calls[0][1] == o2.segment_calls[0][1]
+
+
+def test_low_confidence_fallback_success():
+    # never exceeds 0.5; deep patches stash 0.45 >= 0.3 -> fallback success
+    ours, ref, o1, o2 = _run_both(
+        lambda: ScriptedVSM(target=[700, 650, 60, 50], max_logit=0.45))
+    _assert_paths_equal(ours, ref, o1, o2)
+    assert ours[2]
+
+
+def test_low_confidence_fallback_failure():
+    # best stash 0.2 < confidence_low 0.3 -> unsuccessful on both sides
+    ours, ref, o1, o2 = _run_both(
+        lambda: ScriptedVSM(target=[700, 650, 60, 50], max_logit=0.2))
+    _assert_paths_equal(ours, ref, o1, o2)
+    assert not ours[2]
+
+
+def test_aspect_ratio_split_parity():
+    # wide image -> 4x1 split path
+    ours, ref, o1, o2 = _run_both(
+        lambda: ScriptedVSM(target=[1500, 100, 60, 50], sigma=40.0),
+        size=(1800, 400))
+    _assert_paths_equal(ours, ref, o1, o2)
+    assert ours[2]
