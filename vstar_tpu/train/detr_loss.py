@@ -3,11 +3,11 @@
 Reimplements the reference SetCriterion + HungarianMatcher
 (VisualSearch/model/owlvit/owlvit.py:173-358, matcher.py:52-103) for TPU:
 targets are padded to a static T_max with validity masks, costs are built
-on device, and the assignment solves through `jax.pure_callback` to
-scipy's linear_sum_assignment (the reference also solves on CPU — a
-per-step host callback over a [Q, T_max] cost is cheap). Padded target
-columns carry a constant large cost, which cannot change the optimum over
-valid columns.
+on device, and the assignment solves ON DEVICE by default with the
+auction algorithm (train/auction.py — SPMD-clean, no host sync), with an
+exact scipy / native-JV `pure_callback` available as method="callback"
+(the reference solves on CPU every step). Padded target columns carry a
+constant large cost, which cannot change the optimum over valid columns.
 
 Deviation from the reference, intentional: the reference's giou masking
 multiplies a [K] loss by a [K,1] mask (VSM.py:391), broadcasting to [K,K]
@@ -95,9 +95,18 @@ def _solve_assignment_host(cost: np.ndarray, n_valid: np.ndarray
     return out
 
 
-def hungarian_match(cost: jnp.ndarray, tgt_valid: jnp.ndarray) -> jnp.ndarray:
+def hungarian_match(cost: jnp.ndarray, tgt_valid: jnp.ndarray,
+                    method: str = "auction") -> jnp.ndarray:
     """[B,Q,T] costs + [B,T] validity -> matched query index per target
-    [B,T] (undefined where invalid)."""
+    [B,T] (undefined where invalid).
+
+    method="auction" (default): Bertsekas auction on device (train/
+    auction.py) — stays inside the SPMD program (no device-0 gather) and
+    runs on backends without host callbacks (the axon TPU relay).
+    method="callback": exact scipy / native-JV host solve."""
+    if method == "auction":
+        from .auction import auction_match
+        return auction_match(cost, tgt_valid)
     B, Q, T = cost.shape
     n_valid = tgt_valid.sum(axis=1).astype(jnp.int32)
     # Matching runs under no_grad in the reference (matcher.py:72); cut the
@@ -112,7 +121,8 @@ def hungarian_match(cost: jnp.ndarray, tgt_valid: jnp.ndarray) -> jnp.ndarray:
 def detection_criterion(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
                         tgt_boxes: jnp.ndarray, tgt_valid: jnp.ndarray,
                         sample_valid: jnp.ndarray,
-                        focal_alpha: float = 0.25
+                        focal_alpha: float = 0.25,
+                        match_method: str = "auction"
                         ) -> Dict[str, jnp.ndarray]:
     """Full detection loss (owlvit.py:195-254 + VSM.py:366-395 masking).
 
@@ -129,7 +139,7 @@ def detection_criterion(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
 
     cost = jax.vmap(match_cost)(pred_logits, pred_boxes, tgt_boxes,
                                 tgt_valid)
-    match_q = hungarian_match(cost, tgt_valid)          # [B, T]
+    match_q = hungarian_match(cost, tgt_valid, match_method)   # [B, T]
     match_q = jax.lax.stop_gradient(match_q)
 
     # --- classification (focal over one class) ---
@@ -173,10 +183,11 @@ def optax_sigmoid_ce(logits, labels):
 
 
 def detection_loss(pred_logits, pred_boxes, tgt_boxes, tgt_valid,
-                   sample_valid, weights=(2.0, 5.0, 2.0)) -> Tuple[
+                   sample_valid, weights=(2.0, 5.0, 2.0),
+                   match_method: str = "auction") -> Tuple[
                        jnp.ndarray, Dict[str, jnp.ndarray]]:
     d = detection_criterion(pred_logits, pred_boxes, tgt_boxes, tgt_valid,
-                            sample_valid)
+                            sample_valid, match_method=match_method)
     total = (weights[0] * d["loss_ce"] + weights[1] * d["loss_bbox"]
              + weights[2] * d["loss_giou"])
     return total, d
