@@ -16,11 +16,18 @@ from vstar_tpu.nn.llama import (embed_tokens, init_llama_params,
 
 
 def test_partition_rules():
-    assert spec_for("llama.layers.attn.wq") == P("fsdp", "model")
-    assert spec_for("llama.layers.attn.wo") == P("model", "fsdp")
-    assert spec_for("llama.layers.mlp.w_down") == P("model", "fsdp")
+    # stacked [L, in, out] decoder weights: fsdp shards the layer stack,
+    # model shards within the matmul
+    assert spec_for("llama.layers.attn.wq") == P("fsdp", None, "model")
+    assert spec_for("llama.layers.attn.wo") == P("fsdp", "model", None)
+    assert spec_for("llama.layers.mlp.w_down") == P("fsdp", "model", None)
     assert spec_for("llama.final_norm.scale") == P()
-    assert spec_for("llama.embed_tokens") == P("fsdp", "model")
+    # vocab 32003 divides no mesh; hidden carries the fsdp shard
+    assert spec_for("llama.embed_tokens") == P("model", "fsdp")
+    assert spec_for("llama.lm_head") == P("fsdp", "model")
+    # ZeRO-3-style fallback: shard dim0 when it divides
+    assert spec_for("owl_heads.box_head.dense0.w") == P("fsdp")
+    assert spec_for("vision.layers.mlp.fc1.w") == P("fsdp", None, "model")
 
 
 def test_sharded_forward_matches_single_device(cpu_mesh):

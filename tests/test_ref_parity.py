@@ -388,6 +388,77 @@ def _ref_vsm_heads(ref, full_ids, hidden, images_owl, loc_id):
     return low_res[:, 0], det["pred_logits"][..., 0], det["pred_boxes"]
 
 
+class TestImportAudit:
+    """Checkpoint-key audit (VERDICT r1 missing #2): every key of the
+    reference state_dicts must be consumed or skipped-by-design; strict
+    mode must refuse schema drift in either direction."""
+
+    def test_vqa_audit_clean(self, ref_vqa):
+        from vstar_tpu.core.import_audit import audit_import
+        cfg = _our_vqa_cfg()
+        report = audit_import(
+            ref_vqa.state_dict(),
+            lambda s: vqa_llm_params_from_torch(s, cfg))
+        assert not report.unknown, report.unknown[:10]
+        assert not report.missing, report.missing[:10]
+        assert len(report.consumed) > 100
+
+    def test_vsm_audit_clean(self, ref_vsm):
+        from vstar_tpu.core.import_audit import audit_import
+        from vstar_tpu.models.vsm import vsm_params_from_torch
+        cfg = _our_vsm_cfg()
+        report = audit_import(
+            ref_vsm.state_dict(),
+            lambda s: vsm_params_from_torch(s, cfg))
+        assert not report.unknown, report.unknown[:10]
+        assert not report.missing, report.missing[:10]
+        # skipped-by-design: the SAM point/box/mask prompt branches
+        assert any("prompt_encoder" in k for k in report.skipped)
+
+    def test_strict_mode_refuses_drift(self, ref_vqa):
+        cfg = _our_vqa_cfg()
+        sd = dict(ref_vqa.state_dict())
+        vqa_llm_params_from_torch(sd, cfg, strict=True)  # clean passes
+
+        extra = dict(sd)
+        extra["model.layers.0.self_attn.new_gate.weight"] = \
+            torch.zeros(2, 2)
+        with pytest.raises(KeyError, match="never consumes"):
+            vqa_llm_params_from_torch(extra, cfg, strict=True)
+
+        short = dict(sd)
+        del short["model.layers.1.mlp.down_proj.weight"]
+        with pytest.raises(KeyError, match="missing"):
+            vqa_llm_params_from_torch(short, cfg, strict=True)
+
+    def test_strict_tolerates_431_era_buffers(self, ref_vqa):
+        # the real checkpoints were saved with transformers 4.31, which
+        # persisted rotary inv_freq / position_ids buffers
+        cfg = _our_vqa_cfg()
+        sd = dict(ref_vqa.state_dict())
+        sd["model.layers.0.self_attn.rotary_emb.inv_freq"] = torch.zeros(8)
+        sd["model.vision_tower.vision_tower.vision_model.embeddings."
+           "position_ids"] = torch.zeros(1, 257)
+        vqa_llm_params_from_torch(sd, cfg, strict=True)
+
+    def test_manifests_match_key_list_audit(self):
+        from vstar_tpu.core.import_audit import audit_key_list, \
+            load_manifest
+        for name in ("seal_vqa_7b", "seal_vsm_7b"):
+            keys = load_manifest(name)
+            assert len(keys) > 500
+            report = audit_key_list(keys, name)
+            assert not report.unknown and not report.missing
+            # 4.31-era buffers in a real checkpoint: skipped, not unknown
+            report2 = audit_key_list(
+                keys + ["model.layers.0.self_attn.rotary_emb.inv_freq"],
+                name)
+            assert not report2.unknown
+            assert report2.skipped
+            report3 = audit_key_list(keys[:-5], name)
+            assert len(report3.missing) == 5
+
+
 class TestVSMComposedParity:
 
     def test_generate_and_heads(self, ref_vsm):

@@ -52,36 +52,45 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
 # ---------------------------------------------------------------------------
 
 # Rules for the LLaMA decoder (the dominant parameter mass). Layout notes:
-# all dense weights are stored (in_dim, out_dim).
+# all dense weights are stored (in_dim, out_dim); LLaMA layer weights are
+# STACKED with a leading layer axis [L, in, out] (for lax.scan), so their
+# specs have rank 3 — fsdp shards the layer stack (the classic
+# gather-one-layer-per-scan-step FSDP pattern), model shards within.
 LLAMA_RULES: Tuple[Tuple[str, P], ...] = (
-    # token embeddings: shard vocab over fsdp, dim over model
-    (r".*embed_tokens$", P(FSDP_AXIS, MODEL_AXIS)),
-    (r".*lm_head$", P(MODEL_AXIS, FSDP_AXIS)),
-    # attention: q/k/v project hidden->heads*dim; shard heads (out) over model
-    (r".*\b(wq|wk|wv)$", P(FSDP_AXIS, MODEL_AXIS)),
-    (r".*\bwo$", P(MODEL_AXIS, FSDP_AXIS)),
+    # vocab (32003) divides nothing; shard the hidden dim over fsdp.
+    (r".*embed_tokens$", P(MODEL_AXIS, FSDP_AXIS)),
+    (r".*lm_head$", P(FSDP_AXIS, MODEL_AXIS)),
+    # attention: q/k/v project hidden->heads*dim; shard heads (out) on model
+    (r".*\b(wq|wk|wv)$", P(FSDP_AXIS, None, MODEL_AXIS)),
+    (r".*\bwo$", P(FSDP_AXIS, MODEL_AXIS, None)),
     # MLP: gate/up shard hidden_out over model, down shards hidden_in
-    (r".*\b(w_gate|w_up)$", P(FSDP_AXIS, MODEL_AXIS)),
-    (r".*\bw_down$", P(MODEL_AXIS, FSDP_AXIS)),
-    # norms: replicate
-    (r".*(norm|ln)[^.]*$", P()),
+    (r".*\b(w_gate|w_up)$", P(FSDP_AXIS, None, MODEL_AXIS)),
+    (r".*\bw_down$", P(FSDP_AXIS, MODEL_AXIS, None)),
+    # stacked per-layer norm scales [L, D]: shard the layer stack
+    (r".*layers\..*(norm|ln)[^.]*\.(scale|bias)$", P(FSDP_AXIS)),
+    (r".*(norm|ln)([^.]*|[^.]*\.(scale|bias))$", P()),
 )
 
-# Vision towers and small heads: replicate by default (tiny vs the LM), but
-# shard the big ViT MLPs over model when present.
+# Vision towers: stacked [L, in, out] weights — fsdp on the layer stack,
+# model inside the MLP; everything else falls through to the default.
 VISION_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*\b(fc1|w_up)$", P(None, MODEL_AXIS)),
-    (r".*\bfc2$", P(MODEL_AXIS, None)),
+    (r".*\bfc1\.w$", P(FSDP_AXIS, None, MODEL_AXIS)),
+    (r".*\bfc2\.w$", P(FSDP_AXIS, MODEL_AXIS, None)),
+    (r".*\b(wq|wk|wv|wo)\.w$", P(FSDP_AXIS, None, MODEL_AXIS)),
 )
 
 DEFAULT_RULES = LLAMA_RULES + VISION_RULES
+
+# ZeRO-3-style default: shard the leading dim over fsdp whenever it
+# divides (clipping drops it otherwise) — nothing big stays replicated.
+_FALLBACK = P(FSDP_AXIS)
 
 
 def spec_for(path: str, rules=DEFAULT_RULES) -> P:
     for pattern, spec in rules:
         if re.match(pattern, path):
             return spec
-    return P()  # replicate
+    return _FALLBACK
 
 
 def partition_specs(params: Params, rules=DEFAULT_RULES) -> Params:

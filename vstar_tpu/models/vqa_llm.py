@@ -42,12 +42,20 @@ def init_vqa_llm_params(key, cfg: VQALLMConfig, dtype=jnp.float32,
 
 
 def vqa_llm_params_from_torch(sd, cfg: VQALLMConfig,
-                              dtype=jnp.float32) -> Dict:
+                              dtype=jnp.float32, strict: bool = False
+                              ) -> Dict:
     """Import a LlavaSearchLlamaForCausalLM state_dict.
 
     Key roots: 'model.*' (decoder), 'model.vision_tower.vision_tower.
     vision_model.*' (CLIP), 'model.mm_projector.*' (linear),
-    'model.mm_projector_object.{0,1,2}.*' (perceiver Sequential)."""
+    'model.mm_projector_object.{0,1,2}.*' (perceiver Sequential).
+
+    strict=True audits every checkpoint key: unknown (present but never
+    consumed) or missing keys raise (core/import_audit.py)."""
+    if strict:
+        from ..core.import_audit import strict_import
+        return strict_import(
+            sd, lambda s: vqa_llm_params_from_torch(s, cfg, dtype))
     return {
         "llama": llama_params_from_torch(sd, cfg.llama, dtype),
         "vision": vit_params_from_torch(

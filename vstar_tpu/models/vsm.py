@@ -64,8 +64,16 @@ def init_vsm_params(key, cfg: VSMConfig, dtype=jnp.float32,
     }
 
 
-def vsm_params_from_torch(sd, cfg: VSMConfig, dtype=jnp.float32) -> Dict:
-    """Import a VSMForCausalLM state_dict (craigwu/seal_vsm_7b)."""
+def vsm_params_from_torch(sd, cfg: VSMConfig, dtype=jnp.float32,
+                          strict: bool = False) -> Dict:
+    """Import a VSMForCausalLM state_dict (craigwu/seal_vsm_7b).
+
+    strict=True audits every checkpoint key: unknown (present but never
+    consumed) or missing keys raise (core/import_audit.py)."""
+    if strict:
+        from ..core.import_audit import strict_import
+        return strict_import(
+            sd, lambda s: vsm_params_from_torch(s, cfg, dtype))
     pe, dec = sam_params_from_torch(sd, cfg.sam, "model.prompt_encoder.",
                                     "model.mask_decoder.", dtype)
 

@@ -22,10 +22,27 @@ except Exception:  # pragma: no cover
     spacy = None
     _NLP = None
 
-_STOP_LEADERS = {
-    "the", "a", "an", "on", "in", "at", "near", "of", "to", "is", "are",
-    "it", "its", "be", "most", "likely", "location", "would",
-}
+_DETS = {"the", "a", "an", "this", "that", "these", "those", "some",
+         "any", "its", "their", "his", "her", "your", "my", "our"}
+_PREPS = {"on", "in", "at", "near", "by", "under", "over", "above",
+          "below", "behind", "beside", "inside", "outside", "within",
+          "around", "next", "to", "of", "with", "along", "against",
+          "across", "between", "among", "atop", "onto", "upon",
+          "towards", "toward", "beneath", "underneath"}
+_ADVS = {"most", "likely", "probably", "usually", "typically", "often",
+         "somewhere", "generally", "commonly", "perhaps", "possibly",
+         "right", "just", "directly", "closely", "very"}
+_COPULA = {"is", "are", "be", "was", "were", "would", "could", "should",
+           "can", "may", "might", "will"}
+_VERBALS = {"hanging", "placed", "located", "found", "sitting", "standing",
+            "mounted", "stored", "kept", "displayed", "parked", "resting",
+            "positioned", "situated", "attached", "hung", "lying",
+            "leaning", "appear", "appearing", "seen", "spotted"}
+_CONJ = {"or", "and", "nor"}
+# leading function words stripped from each coordinated segment; the rest
+# of the segment (including internal prepositional phrases, which spaCy
+# merges into the head noun's subtree via the 'prep' dep) is the chunk
+_STRIPPABLE = _DETS | _PREPS | _ADVS | _COPULA | _VERBALS | {"it", ","}
 
 
 def _spacy_noun_chunks(expression: str) -> List[str]:
@@ -65,14 +82,39 @@ def _spacy_noun_chunks(expression: str) -> List[str]:
 
 
 def _heuristic_noun_chunks(expression: str) -> List[str]:
-    """Fallback: strip leading function words; return the remaining phrase
-    as one chunk (common case: 'on the kitchen counter')."""
-    words = re.findall(r"[A-Za-z0-9'-]+", expression.lower())
-    while words and words[0] in _STOP_LEADERS:
-        words.pop(0)
-    if not words:
-        return []
-    return [" ".join(words)]
+    """spaCy-free approximation of the reference chunker
+    (visual_search.py:54-112), pinned to hand-derived goldens in
+    tests/test_cues.py. Semantics mirrored:
+
+      * coordination ('or'/'and'/commas) SPLITS chunks — each conjunct
+        noun heads its own chunk (spaCy 'conj' is not merged,
+        get_noun_chunks right-extends only over relcl/prep);
+      * prepositional phrases MERGE right into the preceding noun's chunk
+        ('corner of the image' stays one chunk — 'prep' right-extension);
+      * leading determiners/prepositions/adverbs/copulas/participles are
+        outside the chunk ('on the kitchen counter' -> 'kitchen counter' —
+        left-extension only covers amod/compound/poss).
+    """
+    raw = re.findall(r"[A-Za-z0-9'-]+|,", expression)
+    # coordination splits top-level segments
+    segments: List[List[str]] = [[]]
+    for w in raw:
+        if w.lower() in _CONJ or w == ",":
+            segments.append([])
+        else:
+            segments[-1].append(w)
+
+    chunks = []
+    for seg in segments:
+        i = 0
+        while i < len(seg) and seg[i].lower() in _STRIPPABLE:
+            i += 1
+        if i >= len(seg):
+            continue
+        # after the head content word begins, the rest of the segment
+        # (internal prep phrases included) belongs to the chunk
+        chunks.append(" ".join(seg[i:]))
+    return chunks
 
 
 def extract_noun_chunks(expression: str) -> List[str]:

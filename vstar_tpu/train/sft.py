@@ -35,16 +35,25 @@ class TrainState(NamedTuple):
 def make_optimizer(learning_rate: float = 2e-5, warmup_steps: int = 100,
                    total_steps: int = 10000, weight_decay: float = 0.0,
                    b1: float = 0.9, b2: float = 0.999,
-                   grad_clip: float = 1.0) -> optax.GradientTransformation:
+                   grad_clip: float = 1.0, trainable_mask=None,
+                   master_f32: bool = False
+                   ) -> optax.GradientTransformation:
     """AdamW + linear warmup / cosine decay (the reference uses HF defaults
     for the VQA LLM and WarmupDecayLR for the VSM; both are covered by
-    optax schedules)."""
+    optax schedules).
+
+    trainable_mask: bool pytree — optimizer state (and f32 masters)
+    allocate only for trainable leaves (optax.masked).
+    master_f32: f32 master weights for bf16 parameter storage."""
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
-    return optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
-    )
+    adamw = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
+    if master_f32:
+        from .master import with_f32_master
+        adamw = with_f32_master(adamw)
+    if trainable_mask is not None:
+        adamw = optax.masked(adamw, trainable_mask)
+    return optax.chain(optax.clip_by_global_norm(grad_clip), adamw)
 
 
 def sft_loss(params: Dict, cfg: VQALLMConfig, batch: Dict,

@@ -42,6 +42,14 @@ def _common(p):
     p.add_argument("--per_device_batch_size", default=4, type=int)
     p.add_argument("--seq_bucket", default=2048, type=int)
     p.add_argument("--log_every", default=50, type=int)
+    p.add_argument("--mesh", default=None,
+                   help="DxFxM mesh shape (data x fsdp x model), e.g. 1x8x1;"
+                   " default: all devices on fsdp when >1 device")
+    p.add_argument("--param_dtype", choices=["bf16", "f32"], default="bf16",
+                   help="parameter storage dtype; bf16 + f32 masters in the"
+                   " optimizer is the DeepSpeed-bf16-mode equivalent")
+    p.add_argument("--hbm_gb", default=16.0, type=float,
+                   help="per-chip HBM for the startup memory check")
 
 
 def parse_args(argv=None):
@@ -71,12 +79,21 @@ def frozen_vision_mask(params):
 
 def run_training(args, cfg, params, dataset, collate_fn, tokenizer,
                  trainable_mask, lr):
-    mesh = make_mesh()
+    from ..core.memory import (check_memory, parse_mesh_arg,
+                               plan_train_memory)
+    master_f32 = args.param_dtype == "bf16"
+    mesh = make_mesh(parse_mesh_arg(args.mesh, len(jax.devices())))
+    check_memory(plan_train_memory(params, mesh,
+                                   trainable_mask=trainable_mask,
+                                   master_f32=master_f32),
+                 hbm_gb=args.hbm_gb,
+                 what=f"{args.stage} (mesh {dict(mesh.shape)})")
     params = shard_params(params, mesh)
     steps_per_epoch = max(len(dataset) // args.per_device_batch_size, 1)
     total = steps_per_epoch * args.num_train_epochs
     opt = make_optimizer(lr, warmup_steps=min(100, total // 10),
-                         total_steps=total)
+                         total_steps=total, trainable_mask=trainable_mask,
+                         master_f32=master_f32)
     state = init_train_state(params, opt)
     step_fn = jax.jit(lambda st, b: sft_train_step(st, b, cfg, opt,
                                                    trainable_mask),
@@ -113,6 +130,7 @@ def main(argv=None):
     args = parse_args(argv)
     from transformers import AutoTokenizer
     cfg = vqa_llm_7b()
+    param_dtype = jnp.bfloat16 if args.param_dtype == "bf16" else jnp.float32
 
     if args.stage == "pretrain":
         from ..data.pretrain_dataset import (PretrainCaptionDataset,
@@ -121,7 +139,7 @@ def main(argv=None):
         tokenizer = AutoTokenizer.from_pretrained(
             "lmsys/vicuna-7b-v1.5", use_fast=False)
         params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg,
-                                     dtype=jnp.float32)
+                                     dtype=param_dtype)
         lr = args.learning_rate or (2e-3 if args.projector == "linear"
                                     else 2e-4)
         ds = PretrainCaptionDataset(args.data_path, args.image_folder,
@@ -148,7 +166,7 @@ def main(argv=None):
         tokenizer = AutoTokenizer.from_pretrained(args.model_path,
                                                   use_fast=False)
         params = vqa_llm_params_from_torch(load_torch_dir(args.model_path),
-                                           cfg, dtype=jnp.float32)
+                                           cfg, dtype=param_dtype)
         ds = SearchInstructionDataset(args.data_path, args.image_folder,
                                       image_size=cfg.vision.image_size)
 

@@ -49,6 +49,14 @@ def parse_args(argv=None):
     p.add_argument("--lora_alpha", default=16, type=int)
     p.add_argument("--warmup_steps", default=100, type=int)
     p.add_argument("--seq_bucket", default=512, type=int)
+    p.add_argument("--mesh", default=None,
+                   help="DxFxM mesh shape (data x fsdp x model), e.g. 1x8x1;"
+                   " default: all devices on fsdp when >1 device")
+    p.add_argument("--param_dtype", choices=["bf16", "f32"], default="bf16",
+                   help="parameter storage dtype; bf16 + f32 masters in the"
+                   " optimizer is the DeepSpeed-bf16-mode equivalent")
+    p.add_argument("--hbm_gb", default=16.0, type=float,
+                   help="per-chip HBM for the startup memory check")
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--no_eval", action="store_true", default=False)
     p.add_argument("--dataset", default="general_segdet||refer_seg||"
@@ -96,18 +104,26 @@ def main(argv=None):
 
     cfg = vsm_7b()
     from ..core.checkpoint import load_torch_dir
+    from ..core.memory import check_memory, parse_mesh_arg, plan_train_memory
     from ..models.vsm import vsm_params_from_torch
+    param_dtype = jnp.bfloat16 if args.param_dtype == "bf16" else jnp.float32
     params = vsm_params_from_torch(load_torch_dir(args.version), cfg,
-                                   dtype=jnp.float32)
+                                   dtype=param_dtype)
     if args.lora_r > 0:
         params["llama"] = add_lora(params["llama"], jax.random.PRNGKey(0),
                                    r=args.lora_r, alpha=args.lora_alpha)
 
-    mesh = make_mesh()
-    params = shard_params(params, mesh)
+    mesh = make_mesh(parse_mesh_arg(args.mesh, len(jax.devices())))
     mask = vsm_trainable_mask(params)
+    check_memory(plan_train_memory(params, mesh, trainable_mask=mask,
+                                   master_f32=args.param_dtype == "bf16"),
+                 hbm_gb=args.hbm_gb,
+                 what=f"VSM train (mesh {dict(mesh.shape)})")
+    params = shard_params(params, mesh)
     total_steps = args.epochs * args.steps_per_epoch
-    opt = make_vsm_optimizer(args.lr, args.warmup_steps, total_steps)
+    opt = make_vsm_optimizer(args.lr, args.warmup_steps, total_steps,
+                             trainable_mask=mask,
+                             master_f32=args.param_dtype == "bf16")
     state = VSMTrainState(params, opt.init(params),
                           jnp.zeros((), jnp.int32))
 

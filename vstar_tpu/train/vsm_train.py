@@ -43,15 +43,28 @@ class VSMTrainState(NamedTuple):
 
 
 def make_vsm_optimizer(lr: float = 1e-4, warmup_steps: int = 100,
-                       total_steps: int = 100000, grad_clip: float = 1.0):
-    """AdamW β=(0.9,0.95) + WarmupDecayLR, matching train.py:282-318."""
+                       total_steps: int = 100000, grad_clip: float = 1.0,
+                       trainable_mask=None, master_f32: bool = False):
+    """AdamW β=(0.9,0.95) + WarmupDecayLR, matching train.py:282-318.
+
+    trainable_mask: bool pytree — AdamW state (and f32 masters) allocate
+    ONLY for trainable leaves via optax.masked; frozen leaves receive the
+    (already-zeroed) gradient pass-through. Without this, LoRA training a
+    7B model would allocate full-model moments (~56 GB).
+    master_f32: keep f32 master weights for sub-f32 (bf16) parameter
+    storage (train/master.py) — DeepSpeed bf16-mode equivalence.
+    """
     schedule = optax.join_schedules(
         [optax.linear_schedule(0.0, lr, warmup_steps),
          optax.linear_schedule(lr, 0.0, max(total_steps - warmup_steps, 1))],
         [warmup_steps])
-    return optax.chain(optax.clip_by_global_norm(grad_clip),
-                       optax.adamw(schedule, b1=0.9, b2=0.95,
-                                   weight_decay=0.0))
+    adamw = optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=0.0)
+    if master_f32:
+        from .master import with_f32_master
+        adamw = with_f32_master(adamw)
+    if trainable_mask is not None:
+        adamw = optax.masked(adamw, trainable_mask)
+    return optax.chain(optax.clip_by_global_norm(grad_clip), adamw)
 
 
 def _owl_feature_map_trainable_ln(params: Dict, cfg: VSMConfig,
