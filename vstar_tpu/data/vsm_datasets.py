@@ -165,8 +165,10 @@ class ReferSegDataset:
                                        item["image"]))
         clip_t, owl_t = _preprocess_pair(img)
         exprs = item["expressions"]
-        chosen = [self.rng.choice(exprs) for _ in range(
-            min(self.k, len(exprs)))]
+        # distinct expressions, like the reference's random.sample
+        # (refer_seg_dataset.py) — sampling with replacement would skew
+        # the mixture with duplicate rows
+        chosen = self.rng.sample(exprs, min(self.k, len(exprs)))
         mask = self._mask(item, img.height, img.width)
         boxes = _boxes_xyxy_to_cxcywh_norm(
             np.asarray([item["bbox"]], np.float32), img.width, img.height)

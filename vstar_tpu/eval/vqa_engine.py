@@ -84,7 +84,9 @@ class VQAEngine:
                              "top_p", "use_speculative"))
         self._rng = jax.random.PRNGKey(0)
         self._jit_prefill = jax.jit(
-            self._prefill_device, static_argnames=("bucket",))
+            self._prefill_device, static_argnames=("bucket", "opt_room"))
+        self._jit_chunk = jax.jit(
+            self._chunk_decode_device, static_argnames=("k",))
         self._jit_option_ce = jax.jit(
             functools.partial(option_ce, compute_dtype=compute_dtype),
             static_argnames=("cfg",))
@@ -143,11 +145,12 @@ class VQAEngine:
     # -- device programs -----------------------------------------------------
 
     def _prefill_device(self, params, image, objects, text_ids, feat_idx,
-                        is_feat, lens, *, bucket):
+                        is_feat, lens, *, bucket, opt_room=None):
         bank = encode_feature_bank(params, self.cfg, image, objects)
         bank = bank.astype(self.compute_dtype)
         cache = init_cache(self.cfg.llama, text_ids.shape[0],
-                           bucket + self.option_bucket, self.compute_dtype)
+                           bucket + (opt_room or self.option_bucket),
+                           self.compute_dtype)
         logits, hidden, cache = prefill(params, self.cfg, bank, text_ids,
                                         feat_idx, is_feat, lens, cache,
                                         self.compute_dtype)
@@ -182,15 +185,78 @@ class VQAEngine:
                                 rng_key=rng_key)
         return res.tokens, res.num_generated
 
+    def _chunk_decode_device(self, params, cache, logits, hidden, *, k):
+        """k greedy tokens + the continuation state (logits/hidden/cache
+        positioned after the k-th token) for host-chunked decoding."""
+        from ..models.vqa_llm import decode_step
+        res = greedy_decode(params["llama"], self.cfg.llama, cache, logits,
+                            hidden, k, [self.eos_id], self.compute_dtype)
+        logits2, hidden2, cache2 = decode_step(
+            params, self.cfg, res.cache, res.tokens[:, k - 1:k],
+            self.compute_dtype)
+        return res.tokens, res.num_generated, logits2, hidden2, cache2
+
+    def _free_form_keywords(self, image, question, object_crops,
+                            images_long, objects_long, max_new_tokens,
+                            stop_keywords, chunk: int = 8) -> str:
+        """Greedy decode with multi-token keyword stopping
+        (KeywordsStoppingCriteria semantics, mm_utils.py:123-148):
+        decode in device chunks, check the decoded text on the host, stop
+        at the first keyword and strip it (vstar_bench_eval.py:104-113)."""
+        prompt = self._prompt(question)
+        ids = self._tokenize(prompt)
+        image_long = True if images_long is None else bool(images_long[0])
+        n = spliced_length(ids, n_long=self.cfg.image_tokens_long,
+                           n_short=self.cfg.image_tokens_short,
+                           image_long=image_long, objects_long=objects_long)
+        bucket = self._bucket(n)
+        lay = self._layout(ids, image_long, objects_long, bucket)
+        img = jnp.asarray(self.preprocess_image(image)[None])
+        objs = jnp.asarray(self._object_stack(object_crops)[None])
+        room = ((max_new_tokens + chunk + 127) // 128) * 128
+        logits, hidden, cache = self._jit_prefill(
+            self.params, img, objs, jnp.asarray(lay.text_ids[None]),
+            jnp.asarray(lay.feat_idx[None]), jnp.asarray(lay.is_feat[None]),
+            jnp.asarray([lay.length], jnp.int32), bucket=bucket,
+            opt_room=room)
+
+        toks: List[int] = []
+        while len(toks) < max_new_tokens:
+            k = min(chunk, max_new_tokens - len(toks))
+            tokens, ngen, logits, hidden, cache = self._jit_chunk(
+                self.params, cache, logits, hidden, k=k)
+            got = [int(t) for t in np.asarray(tokens[0, :int(ngen[0])])]
+            toks.extend(got)
+            hit_eos = got and got[-1] == self.eos_id
+            text = self.tokenizer.decode(
+                [t for t in toks if t != self.eos_id],
+                skip_special_tokens=True).strip()
+            stop_kw = next((kw for kw in stop_keywords if kw in text), None)
+            if stop_kw is not None:
+                return text.split(stop_kw)[0].strip()
+            if hit_eos:
+                return text
+        return self.tokenizer.decode(
+            [t for t in toks if t != self.eos_id],
+            skip_special_tokens=True).strip()
+
     # -- public API ----------------------------------------------------------
 
     def free_form(self, image: Image.Image, question: str,
                   object_crops=None, images_long=None, objects_long=None,
                   max_new_tokens: int = 200, temperature: float = 0.0,
-                  top_p=None) -> str:
+                  top_p=None, stop_keywords: Optional[Sequence[str]] = None
+                  ) -> str:
         """Greedy free-form answer (vstar_bench_eval.py:78-114).
         `image` must already be expand2square'd by the caller, as in the
-        reference loop (vstar_bench_eval.py:192)."""
+        reference loop (vstar_bench_eval.py:192).
+
+        stop_keywords: optional decoded-text stop strings beyond eos
+        (multi-token KeywordsStoppingCriteria generality)."""
+        if stop_keywords:
+            return self._free_form_keywords(
+                image, question, object_crops, images_long, objects_long,
+                max_new_tokens, stop_keywords)
         prompt = self._prompt(question)
         ids = self._tokenize(prompt)
         image_long = True if images_long is None else bool(images_long[0])
@@ -235,8 +301,21 @@ class VQAEngine:
                        max_new_tokens: int = 200):
         """Batched free_form across images (one device batch; workload 4).
         object_crops_list / images_long / objects_long are per-row lists
-        (None entries use the defaults)."""
+        (None entries use the defaults). Waves larger than the biggest
+        batch bucket are split and concatenated."""
         n = len(images)
+        max_bb = 16
+        if n > max_bb:
+            def sl(x, a, b):
+                return None if x is None else x[a:b]
+            out = []
+            for a in range(0, n, max_bb):
+                b = min(a + max_bb, n)
+                out.extend(self.free_form_many(
+                    images[a:b], questions[a:b],
+                    sl(object_crops_list, a, b), sl(images_long, a, b),
+                    sl(objects_long, a, b), max_new_tokens))
+            return out
         lays, imgs, objs = [], [], []
         for i in range(n):
             il = True if images_long is None or images_long[i] is None \
@@ -296,6 +375,18 @@ class VQAEngine:
         """Batched option scoring across images (all rows must have the
         same option count, as V*Bench does)."""
         n = len(images)
+        max_bb = 16
+        if n > max_bb:
+            def sl(x, a, b):
+                return None if x is None else x[a:b]
+            out = []
+            for a in range(0, n, max_bb):
+                b = min(a + max_bb, n)
+                out.extend(self.multiple_choice_many(
+                    images[a:b], questions[a:b], options_list[a:b],
+                    sl(object_crops_list, a, b), sl(images_long, a, b),
+                    sl(objects_long, a, b)))
+            return out
         n_opts = len(options_list[0])
         assert all(len(o) == n_opts for o in options_list)
         lays, imgs, objs, q_ids_list, flags = [], [], [], [], []
@@ -323,6 +414,13 @@ class VQAEngine:
             built.append(built[0])
             imgs.append(imgs[0])
             objs.append(objs[0])
+
+        opt_ids_all = [[self._tokenize(
+            self._prompt(questions[b], options_list[b][opt_i])
+        )[len(q_ids_list[b]):] for opt_i in range(n_opts)]
+            for b in range(n)]
+        O = self._opt_room(max(len(o) for row in opt_ids_all for o in row))
+
         last_logits, _, cache = self._jit_prefill(
             self.params, jnp.asarray(np.stack(imgs)),
             jnp.asarray(np.stack(objs)),
@@ -330,18 +428,14 @@ class VQAEngine:
             jnp.asarray(np.stack([l.feat_idx for l in built])),
             jnp.asarray(np.stack([l.is_feat for l in built])),
             jnp.asarray([l.length for l in built], jnp.int32),
-            bucket=bucket)
+            bucket=bucket, opt_room=O)
 
-        O = self.option_bucket
         losses = np.zeros((n, n_opts), np.float64)
         for opt_i in range(n_opts):
             padded = np.zeros((bb, O), np.int32)
             lens = np.ones((bb,), np.int32)
             for b in range(n):
-                full_ids = self._tokenize(
-                    self._prompt(questions[b], options_list[b][opt_i]))
-                opt_ids = full_ids[len(q_ids_list[b]):]
-                assert len(opt_ids) <= O, "option too long for bucket"
+                opt_ids = opt_ids_all[b][opt_i]
                 padded[b, :len(opt_ids)] = opt_ids
                 lens[b] = len(opt_ids)
             ce = self._jit_option_ce(
@@ -349,6 +443,14 @@ class VQAEngine:
                 jnp.asarray(padded), jnp.asarray(lens))
             losses[:, opt_i] = np.asarray(ce[:n], np.float64)
         return [int(np.argmin(losses[b])) for b in range(n)]
+
+    def _opt_room(self, max_len: int) -> int:
+        """Option bucket, grown in 16-token steps for long options (the
+        reference handles any option length, vstar_bench_eval.py:140-161;
+        r1 hard-asserted and crashed)."""
+        if max_len <= self.option_bucket:
+            return self.option_bucket
+        return ((max_len + 15) // 16) * 16
 
     def multiple_choice(self, image: Image.Image, question: str,
                         options: Sequence[str], object_crops=None,
@@ -363,19 +465,22 @@ class VQAEngine:
         bucket = self._bucket(n)
         lay = self._layout(q_ids, image_long, objects_long, bucket)
 
+        opt_ids_list = []
+        for option in options:
+            full_ids = self._tokenize(self._prompt(question, option))
+            opt_ids_list.append(full_ids[len(q_ids):])
+        O = self._opt_room(max(len(o) for o in opt_ids_list))
+
         img = jnp.asarray(self.preprocess_image(image)[None])
         objs = jnp.asarray(self._object_stack(object_crops)[None])
         last_logits, _, cache = self._jit_prefill(
             self.params, img, objs, jnp.asarray(lay.text_ids[None]),
             jnp.asarray(lay.feat_idx[None]), jnp.asarray(lay.is_feat[None]),
-            jnp.asarray([lay.length], jnp.int32), bucket=bucket)
+            jnp.asarray([lay.length], jnp.int32), bucket=bucket,
+            opt_room=O)
 
         losses = []
-        for option in options:
-            full_ids = self._tokenize(self._prompt(question, option))
-            opt_ids = full_ids[len(q_ids):]
-            O = self.option_bucket
-            assert len(opt_ids) <= O, "option too long for bucket"
+        for opt_ids in opt_ids_list:
             padded = np.zeros((1, O), np.int32)
             padded[0, :len(opt_ids)] = opt_ids
             ce = self._jit_option_ce(

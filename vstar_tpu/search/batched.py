@@ -39,6 +39,18 @@ class BatchedVSMEngine(VSMEngine):
     def _run_many(self, images: Sequence, questions: Sequence[str]):
         n = len(images)
         assert n > 0
+        max_bb = 16
+        if n > max_bb:
+            # split oversized waves into bucket-sized device batches and
+            # concatenate the outputs (r1 silently compiled B=n shapes)
+            import jax.numpy as _jnp
+            parts = [self._run_many(images[a:a + max_bb],
+                                    questions[a:a + max_bb])[0]
+                     for a in range(0, n, max_bb)]
+            merged = type(parts[0])(*[
+                _jnp.concatenate([getattr(p, f) for p in parts], axis=0)
+                for f in parts[0]._fields])
+            return merged, n
         prompts = [self._build_prompt(q) for q in questions]
         ids_list = [tokenize_with_image(p, self.tokenizer) for p in prompts]
         n_img = self.cfg.image_tokens
