@@ -57,12 +57,18 @@ def _color_mask(arr: np.ndarray, rgb: Tuple[int, int, int]) -> np.ndarray:
 
 def make_synthetic_benchmark(out_dir: str, n_per_task: int = 3,
                              seed: int = 0, image_hw=(1024, 1024),
-                             target: int = 56) -> List[Dict]:
+                             target: Optional[int] = None) -> List[Dict]:
     """Write direct_attributes/ + relative_position/ with one colored
     target per image at a known bbox; the correct option is index 0 (the
-    V*Bench convention the evaluator scores against)."""
+    V*Bench convention the evaluator scores against).
+
+    Target sizes cycle [56, 36, 28] (unless fixed via `target`): 56^2
+    crosses the 1%-of-patch detectability bar at the 512-quadrant (path
+    length 2), the smaller ones only at the 256-window (length 3), so the
+    guided search exercises multiple depths."""
     rng = np.random.RandomState(seed)
     H, W = image_hw
+    sizes = [56, 36, 28]
     specs = []
     idx = 0
     for task in ("direct_attributes", "relative_position"):
@@ -70,25 +76,26 @@ def make_synthetic_benchmark(out_dir: str, n_per_task: int = 3,
         os.makedirs(d, exist_ok=True)
         for i in range(n_per_task):
             name, rgb = PALETTE[idx % len(PALETTE)]
+            tsize = target if target is not None else sizes[idx % 3]
             idx += 1
             arr = rng.randint(BG_LOW, BG_HIGH,
                               (H, W, 3)).astype(np.uint8)
-            # keep the target inside one quadrant with margin so the
-            # guided descent has a clean accept at scale 2
-            qx, qy = rng.randint(0, 2), rng.randint(0, 2)
-            x = qx * (W // 2) + rng.randint(60, W // 2 - 60 - target)
-            y = qy * (H // 2) + rng.randint(60, H // 2 - 60 - target)
-            arr[y:y + target, x:x + target] = rgb
+            # keep the target inside one 256-aligned window with margin so
+            # descent terminates with a clean fully-visible accept
+            qx, qy = rng.randint(0, 4), rng.randint(0, 4)
+            x = qx * (W // 4) + rng.randint(30, W // 4 - 30 - tsize)
+            y = qy * (H // 4) + rng.randint(30, H // 4 - 30 - tsize)
+            arr[y:y + tsize, x:x + tsize] = rgb
             img = Image.fromarray(arr)
             stem = f"{task[:3]}_{i}"
             img.save(os.path.join(d, stem + ".png"))
             distract = [n for n, _ in PALETTE if n != name]
             ann = {
-                "question": f"What is the color of the small marker?",
+                "question": "What is the color of the small marker?",
                 "options": [f"the marker is {name}",
                             f"the marker is {distract[i % 3]}"],
                 "target_object": [f"{name} marker"],
-                "bbox": [int(x), int(y), int(target), int(target)],
+                "bbox": [int(x), int(y), int(tsize), int(tsize)],
             }
             json.dump(ann, open(os.path.join(d, stem + ".json"), "w"))
             specs.append({"task": task, "image": stem + ".png",
@@ -101,8 +108,7 @@ class ScriptedColorVSM:
     """VSMClient computing detection/heatmap from the pixels it is handed.
     `name` must start with a palette color ('red marker')."""
 
-    def __init__(self, target: int = 56):
-        self.target = target
+    def __init__(self):
         self.detect_calls = 0
 
     def _rgb(self, name: str):
@@ -125,7 +131,9 @@ class ScriptedColorVSM:
             y0, y1 = ys.min(), ys.max() + 1
             boxes[0] = [(x0 + x1) / 2 / w, (y0 + y1) / 2 / h,
                         (x1 - x0) / w, (y1 - y0) / h]
-            full = len(ys) >= 0.93 * self.target ** 2
+            # fully visible = the color region doesn't touch the crop
+            # border (size-independent)
+            full = x0 > 0 and y0 > 0 and x1 < w and y1 < h
             frac = len(ys) / (h * w)
             logits[0] = 0.9 if (full and frac > 0.01) else 0.3
         return boxes, logits, heat
@@ -194,7 +202,7 @@ class ScriptedColorVQA:
 
 
 def run_synthetic_eval(out_dir: str, n_per_task: int = 3, seed: int = 0,
-                       target: int = 56,
+                       target: Optional[int] = None,
                        collect_path_lengths: bool = True):
     """Build the benchmark, drive the real SEAL loop (seal_answer — the
     orchestration eval_model wraps) per sample with the scripted engines,
@@ -207,7 +215,7 @@ def run_synthetic_eval(out_dir: str, n_per_task: int = 3, seed: int = 0,
                                      target=target)
     by_image = {(s["task"], s["image"]): s for s in specs}
     vqa = ScriptedColorVQA(specs)
-    vsm = ScriptedColorVSM(target=target)
+    vsm = ScriptedColorVSM()
 
     # walk in eval_model's order, telling the scripted VQA which sample is
     # current (the real engines infer it from the pixels/question alone)
