@@ -55,6 +55,94 @@ def _finish_sample(vqa_engine, image, question, options, missing_objects,
     }
 
 
+def run_search_phase(vsm_batched, images: Sequence, missing: Sequence[List[str]],
+                     minimum_size_scale=4.0, minimum_size=224,
+                     max_search_steps=None):
+    """Run every (image, missing-object) search across the batch in
+    lockstep waves. Returns (search_results, failed) per image:
+    `search_results[i]` is the seal_answer box list (weak fallback boxes
+    included, matching visual_search.py:498-511 + app.py:165-179) and
+    `failed[i]` the object names whose search was unsuccessful
+    (app.py:166: `if not search_successful`)."""
+    tasks = []      # (sample_idx, object_name)
+    for i, objs in enumerate(missing):
+        for name in objs:
+            tasks.append((i, name))
+    search_results: List[List[Dict]] = [[] for _ in images]
+    failed: List[List[str]] = [[] for _ in images]
+    if not tasks:
+        return search_results, failed
+    imgs = [images[i] for i, _ in tasks]
+    names = [n for _, n in tasks]
+    smallest = [max(int(np.ceil(min(im.width, im.height)
+                                / minimum_size_scale)), minimum_size)
+                for im in imgs]
+    # run_batched_searches takes shared kwargs; group tasks by their
+    # smallest_size so the policy parameters stay exact per task.
+    by_small = defaultdict(list)
+    for t_idx, s_val in enumerate(smallest):
+        by_small[s_val].append(t_idx)
+    outs: List = [None] * len(tasks)
+    if hasattr(vsm_batched, "detect_many"):
+        for s_val, t_idxs in by_small.items():
+            res = run_batched_searches(
+                vsm_batched, [imgs[t] for t in t_idxs],
+                [names[t] for t in t_idxs], smallest_size=s_val,
+                max_steps=max_search_steps)
+            for t, r in zip(t_idxs, res):
+                outs[t] = r
+    else:  # serial engine fallback
+        from ..search.policy import visual_search
+        for t in range(len(tasks)):
+            outs[t] = visual_search(vsm_batched, imgs[t], names[t],
+                                    smallest_size=smallest[t],
+                                    max_steps=max_search_steps)
+    for (i, name), (final_step, _, ok, all_boxes) in zip(tasks, outs):
+        if not ok:
+            failed[i].append(name)
+        if final_step is None or final_step.detection_result is None:
+            continue  # the reference would crash here (VSM never stashed)
+        if all_boxes is not None:
+            for sb in all_boxes:
+                sb = np.asarray(sb, np.float64).copy()
+                sb[0] += final_step.bbox[0]
+                sb[1] += final_step.bbox[1]
+                search_results[i].append({"bbox": sb.tolist(),
+                                          "name": name})
+        else:
+            sb = np.asarray(final_step.detection_result,
+                            np.float64).copy()
+            sb[0] += final_step.bbox[0]
+            sb[1] += final_step.bbox[1]
+            search_results[i].append({"bbox": sb.tolist(), "name": name})
+    return search_results, failed
+
+
+def build_focus_inputs(vqa_engine, image, question: str,
+                       search_result: Sequence[Dict],
+                       failed: Sequence[str] = (),
+                       include_failed: bool = False):
+    """Focused re-ask inputs for one sample: (squared_image, question,
+    crops, images_long, objects_long). Mirrors seal_answer's tail /
+    app.py:183-226; `include_failed` adds app.py's failed-objects clause
+    (freeform serving path only — the benchmark MC prompt never has it)."""
+    squared, left, top = expand2square(image)
+    names = [r["name"] for r in search_result]
+    bboxes = deepcopy([r["bbox"] for r in search_result])
+    if len(names) <= 2:
+        il, ol = [False], [True] * len(names)
+    else:
+        il, ol = [False], [False] * len(names)
+    crops = [vqa_engine.get_object_crop(image, b, 1.2) for b in bboxes]
+    bbox_list = []
+    for b in bboxes:
+        b = [b[0] + left, b[1] + top, b[2], b[3]]
+        bbox_list.append(normalize_bbox(b, squared.width, squared.height))
+    q = focus_prompt(question, names, bbox_list,
+                     failed_names=failed if include_failed else ())
+    return squared, q, crops, il, ol
+
+
 def eval_batch(vqa_engine, vsm_batched, samples: Sequence[Dict],
                minimum_size_scale=4.0, minimum_size=224,
                max_search_steps=None) -> List[Dict]:
@@ -71,47 +159,9 @@ def eval_batch(vqa_engine, vsm_batched, samples: Sequence[Dict],
     missing = [parse_missing_objects(p) for p in predictions]
 
     # Phase 2: ALL searches across the batch advance in lockstep waves.
-    tasks = []      # (sample_idx, object_name)
-    for i, objs in enumerate(missing):
-        for name in objs:
-            tasks.append((i, name))
-    search_results: List[List[Dict]] = [[] for _ in samples]
-    if tasks:
-        imgs = [samples[i]["image"] for i, _ in tasks]
-        names = [n for _, n in tasks]
-        smallest = [max(int(np.ceil(min(im.width, im.height)
-                                    / minimum_size_scale)), minimum_size)
-                    for im in imgs]
-        # run_batched_searches takes shared kwargs; group tasks by their
-        # smallest_size so the policy parameters stay exact per task.
-        by_small = defaultdict(list)
-        for t_idx, s_val in enumerate(smallest):
-            by_small[s_val].append(t_idx)
-        outs: List = [None] * len(tasks)
-        for s_val, t_idxs in by_small.items():
-            res = run_batched_searches(
-                vsm_batched, [imgs[t] for t in t_idxs],
-                [names[t] for t in t_idxs], smallest_size=s_val,
-                max_steps=max_search_steps)
-            for t, r in zip(t_idxs, res):
-                outs[t] = r
-        for (i, name), (final_step, _, ok, all_boxes) in zip(tasks, outs):
-            if final_step is None or final_step.detection_result is None:
-                continue
-            if all_boxes is not None:
-                for sb in all_boxes:
-                    sb = np.asarray(sb, np.float64).copy()
-                    sb[0] += final_step.bbox[0]
-                    sb[1] += final_step.bbox[1]
-                    search_results[i].append({"bbox": sb.tolist(),
-                                              "name": name})
-            else:
-                sb = np.asarray(final_step.detection_result,
-                                np.float64).copy()
-                sb[0] += final_step.bbox[0]
-                sb[1] += final_step.bbox[1]
-                search_results[i].append({"bbox": sb.tolist(),
-                                          "name": name})
+    search_results, _ = run_search_phase(
+        vsm_batched, [s["image"] for s in samples], missing,
+        minimum_size_scale, minimum_size, max_search_steps)
 
     # Phase 3: focused multiple choice — batched when supported.
     if not hasattr(vqa_engine, "multiple_choice_many"):
@@ -122,23 +172,11 @@ def eval_batch(vqa_engine, vsm_batched, samples: Sequence[Dict],
 
     mc_imgs, mc_qs, mc_opts, mc_crops, mc_il, mc_ol = [], [], [], [], [], []
     for i, s in enumerate(samples):
-        squared, left, top = expand2square(s["image"])
         if missing[i]:
-            names = [r["name"] for r in search_results[i]]
-            bboxes = deepcopy([r["bbox"] for r in search_results[i]])
-            if len(names) <= 2:
-                il, ol = [False], [True] * len(names)
-            else:
-                il, ol = [False], [False] * len(names)
-            crops = [vqa_engine.get_object_crop(s["image"], b, 1.2)
-                     for b in bboxes]
-            bbox_list = []
-            for b in bboxes:
-                b = [b[0] + left, b[1] + top, b[2], b[3]]
-                bbox_list.append(normalize_bbox(b, squared.width,
-                                                squared.height))
-            q = focus_prompt(s["question"], names, bbox_list)
+            squared, q, crops, il, ol = build_focus_inputs(
+                vqa_engine, s["image"], s["question"], search_results[i])
         else:
+            squared = expand2square(s["image"])[0]
             il, ol, crops, q = None, None, None, s["question"]
         mc_imgs.append(squared)
         mc_qs.append(q)

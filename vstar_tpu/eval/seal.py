@@ -36,14 +36,26 @@ def parse_missing_objects(prediction: str) -> List[str]:
 
 
 def focus_prompt(question: str, object_names: Sequence[str],
-                 bbox_list: Sequence[Sequence[float]]) -> str:
+                 bbox_list: Sequence[Sequence[float]],
+                 failed_names: Sequence[str] = ()) -> str:
     """'name <object> at location [x1,y1,x2,y2]; ...' + question
-    (vstar_bench_eval.py:249-256)."""
+    (vstar_bench_eval.py:249-256).
+
+    failed_names: the serving path's '{name} not existent in the image'
+    clause (app.py:215-223; the reference formats the stale loop variable
+    `object_name` into every clause — the intended failed name is used
+    here)."""
     msg = FOCUS_MSG
     for i, (name, bbox) in enumerate(zip(object_names, bbox_list)):
         msg += "{} <object> at location [{:.3f},{:.3f},{:.3f},{:.3f}]".format(
             name, bbox[0], bbox[1], bbox[2], bbox[3])
         msg += "; " if i != len(bbox_list) - 1 else "."
+    if failed_names:
+        if object_names:
+            msg = msg[:-1] + "; "
+        for i, name in enumerate(failed_names):
+            msg += "{} not existent in the image".format(name)
+            msg += "; " if i != len(failed_names) - 1 else "."
     return msg + "\n" + question
 
 

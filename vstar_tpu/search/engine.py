@@ -35,7 +35,7 @@ class VSMEngine:
 
     def __init__(self, params, cfg: VSMConfig, tokenizer,
                  loc_token_id: int, eos_id: int = 2,
-                 conv_type: str = "v1", use_mm_start_end: bool = True,
+                 conv_type: str = "llava_v1", use_mm_start_end: bool = True,
                  max_new_tokens: int = 100,
                  prompt_buckets: Tuple[int, ...] = (384, 512),
                  compute_dtype=jnp.bfloat16,

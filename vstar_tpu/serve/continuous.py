@@ -1,0 +1,212 @@
+"""Request-level continuous batching for SEAL serving.
+
+The reference demo is a blocking batch-1 Gradio queue (app.py:235-255).
+Here concurrent requests are admitted continuously: a scheduler thread
+drains the request queue into waves (up to `max_batch`, waiting at most
+`window_ms` after the first arrival) and drives the phase-batched SEAL
+pipeline, so every 7B weight read is shared across all requests in
+flight — the same lockstep machinery the batched benchmark uses
+(eval/batched_bench.py), applied online. New requests that arrive while a
+wave is on-device join the next wave immediately; nothing ever waits for
+an idle window.
+
+Both request kinds mix in one wave:
+  * options present  -> SEAL multiple-choice record (seal_answer schema),
+  * freeform         -> demo-flow record (app.py:130-233 schema:
+                        freeform/answer/missing/failed/search_result).
+Multiple-choice scoring co-batches rows with the same option count (the
+compiled option bucket is shared; counts differ rarely in practice).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from collections import defaultdict
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence
+
+from PIL import Image
+
+from ..data.preprocess import expand2square
+from ..eval.batched_bench import build_focus_inputs, run_search_phase
+from ..eval.seal import parse_missing_objects
+from .sanitize import sanitize_text
+
+
+class _Request:
+    __slots__ = ("image", "question", "options", "future", "t_submit")
+
+    def __init__(self, image, question, options):
+        self.image = image
+        self.question = question
+        self.options = options
+        self.future: Future = Future()
+        self.t_submit = time.perf_counter()
+
+
+class ContinuousSealService:
+    """Drop-in SealService replacement whose .answer() co-batches
+    concurrent callers. Thread-safe; device work runs only on the
+    scheduler thread (jitted programs are driven single-threaded)."""
+
+    def __init__(self, vqa_engine, vsm_engine, minimum_size_scale: float = 4.0,
+                 minimum_size: int = 224,
+                 max_search_steps: Optional[int] = None,
+                 max_batch: int = 8, window_ms: float = 8.0):
+        self.vqa = vqa_engine
+        self.vsm = vsm_engine
+        self.minimum_size_scale = minimum_size_scale
+        self.minimum_size = minimum_size
+        self.max_search_steps = max_search_steps
+        self.max_batch = max_batch
+        self.window = window_ms / 1000.0
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._wave_sizes: List[int] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- public API --------------------------------------------------------
+
+    def answer(self, image: Image.Image, question: str,
+               options: Optional[Sequence[str]] = None,
+               timeout: Optional[float] = None) -> Dict:
+        question = sanitize_text(question)
+        if options:
+            options = [sanitize_text(o) for o in options]
+        req = _Request(image, question, options or None)
+        self._q.put(req)
+        rec = req.future.result(timeout=timeout)
+        rec["latency_s"] = round(time.perf_counter() - req.t_submit, 4)
+        return rec
+
+    def stats(self) -> Dict:
+        sizes = list(self._wave_sizes)
+        return {"waves": len(sizes),
+                "requests": int(sum(sizes)),
+                "max_wave": max(sizes) if sizes else 0,
+                "mean_wave": (sum(sizes) / len(sizes)) if sizes else 0.0,
+                "queue_depth": self._q.qsize()}
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # -- scheduler ---------------------------------------------------------
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            wave = [first]
+            deadline = time.monotonic() + self.window
+            while len(wave) < self.max_batch:
+                remain = deadline - time.monotonic()
+                if remain <= 0:
+                    break
+                try:
+                    wave.append(self._q.get(timeout=remain))
+                except queue.Empty:
+                    break
+            self._wave_sizes.append(len(wave))
+            try:
+                recs = self._process_wave(wave)
+                for r, rec in zip(wave, recs):
+                    r.future.set_result(rec)
+            except Exception as e:
+                for r in wave:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    # -- phased pipeline ---------------------------------------------------
+
+    def _free_form_many(self, images, questions, **kw):
+        if hasattr(self.vqa, "free_form_many"):
+            return self.vqa.free_form_many(images, questions, **kw)
+        per_row = [{k: (v[i] if v is not None else None)
+                    for k, v in kw.items()}
+                   for i in range(len(images))]
+        return [self.vqa.free_form(im, q,
+                                   **{("object_crops" if k ==
+                                       "object_crops_list" else k): v
+                                      for k, v in row.items()})
+                for im, q, row in zip(images, questions, per_row)]
+
+    def _process_wave(self, reqs: List[_Request]) -> List[Dict]:
+        n = len(reqs)
+        squared = [expand2square(r.image)[0] for r in reqs]
+        predictions = self._free_form_many(squared,
+                                           [r.question for r in reqs])
+        missing = [parse_missing_objects(p) for p in predictions]
+
+        search_results, failed = run_search_phase(
+            self.vsm, [r.image for r in reqs], missing,
+            self.minimum_size_scale, self.minimum_size,
+            self.max_search_steps)
+
+        recs: List[Optional[Dict]] = [None] * n
+
+        # Assemble the finish phases.
+        ff_rows = []                       # freeform focused re-answers
+        mc_groups = defaultdict(list)      # option-count -> mc rows
+        for i, r in enumerate(reqs):
+            if r.options is not None:
+                if missing[i]:
+                    sq, q, crops, il, ol = build_focus_inputs(
+                        self.vqa, r.image, r.question, search_results[i])
+                else:
+                    sq, q, crops, il, ol = (squared[i], r.question,
+                                            None, None, None)
+                mc_groups[len(r.options)].append(
+                    (i, sq, q, list(r.options), crops, il, ol))
+            elif missing[i] and search_results[i]:
+                sq, q, crops, il, ol = build_focus_inputs(
+                    self.vqa, r.image, r.question, search_results[i],
+                    failed[i], include_failed=True)
+                ff_rows.append((i, sq, q, crops, il, ol))
+            else:
+                recs[i] = {"freeform": predictions[i],
+                           "answer": predictions[i],
+                           "missing_objects": missing[i],
+                           "failed_objects": failed[i],
+                           "search_result": search_results[i]}
+
+        if ff_rows:
+            answers = self._free_form_many(
+                [r[1] for r in ff_rows], [r[2] for r in ff_rows],
+                object_crops_list=[r[3] for r in ff_rows],
+                images_long=[r[4] for r in ff_rows],
+                objects_long=[r[5] for r in ff_rows])
+            for (i, *_), ans in zip(ff_rows, answers):
+                recs[i] = {"freeform": predictions[i], "answer": ans,
+                           "missing_objects": missing[i],
+                           "failed_objects": failed[i],
+                           "search_result": search_results[i]}
+
+        for rows in mc_groups.values():
+            if hasattr(self.vqa, "multiple_choice_many"):
+                chosen = self.vqa.multiple_choice_many(
+                    [r[1] for r in rows], [r[2] for r in rows],
+                    [r[3] for r in rows],
+                    object_crops_list=[r[4] for r in rows],
+                    images_long=[r[5] for r in rows],
+                    objects_long=[r[6] for r in rows])
+            else:
+                chosen = [self.vqa.multiple_choice(
+                    r[1], r[2], r[3], r[4],
+                    images_long=r[5], objects_long=r[6])
+                    if r[4] is not None else
+                    self.vqa.multiple_choice(r[1], r[2], r[3])
+                    for r in rows]
+            for (i, _, _, opts, *_), c in zip(rows, chosen):
+                recs[i] = {"question": reqs[i].question, "options": opts,
+                           "prediction_freeform": predictions[i],
+                           "missing_objects": missing[i],
+                           "search_result": search_results[i],
+                           "option_chosen": int(c),
+                           "correct": int(int(c) == 0)}
+        return recs

@@ -61,63 +61,30 @@ class SealService:
 
     def _freeform_flow(self, image: Image.Image, question: str) -> Dict:
         """app.py:130-233 without the multiple-choice scorer: answer, run
-        search when objects are missing, then re-answer with focus crops."""
-        import numpy as np
-
+        search when objects are missing, then re-answer with focus crops.
+        Faithful to the reference: unsuccessful searches both land in
+        failed_objects AND contribute their low-confidence fallback box
+        (app.py:165-179), and the focus message carries the
+        'not existent in the image' clause (app.py:215-223)."""
         from ..data.preprocess import expand2square
-        from ..eval.seal import (focus_prompt, normalize_bbox,
-                                 parse_missing_objects)
-        from ..search.policy import visual_search
+        from ..eval.batched_bench import build_focus_inputs, run_search_phase
+        from ..eval.seal import parse_missing_objects
 
         squared, _, _ = expand2square(image)
         prediction = self.vqa.free_form(squared, question)
         missing = parse_missing_objects(prediction)
-        search_result = []
-        failed = []
-        for name in missing:
-            smallest = max(int(np.ceil(min(image.width, image.height)
-                                       / self.minimum_size_scale)),
-                           self.minimum_size)
-            final_step, _, ok, all_boxes = visual_search(
-                self.vsm, image, name, smallest_size=smallest,
-                max_steps=self.max_search_steps)
-            if not ok or final_step is None \
-                    or final_step.detection_result is None:
-                failed.append(name)
-                continue
-            if all_boxes is not None:
-                for sb in all_boxes:
-                    sb = np.asarray(sb, np.float64).copy()
-                    sb[0] += final_step.bbox[0]
-                    sb[1] += final_step.bbox[1]
-                    search_result.append({"bbox": sb.tolist(), "name": name})
-            else:
-                sb = np.asarray(final_step.detection_result,
-                                np.float64).copy()
-                sb[0] += final_step.bbox[0]
-                sb[1] += final_step.bbox[1]
-                search_result.append({"bbox": sb.tolist(), "name": name})
+        srs, fls = run_search_phase(
+            self.vsm, [image], [missing], self.minimum_size_scale,
+            self.minimum_size, self.max_search_steps)
+        search_result, failed = srs[0], fls[0]
 
         answer = prediction
         if missing and search_result:
-            names = [r["name"] for r in search_result]
-            bboxes = [list(r["bbox"]) for r in search_result]
-            crops = [self.vqa.get_object_crop(image, b, 1.2)
-                     for b in bboxes]
-            squared, left, top = expand2square(image)
-            norm = []
-            for b in bboxes:
-                b = [b[0] + left, b[1] + top, b[2], b[3]]
-                norm.append(normalize_bbox(b, squared.width,
-                                           squared.height))
-            if len(names) <= 2:
-                images_long, objects_long = [False], [True] * len(names)
-            else:
-                images_long, objects_long = [False], [False] * len(names)
-            q = focus_prompt(question, names, norm)
+            squared, q, crops, il, ol = build_focus_inputs(
+                self.vqa, image, question, search_result, failed,
+                include_failed=True)
             answer = self.vqa.free_form(squared, q, object_crops=crops,
-                                        images_long=images_long,
-                                        objects_long=objects_long)
+                                        images_long=il, objects_long=ol)
         return {"freeform": prediction, "answer": answer,
                 "missing_objects": missing, "failed_objects": failed,
                 "search_result": search_result}
@@ -172,10 +139,21 @@ def main():
     p.add_argument("--vqa-model-path", default="craigwu/seal_vqa_7b")
     p.add_argument("--vsm-model-path", default="craigwu/seal_vsm_7b")
     p.add_argument("--port", default=8080, type=int)
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous request batching: concurrent requests "
+                        "co-batch on device instead of serializing")
+    p.add_argument("--max-batch", default=8, type=int)
+    p.add_argument("--window-ms", default=8.0, type=float)
     args = p.parse_args()
     from ..eval.vstar_bench import load_engines
     vqa, vsm = load_engines(args.vqa_model_path, args.vsm_model_path)
-    serve(SealService(vqa, vsm), port=args.port)
+    if args.continuous:
+        from .continuous import ContinuousSealService
+        service = ContinuousSealService(vqa, vsm, max_batch=args.max_batch,
+                                        window_ms=args.window_ms)
+    else:
+        service = SealService(vqa, vsm)
+    serve(service, port=args.port)
 
 
 if __name__ == "__main__":
