@@ -30,6 +30,7 @@ from ..core.checkpoint import save_params
 from ..core.config import vqa_llm_7b
 from ..core.mesh import make_mesh, shard_params
 from ..core.params import map_with_path
+from ..data.prefetch import prefetch_map
 from ..utils.metrics import AverageMeter, StepTimer
 from .sft import init_train_state, make_optimizer, sft_train_step
 
@@ -50,6 +51,10 @@ def _common(p):
                    " optimizer is the DeepSpeed-bf16-mode equivalent")
     p.add_argument("--hbm_gb", default=16.0, type=float,
                    help="per-chip HBM for the startup memory check")
+    p.add_argument("--data_workers", default=2, type=int,
+                   help="threads fetching+collating batches ahead of the "
+                        "device (DataLoader num_workers equivalent)")
+    p.add_argument("--prefetch_depth", default=4, type=int)
 
 
 def parse_args(argv=None):
@@ -103,14 +108,23 @@ def run_training(args, cfg, params, dataset, collate_fn, tokenizer,
     os.makedirs(args.output_dir, exist_ok=True)
     log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
 
+    def _load_batch(start):
+        instances = [dataset[start + k]
+                     for k in range(args.per_device_batch_size)]
+        return collate_fn(instances, tokenizer)
+
     with mesh:
         i = 0
         for epoch in range(args.num_train_epochs):
-            for start in range(0, len(dataset) - args.per_device_batch_size
-                               + 1, args.per_device_batch_size):
-                instances = [dataset[start + k]
-                             for k in range(args.per_device_batch_size)]
-                batch = collate_fn(instances, tokenizer)
+            starts = range(0, len(dataset) - args.per_device_batch_size + 1,
+                           args.per_device_batch_size)
+            # ordered parallel fetch+collate: image decode releases the
+            # GIL, so worker threads overlap the device step
+            # (HF Trainer DataLoader-workers equivalent)
+            loader = prefetch_map(_load_batch, starts,
+                                  workers=args.data_workers,
+                                  depth=args.prefetch_depth)
+            for batch in loader:
                 timer.data_loaded()
                 state, m = step_fn(state, {k: jnp.asarray(v)
                                            for k, v in batch.items()})

@@ -23,6 +23,7 @@ import numpy as np
 from ..core.checkpoint import load_params, save_params
 from ..core.config import vsm_7b
 from ..core.mesh import make_mesh, shard_params
+from ..data.prefetch import prefetch
 from ..utils.metrics import AverageMeter, ProgressMeter, StepTimer
 from .lora import add_lora, vsm_trainable_mask
 from .vsm_train import (VSMLossWeights, VSMTrainState, make_vsm_optimizer,
@@ -49,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--lora_alpha", default=16, type=int)
     p.add_argument("--warmup_steps", default=100, type=int)
     p.add_argument("--seq_bucket", default=512, type=int)
+    p.add_argument("--prefetch_depth", default=2, type=int,
+                   help="batches decoded+collated ahead of the device "
+                        "(DataLoader workers/prefetch equivalent)")
     p.add_argument("--mesh", default=None,
                    help="DxFxM mesh shape (data x fsdp x model), e.g. 1x8x1;"
                    " default: all devices on fsdp when >1 device")
@@ -165,14 +169,23 @@ def main(argv=None):
         for epoch in range(start_epoch, args.epochs):
             gen = hybrid.batches(args.batch_size
                                  * args.grad_accumulation_steps)
+
+            def _produce(g=gen):
+                # sampling is seeded and stateful, so it stays serial; the
+                # whole decode+collate pipeline runs off the step thread
+                # (DataLoader-workers equivalent, train.py:70-75)
+                for rows in g:
+                    yield collate_vsm_rows(
+                        rows, tokenizer, loc_token_id,
+                        n_image_tokens=cfg.image_tokens,
+                        seq_bucket=args.seq_bucket)
+
+            loader = prefetch(_produce(), depth=args.prefetch_depth)
             progress = ProgressMeter(args.steps_per_epoch,
                                      list(meters.values()),
                                      prefix=f"epoch {epoch} ")
             for step_i in range(args.steps_per_epoch):
-                rows = next(gen)
-                batch = collate_vsm_rows(rows, tokenizer, loc_token_id,
-                                         n_image_tokens=cfg.image_tokens,
-                                         seq_bucket=args.seq_bucket)
+                batch = next(loader)
                 timer.data_loaded()
                 state, m = step_fn(state,
                                    {k: jnp.asarray(v)
@@ -193,6 +206,7 @@ def main(argv=None):
                             tb.add_scalar(f"train/{k}", m.avg, gstep)
                         tb.add_scalar("metrics/total_secs_per_batch",
                                       timer.batch_time.avg, gstep)
+            loader.close()
 
             # checkpoint (best-det-acc gating when a val set exists)
             det_acc = None
