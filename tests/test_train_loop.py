@@ -55,3 +55,52 @@ def test_run_training_pretrain_tiny(tmp_path):
     assert int(state.step) == 4  # 2 batches/epoch x 2 epochs
     lines = open(tmp_path / "out" / "metrics.jsonl").read().splitlines()
     assert lines and np.isfinite(json.loads(lines[-1])["loss"])
+
+
+def _vsm_args(tmp_path, epochs):
+    return types.SimpleNamespace(
+        dataset_dir=str(tmp_path), log_base_dir=str(tmp_path / "runs"),
+        exp_name="vsm_tiny", epochs=epochs, steps_per_epoch=1,
+        batch_size=1, grad_accumulation_steps=1, lr=1e-3,
+        ce_loss_weight=1.0, dice_loss_weight=0.5, bce_loss_weight=2.0,
+        det_loss_weight=0.1, warmup_steps=1, seq_bucket=64,
+        prefetch_depth=2, mask_res=12, mesh="4x2x1", param_dtype="f32",
+        hbm_gb=16.0, auto_resume=True, no_eval=True, dataset="vqa",
+        sample_rates="1")
+
+
+def test_run_vsm_training_tiny_and_auto_resume(tmp_path):
+    from vstar_tpu.core.config import vsm_tiny
+    from vstar_tpu.models.vsm import init_vsm_params
+    from vstar_tpu.train.train_vsm_main import run_vsm_training
+
+    cfg = vsm_tiny()
+    os.makedirs(tmp_path / "vqa_data" / "coco_images")
+    rng = np.random.RandomState(1)
+    Image.fromarray((rng.rand(40, 52, 3) * 255).astype("uint8")).save(
+        tmp_path / "vqa_data" / "coco_images" / "img0.jpg")
+    json.dump([{"image": "img0.jpg", "conversations": [
+        {"from": "human", "value": "<image>\nwhere is the cup?"},
+        {"from": "gpt", "value": "on the table"}]}],
+        open(tmp_path / "vqa_data" / "possible_locations_conv_86k.json",
+             "w"))
+
+    tok = WordTokenizer()
+    loc_id = tok._word_id("[LOC]")
+    params = init_vsm_params(jax.random.PRNGKey(0), cfg)
+
+    state = run_vsm_training(_vsm_args(tmp_path, epochs=1), cfg, params,
+                             tok, loc_id)
+    assert int(state.step) == 1
+    meta = json.load(open(tmp_path / "runs" / "vsm_tiny" / "ckpt_model"
+                          / "meta.json"))
+    assert meta["epoch"] == 0
+
+    # second invocation resumes from the checkpoint and trains epoch 1 only
+    params2 = init_vsm_params(jax.random.PRNGKey(7), cfg)
+    state2 = run_vsm_training(_vsm_args(tmp_path, epochs=2), cfg, params2,
+                              tok, loc_id)
+    assert int(state2.step) == 2
+    meta = json.load(open(tmp_path / "runs" / "vsm_tiny" / "ckpt_model"
+                          / "meta.json"))
+    assert meta["epoch"] == 1

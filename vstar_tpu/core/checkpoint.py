@@ -43,10 +43,13 @@ def load_torch_dir(path: str) -> Dict[str, Any]:
 
 
 def save_params(params, path: str):
-    """Orbax checkpoint of a param pytree (handles sharded arrays)."""
+    """Orbax checkpoint of a param pytree (handles sharded arrays).
+    Overwrites an existing checkpoint at `path` — the trainers keep one
+    rolling best checkpoint, like the reference's rmtree-then-save
+    (VisualSearch/train.py:396-409)."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), params)
+    ckptr.save(os.path.abspath(path), params, force=True)
     ckptr.wait_until_finished()
 
 

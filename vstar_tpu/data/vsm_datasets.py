@@ -74,9 +74,11 @@ class SegDetDataset:
     built by data/preprocess_annotations.py."""
 
     def __init__(self, base_image_dir: str, num_classes_per_sample: int = 3,
+                 clip_size: int = 224, owl_size: int = 768,
                  max_boxes: int = 100, seed: int = 0,
                  sources: Sequence[str] = ("cocostuff", "objects365")):
         self.base = base_image_dir
+        self.clip_size, self.owl_size = clip_size, owl_size
         self.k = num_classes_per_sample
         self.max_boxes = max_boxes
         self.rng = random.Random(seed)
@@ -115,7 +117,7 @@ class SegDetDataset:
         entry = self.data[src][image_id]   # {class_name: {'bboxes': [...],
         #                                     'cat_id': int}, ...}
         img = _load_image(self._image_path(src, image_id))
-        clip_t, owl_t = _preprocess_pair(img)
+        clip_t, owl_t = _preprocess_pair(img, self.clip_size, self.owl_size)
         classes = list(entry.keys())
         chosen = self.rng.sample(classes, min(self.k, len(classes)))
         rows = []
@@ -141,8 +143,10 @@ class ReferSegDataset:
     def __init__(self, base_image_dir: str, num_per_sample: int = 3,
                  seed: int = 0,
                  datasets: Sequence[str] = ("refclef", "refcoco",
-                                            "refcoco+", "refcocog")):
+                                            "refcoco+", "refcocog"),
+                 clip_size: int = 224, owl_size: int = 768):
         self.base = base_image_dir
+        self.clip_size, self.owl_size = clip_size, owl_size
         self.k = num_per_sample
         self.rng = random.Random(seed)
         self.items: List[Dict] = []
@@ -163,7 +167,7 @@ class ReferSegDataset:
         item = self.rng.choice(self.items)
         img = _load_image(os.path.join(self.base, "refer_seg",
                                        item["image"]))
-        clip_t, owl_t = _preprocess_pair(img)
+        clip_t, owl_t = _preprocess_pair(img, self.clip_size, self.owl_size)
         exprs = item["expressions"]
         # distinct expressions, like the reference's random.sample
         # (refer_seg_dataset.py) — sampling with replacement would skew
@@ -185,12 +189,13 @@ class MixedGroundingDataset:
     'grounding': [{'phrase', 'bboxes': xyxy list}]}]."""
 
     def __init__(self, base_image_dir: str, num_per_sample: int = 3,
-                 seed: int = 0):
+                 seed: int = 0, clip_size: int = 224, owl_size: int = 768):
         p = os.path.join(base_image_dir, "MixedGrounding",
                          "goldG_train.json")
         if not os.path.exists(p):
             raise FileNotFoundError(p)
         self.base = base_image_dir
+        self.clip_size, self.owl_size = clip_size, owl_size
         self.items = json.load(open(p))
         self.k = num_per_sample
         self.rng = random.Random(seed)
@@ -199,7 +204,7 @@ class MixedGroundingDataset:
         item = self.rng.choice(self.items)
         img = _load_image(os.path.join(
             self.base, "MixedGrounding", "OpenSource", item["filename"]))
-        clip_t, owl_t = _preprocess_pair(img)
+        clip_t, owl_t = _preprocess_pair(img, self.clip_size, self.owl_size)
         ground = item["grounding"]
         chosen = [self.rng.choice(ground)
                   for _ in range(min(self.k, len(ground)))]
@@ -222,8 +227,10 @@ class VQADataset:
     def __init__(self, base_image_dir: str, seed: int = 0,
                  vqa_data: Sequence[str] = ("possible_locations_conv_86k",
                                             "llava_instruct_150k"),
-                 sample_rate: Sequence[float] = (2, 1)):
+                 sample_rate: Sequence[float] = (2, 1),
+                 clip_size: int = 224, owl_size: int = 768):
         self.base = base_image_dir
+        self.clip_size, self.owl_size = clip_size, owl_size
         self.rng = random.Random(seed)
         self.datasets = []
         rates = []
@@ -242,7 +249,7 @@ class VQADataset:
         item = self.rng.choice(ds)
         img = _load_image(os.path.join(self.base, "vqa_data", "coco_images",
                                        item["image"]))
-        clip_t, owl_t = _preprocess_pair(img)
+        clip_t, owl_t = _preprocess_pair(img, self.clip_size, self.owl_size)
         source = []
         for s in item["conversations"]:
             v = s["value"]

@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--prefetch_depth", default=2, type=int,
                    help="batches decoded+collated ahead of the device "
                         "(DataLoader workers/prefetch equivalent)")
+    p.add_argument("--mask_res", default=768, type=int,
+                   help="fixed mask-loss resolution (gt resized on host, "
+                        "pred upsampled; static shapes for jit)")
     p.add_argument("--mesh", default=None,
                    help="DxFxM mesh shape (data x fsdp x model), e.g. 1x8x1;"
                    " default: all devices on fsdp when >1 device")
@@ -69,7 +72,8 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_datasets(args, tokenizer):
+def build_datasets(args, tokenizer, clip_size: int = 224,
+                   owl_size: int = 768):
     from ..data.vsm_datasets import (HybridDataset, MixedGroundingDataset,
                                      ReferSegDataset, SegDetDataset,
                                      VQADataset)
@@ -81,7 +85,9 @@ def build_datasets(args, tokenizer):
             "mixed_grounding": MixedGroundingDataset, "vqa": VQADataset}
     for name, rate in zip(names, rates):
         try:
-            children.append(ctor[name](args.dataset_dir))
+            children.append(ctor[name](args.dataset_dir,
+                                       clip_size=clip_size,
+                                       owl_size=owl_size))
             kept_rates.append(rate)
         except FileNotFoundError as e:
             print(f"[data] skipping {name}: {e}")
@@ -95,8 +101,6 @@ def build_datasets(args, tokenizer):
 
 def main(argv=None):
     args = parse_args(argv)
-    log_dir = os.path.join(args.log_base_dir, args.exp_name)
-    os.makedirs(log_dir, exist_ok=True)
 
     from transformers import AutoTokenizer
     tokenizer = AutoTokenizer.from_pretrained(args.version, use_fast=False,
@@ -108,7 +112,6 @@ def main(argv=None):
 
     cfg = vsm_7b()
     from ..core.checkpoint import load_torch_dir
-    from ..core.memory import check_memory, parse_mesh_arg, plan_train_memory
     from ..models.vsm import vsm_params_from_torch
     param_dtype = jnp.bfloat16 if args.param_dtype == "bf16" else jnp.float32
     params = vsm_params_from_torch(load_torch_dir(args.version), cfg,
@@ -116,7 +119,17 @@ def main(argv=None):
     if args.lora_r > 0:
         params["llama"] = add_lora(params["llama"], jax.random.PRNGKey(0),
                                    r=args.lora_r, alpha=args.lora_alpha)
+    return run_vsm_training(args, cfg, params, tokenizer, loc_token_id)
 
+
+def run_vsm_training(args, cfg, params, tokenizer, loc_token_id):
+    """The whole VSM training procedure after model construction: mesh +
+    memory check, optimizer/LoRA masking, auto-resume, prefetched epochs,
+    validation-gated checkpointing. Factored from main() so tiny-model
+    tests can drive it end-to-end."""
+    log_dir = os.path.join(args.log_base_dir, args.exp_name)
+    os.makedirs(log_dir, exist_ok=True)
+    from ..core.memory import check_memory, parse_mesh_arg, plan_train_memory
     mesh = make_mesh(parse_mesh_arg(args.mesh, len(jax.devices())))
     mask = vsm_trainable_mask(params)
     check_memory(plan_train_memory(params, mesh, trainable_mask=mask,
@@ -128,16 +141,21 @@ def main(argv=None):
     opt = make_vsm_optimizer(args.lr, args.warmup_steps, total_steps,
                              trainable_mask=mask,
                              master_f32=args.param_dtype == "bf16")
-    state = VSMTrainState(params, opt.init(params),
-                          jnp.zeros((), jnp.int32))
+    # init under jit so the optimizer state inherits the params' mesh
+    # sharding (eager opt.init commits scalars to device 0, which then
+    # conflicts with NamedSharding'd params inside the train step)
+    state = jax.jit(lambda p: VSMTrainState(p, opt.init(p),
+                                            jnp.zeros((), jnp.int32)))(params)
 
     ckpt_dir = os.path.join(log_dir, "ckpt_model")
     start_epoch = 0
+    resumed_best = None
     if args.auto_resume and os.path.exists(os.path.join(ckpt_dir, "meta.json")):
         meta = json.load(open(os.path.join(ckpt_dir, "meta.json")))
         state = VSMTrainState(*load_params(os.path.join(ckpt_dir, "state"),
                                            like=tuple(state)))
         start_epoch = meta["epoch"] + 1
+        resumed_best = meta.get("best_det_acc", meta.get("det_acc"))
         print(f"[resume] from epoch {meta['epoch']}")
 
     weights = VSMLossWeights(ce=args.ce_loss_weight,
@@ -149,7 +167,9 @@ def main(argv=None):
                                      grad_accum=args.grad_accumulation_steps),
         donate_argnums=(0,))
 
-    hybrid = build_datasets(args, tokenizer)
+    hybrid = build_datasets(args, tokenizer,
+                            clip_size=cfg.vision.image_size,
+                            owl_size=cfg.owl_vision.image_size)
     from ..data.vsm_collate import collate_vsm_rows
     meters = {k: AverageMeter(k, ":.4f") for k in
               ("loss", "ce_loss", "mask_bce_loss", "mask_dice_loss",
@@ -164,7 +184,7 @@ def main(argv=None):
     except Exception:
         pass
 
-    best_det_acc = -1.0
+    best_det_acc = -1.0 if resumed_best is None else resumed_best
     with mesh:
         for epoch in range(start_epoch, args.epochs):
             gen = hybrid.batches(args.batch_size
@@ -178,7 +198,8 @@ def main(argv=None):
                     yield collate_vsm_rows(
                         rows, tokenizer, loc_token_id,
                         n_image_tokens=cfg.image_tokens,
-                        seq_bucket=args.seq_bucket)
+                        seq_bucket=args.seq_bucket,
+                        mask_res=args.mask_res)
 
             loader = prefetch(_produce(), depth=args.prefetch_depth)
             progress = ProgressMeter(args.steps_per_epoch,
@@ -236,10 +257,14 @@ def main(argv=None):
                     det_acc = None
             save = True if det_acc is None else det_acc > best_det_acc
             if save:
+                if det_acc is not None:
+                    best_det_acc = det_acc
                 os.makedirs(ckpt_dir, exist_ok=True)
                 save_params(tuple(state), os.path.join(ckpt_dir, "state"))
-                json.dump({"epoch": epoch, "det_acc": det_acc},
+                json.dump({"epoch": epoch, "det_acc": det_acc,
+                           "best_det_acc": best_det_acc},
                           open(os.path.join(ckpt_dir, "meta.json"), "w"))
+    return state
 
 
 if __name__ == "__main__":
