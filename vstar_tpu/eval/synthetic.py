@@ -90,17 +90,19 @@ def make_synthetic_benchmark(out_dir: str, n_per_task: int = 3,
             stem = f"{task[:3]}_{i}"
             img.save(os.path.join(d, stem + ".png"))
             distract = [n for n, _ in PALETTE if n != name]
+            bbox = [int(x), int(y), int(tsize), int(tsize)]
             ann = {
                 "question": "What is the color of the small marker?",
                 "options": [f"the marker is {name}",
                             f"the marker is {distract[i % 3]}"],
                 "target_object": [f"{name} marker"],
-                "bbox": [int(x), int(y), int(tsize), int(tsize)],
+                # V*Bench schema: one gt box per target object
+                "bbox": [bbox],
             }
             json.dump(ann, open(os.path.join(d, stem + ".json"), "w"))
             specs.append({"task": task, "image": stem + ".png",
                           "name": f"{name} marker", "rgb": rgb,
-                          "bbox": ann["bbox"]})
+                          "bbox": bbox})
     return specs
 
 
