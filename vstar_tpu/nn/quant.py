@@ -74,12 +74,43 @@ def _deq4(entry: Dict, dtype) -> jnp.ndarray:
     return w.reshape(lead + (IN2 * 2, OUT))
 
 
+# Trace-time switch for the EXPERIMENTAL W8A8 path: per-token dynamic
+# activation int8 against the per-channel int8 weights, accumulating in
+# int32 on the MXU (v5e int8 peak ~2x bf16). Off by default — naive W8A8
+# is known to be accuracy-fragile on LLaMA activations (outlier channels);
+# enable only for measurement (scripts/w8a8_bench.py) or after validating
+# greedy/argmin parity on real checkpoints.
+_ACT_INT8 = False
+
+
+def set_act_int8(on: bool):
+    """Set BEFORE tracing/jit; read at trace time, baked into the program."""
+    global _ACT_INT8
+    _ACT_INT8 = bool(on)
+
+
+def _w8a8_dot(x: jnp.ndarray, entry: Dict) -> jnp.ndarray:
+    import jax
+    sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                             keepdims=True) / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                  -127, 127).astype(jnp.int8)
+    q = entry["q"]
+    acc = jax.lax.dot_general(
+        xq, q, (((x.ndim - 1,), (q.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * sx * entry["s"][..., 0, :]
+    return out.astype(x.dtype)
+
+
 def qdot(x: jnp.ndarray, entry: WeightEntry) -> jnp.ndarray:
     """x @ W for a raw or quantized (int8 per-channel / int4 group-wise)
     weight entry."""
     if isinstance(entry, dict) and "q4" in entry:
         return x @ _deq4(entry, x.dtype)
     if isinstance(entry, dict) and "q" in entry:
+        if _ACT_INT8:
+            return _w8a8_dot(x, entry)
         w = entry["q"].astype(x.dtype) * entry["s"].astype(x.dtype)
         return x @ w
     return x @ entry.astype(x.dtype)
