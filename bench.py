@@ -63,7 +63,14 @@ def main(argv=None):
                     help="search steps per image (default: measured mean "
                     "path length on the synthetic benchmark)")
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--w8a8", action="store_true", default=False,
+                    help="opt-in int8-activation matmuls (1.42x prefill "
+                    "measured; accuracy unvalidated on real weights — "
+                    "see nn/quant.set_act_int8)")
     args = ap.parse_args(argv)
+    if args.w8a8:
+        from vstar_tpu.nn.quant import set_act_int8
+        set_act_int8(True)
     from vstar_tpu.core.config import vsm_7b
     from vstar_tpu.models.vsm import init_vsm_params, vsm_generate
     from vstar_tpu.multimodal.constants import IMAGE_TOKEN_INDEX

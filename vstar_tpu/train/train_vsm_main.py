@@ -236,7 +236,9 @@ def run_vsm_training(args, cfg, params, tokenizer, loc_token_id):
                     from ..data.val_dataset import ValDataset
                     from .validate import validate
                     from .vsm_train import vsm_val_forward
-                    val_ds = ValDataset(args.dataset_dir)
+                    val_ds = ValDataset(args.dataset_dir,
+                                        clip_size=cfg.vision.image_size,
+                                        owl_size=cfg.owl_vision.image_size)
                     jfwd = jax.jit(
                         lambda p, b: vsm_val_forward(p, cfg, b))
 
