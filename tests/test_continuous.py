@@ -154,3 +154,33 @@ def test_error_in_wave_propagates_and_service_survives(engines):
         assert "answer" in rec
     finally:
         svc.close()
+
+
+def test_close_fails_pending_instead_of_hanging(engines):
+    import time
+
+    class SlowVQA(RecordingVQA):
+        def free_form_many(self, images, questions, **kw):
+            time.sleep(0.3)
+            return super().free_form_many(images, questions, **kw)
+
+    vqa, vsm = SlowVQA(), engines[1]
+    svc = ContinuousSealService(vqa, vsm, max_batch=2, window_ms=5.0)
+    errs = []
+
+    def go():
+        try:
+            svc.answer(_img(), "q?")
+        except BaseException as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=go) for _ in range(4)]
+    for t in threads:
+        t.start()
+    svc.close()
+    for t in threads:
+        t.join(timeout=15)
+    assert not any(t.is_alive() for t in threads), "caller hung after close"
+    # post-close submissions are rejected immediately
+    with pytest.raises(RuntimeError):
+        svc.answer(_img(), "q?")

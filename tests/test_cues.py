@@ -129,3 +129,17 @@ def test_empty_and_degenerate():
     assert _heuristic_noun_chunks("") == []
     assert _heuristic_noun_chunks("on the") == []
     assert _heuristic_noun_chunks("or") == []
+
+
+def test_ambiguous_function_words_kept_as_content():
+    """'right'/'can' etc. are adverb/auxiliary only in adverbial position;
+    heading a noun phrase they must survive (the reference spaCy chunker
+    resolves this via POS: 'right side' keeps the amod)."""
+    from vstar_tpu.search.cues import _heuristic_noun_chunks as chunks
+    assert chunks("on the right side of the cabinet") == \
+        ["right side of the cabinet"]
+    assert chunks("in a can of soda") == ["can of soda"]
+    # adverbial/auxiliary uses still strip
+    assert chunks("right on the kitchen counter") == ["kitchen counter"]
+    assert chunks("it can be found in the drawer") == ["drawer"]
+    assert chunks("will be near the sink") == ["sink"]

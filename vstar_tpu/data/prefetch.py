@@ -41,20 +41,25 @@ class PrefetchIterator:
                                         daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Blocking put that gives up when close() is requested; True if
+        the item was enqueued."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self, it: Iterator[T]):
         try:
             for item in it:
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if self._stop.is_set():
+                if not self._put(item):
                     return
-            self._q.put(_SENTINEL)
+            self._put(_SENTINEL)
         except BaseException as e:  # propagate to the consumer
-            self._q.put(e)
+            self._put(e)
 
     def __iter__(self):
         return self

@@ -86,7 +86,8 @@ class VQAEngine:
         self._jit_prefill = jax.jit(
             self._prefill_device, static_argnames=("bucket", "opt_room"))
         self._jit_chunk = jax.jit(
-            self._chunk_decode_device, static_argnames=("k",))
+            self._chunk_decode_device,
+            static_argnames=("k", "temperature", "top_p"))
         self._jit_option_ce = jax.jit(
             functools.partial(option_ce, compute_dtype=compute_dtype),
             static_argnames=("cfg",))
@@ -185,12 +186,17 @@ class VQAEngine:
                                 rng_key=rng_key)
         return res.tokens, res.num_generated
 
-    def _chunk_decode_device(self, params, cache, logits, hidden, *, k):
-        """k greedy tokens + the continuation state (logits/hidden/cache
-        positioned after the k-th token) for host-chunked decoding."""
+    def _chunk_decode_device(self, params, cache, logits, hidden,
+                             rng_key=None, *, k, temperature=0.0,
+                             top_p=None):
+        """k tokens (greedy, or sampled when temperature > 0) + the
+        continuation state (logits/hidden/cache positioned after the k-th
+        token) for host-chunked decoding."""
         from ..models.vqa_llm import decode_step
         res = greedy_decode(params["llama"], self.cfg.llama, cache, logits,
-                            hidden, k, [self.eos_id], self.compute_dtype)
+                            hidden, k, [self.eos_id], self.compute_dtype,
+                            temperature=temperature, top_p=top_p,
+                            rng_key=rng_key)
         logits2, hidden2, cache2 = decode_step(
             params, self.cfg, res.cache, res.tokens[:, k - 1:k],
             self.compute_dtype)
@@ -198,11 +204,13 @@ class VQAEngine:
 
     def _free_form_keywords(self, image, question, object_crops,
                             images_long, objects_long, max_new_tokens,
-                            stop_keywords, chunk: int = 8) -> str:
-        """Greedy decode with multi-token keyword stopping
-        (KeywordsStoppingCriteria semantics, mm_utils.py:123-148):
-        decode in device chunks, check the decoded text on the host, stop
-        at the first keyword and strip it (vstar_bench_eval.py:104-113)."""
+                            stop_keywords, chunk: int = 8,
+                            temperature: float = 0.0, top_p=None) -> str:
+        """Decode (greedy, or sampled when temperature > 0) with
+        multi-token keyword stopping (KeywordsStoppingCriteria semantics,
+        mm_utils.py:123-148): decode in device chunks, check the decoded
+        text on the host, stop at the first keyword and strip it
+        (vstar_bench_eval.py:104-113)."""
         prompt = self._prompt(question)
         ids = self._tokenize(prompt)
         image_long = True if images_long is None else bool(images_long[0])
@@ -223,8 +231,10 @@ class VQAEngine:
         toks: List[int] = []
         while len(toks) < max_new_tokens:
             k = min(chunk, max_new_tokens - len(toks))
+            self._rng, sub = jax.random.split(self._rng)
             tokens, ngen, logits, hidden, cache = self._jit_chunk(
-                self.params, cache, logits, hidden, k=k)
+                self.params, cache, logits, hidden, sub, k=k,
+                temperature=temperature, top_p=top_p)
             got = [int(t) for t in np.asarray(tokens[0, :int(ngen[0])])]
             toks.extend(got)
             hit_eos = got and got[-1] == self.eos_id
@@ -256,7 +266,8 @@ class VQAEngine:
         if stop_keywords:
             return self._free_form_keywords(
                 image, question, object_crops, images_long, objects_long,
-                max_new_tokens, stop_keywords)
+                max_new_tokens, stop_keywords, temperature=temperature,
+                top_p=top_p)
         prompt = self._prompt(question)
         ids = self._tokenize(prompt)
         image_long = True if images_long is None else bool(images_long[0])

@@ -43,6 +43,11 @@ _CONJ = {"or", "and", "nor"}
 # of the segment (including internal prepositional phrases, which spaCy
 # merges into the head noun's subtree via the 'prep' dep) is the chunk
 _STRIPPABLE = _DETS | _PREPS | _ADVS | _COPULA | _VERBALS | {"it", ","}
+# words that are function words only in adverbial/auxiliary position but
+# content words when heading a noun phrase ('right side', 'can of soda');
+# spaCy resolves this via POS — the heuristic keeps them when the next
+# word is a content word (amod attachment) or 'of' (noun + prep)
+_AMBIG = {"right", "can", "may", "might", "will"}
 
 
 def _spacy_noun_chunks(expression: str) -> List[str]:
@@ -108,6 +113,11 @@ def _heuristic_noun_chunks(expression: str) -> List[str]:
     for seg in segments:
         i = 0
         while i < len(seg) and seg[i].lower() in _STRIPPABLE:
+            w = seg[i].lower()
+            if w in _AMBIG:
+                nxt = seg[i + 1].lower() if i + 1 < len(seg) else None
+                if nxt is None or nxt == "of" or nxt not in _STRIPPABLE:
+                    break  # noun/modifier use: chunk starts here
             i += 1
         if i >= len(seg):
             continue

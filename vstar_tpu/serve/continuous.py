@@ -64,7 +64,9 @@ class ContinuousSealService:
         self.window = window_ms / 1000.0
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
-        self._wave_sizes: List[int] = []
+        self._n_waves = 0
+        self._n_requests = 0
+        self._max_wave = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -73,54 +75,80 @@ class ContinuousSealService:
     def answer(self, image: Image.Image, question: str,
                options: Optional[Sequence[str]] = None,
                timeout: Optional[float] = None) -> Dict:
+        if self._stop.is_set():
+            raise RuntimeError("ContinuousSealService is closed")
         question = sanitize_text(question)
         if options:
             options = [sanitize_text(o) for o in options]
         req = _Request(image, question, options or None)
         self._q.put(req)
+        if self._stop.is_set():  # closed between the check and the put
+            self._fail_queued(RuntimeError("ContinuousSealService closed"))
         rec = req.future.result(timeout=timeout)
         rec["latency_s"] = round(time.perf_counter() - req.t_submit, 4)
         return rec
 
     def stats(self) -> Dict:
-        sizes = list(self._wave_sizes)
-        return {"waves": len(sizes),
-                "requests": int(sum(sizes)),
-                "max_wave": max(sizes) if sizes else 0,
-                "mean_wave": (sum(sizes) / len(sizes)) if sizes else 0.0,
+        return {"waves": self._n_waves,
+                "requests": self._n_requests,
+                "max_wave": self._max_wave,
+                "mean_wave": (self._n_requests / self._n_waves
+                              if self._n_waves else 0.0),
                 "queue_depth": self._q.qsize()}
 
     def close(self):
+        """Stop the scheduler; pending/in-flight requests get a
+        RuntimeError rather than hanging their caller threads."""
         self._stop.set()
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=10)
+        self._fail_queued(RuntimeError("ContinuousSealService closed"))
+
+    def _fail_queued(self, exc: BaseException):
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if not req.future.done():
+                req.future.set_exception(exc)
 
     # -- scheduler ---------------------------------------------------------
 
     def _loop(self):
-        while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            wave = [first]
-            deadline = time.monotonic() + self.window
-            while len(wave) < self.max_batch:
-                remain = deadline - time.monotonic()
-                if remain <= 0:
-                    break
+        try:
+            while not self._stop.is_set():
                 try:
-                    wave.append(self._q.get(timeout=remain))
+                    first = self._q.get(timeout=0.1)
                 except queue.Empty:
-                    break
-            self._wave_sizes.append(len(wave))
-            try:
-                recs = self._process_wave(wave)
-                for r, rec in zip(wave, recs):
-                    r.future.set_result(rec)
-            except Exception as e:
-                for r in wave:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                    continue
+                wave = [first]
+                deadline = time.monotonic() + self.window
+                while len(wave) < self.max_batch:
+                    remain = deadline - time.monotonic()
+                    if remain <= 0:
+                        break
+                    try:
+                        wave.append(self._q.get(timeout=remain))
+                    except queue.Empty:
+                        break
+                self._n_waves += 1
+                self._n_requests += len(wave)
+                self._max_wave = max(self._max_wave, len(wave))
+                try:
+                    recs = self._process_wave(wave)
+                    for r, rec in zip(wave, recs):
+                        r.future.set_result(rec)
+                except BaseException as e:
+                    for r in wave:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+                    if not isinstance(e, Exception):
+                        raise  # KeyboardInterrupt etc: die, but visibly
+        finally:
+            # scheduler exiting (close() or fatal error): never leave a
+            # caller blocked on a future nobody will complete
+            self._stop.set()
+            self._fail_queued(RuntimeError("seal scheduler stopped"))
 
     # -- phased pipeline ---------------------------------------------------
 

@@ -205,29 +205,31 @@ def run_vsm_training(args, cfg, params, tokenizer, loc_token_id):
             progress = ProgressMeter(args.steps_per_epoch,
                                      list(meters.values()),
                                      prefix=f"epoch {epoch} ")
-            for step_i in range(args.steps_per_epoch):
-                batch = next(loader)
-                timer.data_loaded()
-                state, m = step_fn(state,
-                                   {k: jnp.asarray(v)
-                                    for k, v in batch.items()})
-                timer.step_done()
-                for k in meters:
-                    meters[k].update(float(m[k]))
-                if step_i % 50 == 0:
-                    line = progress.display(step_i)
-                    metrics_log.write(json.dumps(
-                        {"epoch": epoch, "step": step_i,
-                         **{k: v.avg for k, v in meters.items()},
-                         "secs_per_batch": timer.batch_time.avg}) + "\n")
-                    metrics_log.flush()
-                    if tb is not None:
-                        gstep = epoch * args.steps_per_epoch + step_i
-                        for k, m in meters.items():
-                            tb.add_scalar(f"train/{k}", m.avg, gstep)
-                        tb.add_scalar("metrics/total_secs_per_batch",
-                                      timer.batch_time.avg, gstep)
-            loader.close()
+            try:
+                for step_i in range(args.steps_per_epoch):
+                    batch = next(loader)
+                    timer.data_loaded()
+                    state, m = step_fn(state,
+                                       {k: jnp.asarray(v)
+                                        for k, v in batch.items()})
+                    timer.step_done()
+                    for k in meters:
+                        meters[k].update(float(m[k]))
+                    if step_i % 50 == 0:
+                        line = progress.display(step_i)
+                        metrics_log.write(json.dumps(
+                            {"epoch": epoch, "step": step_i,
+                             **{k: v.avg for k, v in meters.items()},
+                             "secs_per_batch": timer.batch_time.avg}) + "\n")
+                        metrics_log.flush()
+                        if tb is not None:
+                            gstep = epoch * args.steps_per_epoch + step_i
+                            for k, m in meters.items():
+                                tb.add_scalar(f"train/{k}", m.avg, gstep)
+                            tb.add_scalar("metrics/total_secs_per_batch",
+                                          timer.batch_time.avg, gstep)
+            finally:
+                loader.close()
 
             # checkpoint (best-det-acc gating when a val set exists)
             det_acc = None
