@@ -38,3 +38,34 @@ def test_evaluate_search_detects_localization_regression(tmp_path):
     make_synthetic_benchmark(str(tmp_path), n_per_task=2, seed=5)
     top1, _ = evaluate_search(ShiftedVSM(), str(tmp_path))
     assert top1 < 1.0
+
+
+class BatchedScriptedVSM(ScriptedColorVSM):
+    def detect_many(self, patches, names):
+        return [self.detect(p, n) for p, n in zip(patches, names)]
+
+    def vqa_many(self, patches, qs):
+        return [self.vqa(p, q) for p, q in zip(patches, qs)]
+
+    def segment_many(self, patches, phrases):
+        return [self.segment(p, ph) for p, ph in zip(patches, phrases)]
+
+
+def test_evaluate_search_batched_matches_serial(tmp_path):
+    make_synthetic_benchmark(str(tmp_path), n_per_task=2, seed=6)
+    serial = evaluate_search(ScriptedColorVSM(), str(tmp_path))
+    batched = evaluate_search(BatchedScriptedVSM(), str(tmp_path),
+                              image_batch=3)
+    assert batched == serial == (1.0, serial[1])
+
+
+def test_evaluate_search_batched_visualization(tmp_path):
+    make_synthetic_benchmark(str(tmp_path / "b"), n_per_task=2, seed=7)
+    out = tmp_path / "vis"
+    top1, _ = evaluate_search(BatchedScriptedVSM(), str(tmp_path / "b"),
+                              visualization=True, output_path=str(out),
+                              image_batch=4)
+    assert top1 == 1.0
+    # one visualization directory per (image, target) task
+    dirs = [d for d, _, fs in os.walk(out) if fs]
+    assert len(dirs) >= 4

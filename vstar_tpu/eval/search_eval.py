@@ -15,17 +15,10 @@ from PIL import Image
 from ..search.policy import iou_xywh, visual_search
 
 
-def evaluate_search(vsm_engine, benchmark_folder: str,
-                    minimum_size_scale: float = 4.0,
-                    minimum_size: int = 224,
-                    confidence_high: float = 0.5,
-                    confidence_low: float = 0.3,
-                    target_cue_threshold: float = 6.0,
-                    target_cue_threshold_decay: float = 0.7,
-                    target_cue_threshold_minimum: float = 3.0,
-                    visualization: bool = False, output_path: str = ""):
-    acc_list = []
-    path_lengths = []
+def _collect_tasks(benchmark_folder: str, minimum_size_scale: float,
+                   minimum_size: int, visualization: bool,
+                   output_path: str):
+    tasks = []
     for test_type in ["direct_attributes", "relative_position"]:
         folder = os.path.join(benchmark_folder, test_type)
         image_files = [f for f in sorted(os.listdir(folder))
@@ -44,26 +37,75 @@ def evaluate_search(vsm_engine, benchmark_folder: str,
                     vis_path = os.path.join(
                         output_path, test_type,
                         f"{image_file.rsplit('.', 1)[0]}_{i}")
-                final_step, plen, ok, _ = visual_search(
-                    vsm_engine, image, name, smallest_size=smallest,
-                    target_bbox=gt_bbox, visualize=visualization,
-                    save_path=vis_path,
-                    confidence_high=confidence_high,
-                    confidence_low=confidence_low,
-                    target_cue_threshold=target_cue_threshold,
-                    target_cue_threshold_decay=target_cue_threshold_decay,
-                    target_cue_threshold_minimum=target_cue_threshold_minimum)
-                if ok:
-                    sb = np.asarray(final_step.detection_result,
-                                    np.float64).copy()
-                    sb[0] += final_step.bbox[0]
-                    sb[1] += final_step.bbox[1]
-                    acc_list.append(1.0 if iou_xywh(sb, gt_bbox) > 0.5
-                                    else 0.0)
-                    path_lengths.append(plen)
-                else:
-                    acc_list.append(0.0)
-                    path_lengths.append(0)
+                tasks.append({"image": image, "name": name,
+                              "gt_bbox": gt_bbox, "smallest": smallest,
+                              "vis_path": vis_path})
+    return tasks
+
+
+def evaluate_search(vsm_engine, benchmark_folder: str,
+                    minimum_size_scale: float = 4.0,
+                    minimum_size: int = 224,
+                    confidence_high: float = 0.5,
+                    confidence_low: float = 0.3,
+                    target_cue_threshold: float = 6.0,
+                    target_cue_threshold_decay: float = 0.7,
+                    target_cue_threshold_minimum: float = 3.0,
+                    visualization: bool = False, output_path: str = "",
+                    image_batch: int = 1):
+    """image_batch > 1 runs that many searches concurrently in lockstep
+    device waves (run_batched_searches; requires a batched VSM engine) —
+    per-task policy parameters and results stay identical to serial."""
+    policy_kw = dict(
+        confidence_high=confidence_high, confidence_low=confidence_low,
+        target_cue_threshold=target_cue_threshold,
+        target_cue_threshold_decay=target_cue_threshold_decay,
+        target_cue_threshold_minimum=target_cue_threshold_minimum)
+    tasks = _collect_tasks(benchmark_folder, minimum_size_scale,
+                           minimum_size, visualization, output_path)
+    outs = []
+    if image_batch > 1:
+        from ..search.batched import run_batched_searches
+        from collections import defaultdict
+        # group by smallest_size so shared kwargs stay exact per task
+        by_small = defaultdict(list)
+        for t_idx, t in enumerate(tasks):
+            by_small[t["smallest"]].append(t_idx)
+        outs = [None] * len(tasks)
+        for s_val, t_idxs in by_small.items():
+            for a in range(0, len(t_idxs), image_batch):
+                grp = t_idxs[a:a + image_batch]
+                res = run_batched_searches(
+                    vsm_engine, [tasks[t]["image"] for t in grp],
+                    [tasks[t]["name"] for t in grp], smallest_size=s_val,
+                    target_bboxes=[tasks[t]["gt_bbox"] for t in grp],
+                    visualize=visualization,
+                    save_paths=[tasks[t]["vis_path"] for t in grp],
+                    **policy_kw)
+                for t, r in zip(grp, res):
+                    outs[t] = r
+    else:
+        for t in tasks:
+            outs.append(visual_search(
+                vsm_engine, t["image"], t["name"],
+                smallest_size=t["smallest"], target_bbox=t["gt_bbox"],
+                visualize=visualization, save_path=t["vis_path"],
+                **policy_kw))
+
+    acc_list = []
+    path_lengths = []
+    for t, (final_step, plen, ok, _) in zip(tasks, outs):
+        if ok:
+            sb = np.asarray(final_step.detection_result,
+                            np.float64).copy()
+            sb[0] += final_step.bbox[0]
+            sb[1] += final_step.bbox[1]
+            acc_list.append(1.0 if iou_xywh(sb, t["gt_bbox"]) > 0.5
+                            else 0.0)
+            path_lengths.append(plen)
+        else:
+            acc_list.append(0.0)
+            path_lengths.append(0)
     ok_lengths = [path_lengths[i] for i in range(len(path_lengths))
                   if acc_list[i]]
     avg_len = float(np.mean(ok_lengths)) if ok_lengths else 0.0
@@ -86,6 +128,9 @@ def main():
     p.add_argument("--minimum_size", default=224, type=int)
     p.add_argument("--visualization", action="store_true", default=False)
     p.add_argument("--output_path", default="", type=str)
+    p.add_argument("--image-batch", default=1, type=int,
+                   help=">1: run this many searches concurrently as "
+                        "lockstep device batches (identical results)")
     args = p.parse_args()
 
     from .vstar_bench import load_engines
@@ -100,7 +145,8 @@ def main():
                     target_cue_threshold_minimum=args
                     .target_cue_threshold_minimum,
                     visualization=args.visualization,
-                    output_path=args.output_path)
+                    output_path=args.output_path,
+                    image_batch=args.image_batch)
 
 
 if __name__ == "__main__":

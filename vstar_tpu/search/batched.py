@@ -133,13 +133,20 @@ class BatchedVSMEngine(VSMEngine):
 
 
 def run_batched_searches(engine: BatchedVSMEngine, images: Sequence,
-                         names: Sequence[str], **search_kwargs
-                         ) -> List[Tuple]:
+                         names: Sequence[str], target_bboxes=None,
+                         visualize: bool = False, save_paths=None,
+                         **search_kwargs) -> List[Tuple]:
     """Run len(images) guided searches concurrently; VSM requests of the
     same kind execute as one batch per wave. Results match
-    `visual_search`'s return tuple per image."""
+    `visual_search`'s return tuple per image. With visualize=True each
+    task writes its step/heatmap overlays under its save_paths entry
+    (per-generator search paths, so lockstep tasks never mix)."""
     n = len(images)
-    gens = [visual_search_gen(images[i], names[i], **search_kwargs)
+    if visualize:
+        assert save_paths is not None and len(save_paths) == n
+    paths: List[List] = [[] for _ in range(n)]
+    gens = [visual_search_gen(images[i], names[i], path_out=paths[i],
+                              **search_kwargs)
             for i in range(n)]
     results: List[Optional[Tuple]] = [None] * n
     pending: Dict[int, Tuple] = {}
@@ -165,4 +172,13 @@ def run_batched_searches(engine: BatchedVSMEngine, images: Sequence,
                 except StopIteration as stop:
                     results[i] = stop.value
                     del pending[i]
+    if visualize:
+        from .visualize import visualize_search_path
+        for i in range(n):
+            _, plen, ok, _ = results[i]
+            vis_len = plen if ok else len(paths[i])
+            visualize_search_path(
+                images[i], paths[i], vis_len,
+                None if target_bboxes is None else target_bboxes[i],
+                names[i], save_paths[i])
     return results

@@ -104,9 +104,6 @@ def iou_xywh(b1, b2) -> float:
 # The search
 # ---------------------------------------------------------------------------
 
-# Most recent search path (for the serial driver's visualization hook).
-_LAST_SEARCH_PATH: dict = {}
-
 def _process_patch_gen(image, name: str, step: SearchStep,
                        search_path: List[SearchStep], heap, counter,
                        smallest_size, confidence_high, tct, tct_decay,
@@ -194,16 +191,22 @@ def visual_search_gen(image, target_object_name: str,
                       target_cue_threshold: float = 6.0,
                       target_cue_threshold_decay: float = 0.7,
                       target_cue_threshold_minimum: float = 3.0,
-                      max_steps: Optional[int] = None):
+                      max_steps: Optional[int] = None,
+                      path_out: Optional[List] = None):
     """Coroutine form of the search: yields VSM requests, returns
-    (final_step, path_length, search_successful, all_valid_boxes)."""
+    (final_step, path_length, search_successful, all_valid_boxes).
+
+    path_out: caller-owned list filled with the SearchStep path (for
+    visualization) — per-generator, so concurrent lockstep searches each
+    keep their own path."""
     import itertools
     counter = itertools.count()
 
     root = SearchStep(bbox=[0, 0, image.width, image.height], scale_level=1,
                       score=None, parent_index=-1)
-    search_path: List[SearchStep] = [root]
-    _LAST_SEARCH_PATH["path"] = search_path
+    search_path: List[SearchStep] = (path_out if path_out is not None
+                                     else [])
+    search_path[:] = [root]
     heap: list = []
 
     success = False
@@ -260,13 +263,14 @@ def visual_search(vsm: VSMClient, image, target_object_name: str,
     """
     if visualize:
         assert save_path is not None
+    path: List[SearchStep] = []
     gen = visual_search_gen(
         image, target_object_name, smallest_size=smallest_size,
         confidence_high=confidence_high, confidence_low=confidence_low,
         target_cue_threshold=target_cue_threshold,
         target_cue_threshold_decay=target_cue_threshold_decay,
         target_cue_threshold_minimum=target_cue_threshold_minimum,
-        max_steps=max_steps)
+        max_steps=max_steps, path_out=path)
     try:
         kind, patch, text = next(gen)
         while True:
@@ -281,7 +285,6 @@ def visual_search(vsm: VSMClient, image, target_object_name: str,
         final_step, path_length, success, all_valid_boxes = stop.value
         if visualize:
             from .visualize import visualize_search_path
-            path = _LAST_SEARCH_PATH.get("path", [])
             vis_len = path_length if success else len(path)
             visualize_search_path(image, path, vis_len, target_bbox,
                                   target_object_name, save_path)
