@@ -99,7 +99,9 @@ def run_training(args, cfg, params, dataset, collate_fn, tokenizer,
     opt = make_optimizer(lr, warmup_steps=min(100, total // 10),
                          total_steps=total, trainable_mask=trainable_mask,
                          master_f32=master_f32)
-    state = init_train_state(params, opt)
+    # init under jit so optimizer state inherits the params' mesh sharding
+    # (eager init commits scalars to device 0 — see train_vsm_main)
+    state = jax.jit(lambda p: init_train_state(p, opt))(params)
     step_fn = jax.jit(lambda st, b: sft_train_step(st, b, cfg, opt,
                                                    trainable_mask),
                       donate_argnums=(0,))
