@@ -218,6 +218,29 @@ def vsm_7b() -> VSMConfig:
     return VSMConfig()
 
 
+def _llama_13b(vocab: int) -> LlamaConfig:
+    return LlamaConfig(vocab_size=vocab, hidden_size=5120,
+                       intermediate_size=13824, num_layers=40,
+                       num_heads=40, num_kv_heads=40)
+
+
+def vqa_llm_13b() -> VQALLMConfig:
+    """Vicuna-13B-shaped VQA LLM (no public seal checkpoint; the reference
+    builder supports any Vicuna size via config.json — so do the importers
+    here, see core/hf_config.py)."""
+    return VQALLMConfig(
+        llama=_llama_13b(32003),
+        projector_image=ProjectorConfig(type="linear", out_dim=5120),
+        projector_object=ProjectorConfig(
+            type="perceiver", out_dim=5120, perceiver=PerceiverConfig()))
+
+
+def vsm_13b() -> VSMConfig:
+    """Vicuna-13B-shaped VSM."""
+    return VSMConfig(llama=_llama_13b(32003),
+                     projector=ProjectorConfig(type="linear", out_dim=5120))
+
+
 def _tiny_llama(vocab: int = 320) -> LlamaConfig:
     return LlamaConfig(
         vocab_size=vocab, hidden_size=64, intermediate_size=128,

@@ -133,8 +133,8 @@ def main():
                         "lockstep device batches (identical results)")
     args = p.parse_args()
 
-    from .vstar_bench import load_engines
-    _, vsm = load_engines(args.version, args.version)
+    from .vstar_bench import load_vsm_engine
+    vsm = load_vsm_engine(args.version)
     evaluate_search(vsm, args.benchmark_folder,
                     minimum_size_scale=args.minimum_size_scale,
                     minimum_size=args.minimum_size,

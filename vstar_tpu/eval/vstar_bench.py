@@ -25,33 +25,50 @@ from PIL import Image
 from .seal import seal_answer
 
 
-def load_engines(vqa_model_path: str, vsm_model_path: str,
-                 conv_type: str = "v1"):
-    """Load both models from HF-format checkpoint directories."""
+def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1"):
+    """Load the VQA LLM from an HF-format checkpoint directory. Model
+    shape follows the checkpoint's config.json (any Vicuna size / tower),
+    like the reference's from_pretrained path (builder.py:26-151)."""
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
     from ..core.checkpoint import load_torch_dir
-    from ..core.config import vqa_llm_7b, vsm_7b
+    from ..core.hf_config import vqa_llm_config_for
     from ..models.vqa_llm import vqa_llm_params_from_torch
-    from ..models.vsm import vsm_params_from_torch
-    from ..search.batched import BatchedVSMEngine as VSMEngine
     from .vqa_engine import VQAEngine
 
-    vqa_cfg = vqa_llm_7b()
+    vqa_cfg = vqa_llm_config_for(vqa_model_path)
     vqa_tok = AutoTokenizer.from_pretrained(vqa_model_path, use_fast=False)
     vqa_sd = load_torch_dir(vqa_model_path)
     vqa_params = vqa_llm_params_from_torch(vqa_sd, vqa_cfg,
                                            dtype=jnp.bfloat16)
-    vqa = VQAEngine(vqa_params, vqa_cfg, vqa_tok, conv_type=conv_type)
+    return VQAEngine(vqa_params, vqa_cfg, vqa_tok, conv_type=conv_type)
 
-    vsm_cfg = vsm_7b()
+
+def load_vsm_engine(vsm_model_path: str):
+    """Load the VSM from an HF-format checkpoint directory (the
+    search-mechanism eval needs only this half, visual_search.py:142)."""
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from ..core.checkpoint import load_torch_dir
+    from ..core.hf_config import vsm_config_for
+    from ..models.vsm import vsm_params_from_torch
+    from ..search.batched import BatchedVSMEngine as VSMEngine
+
+    vsm_cfg = vsm_config_for(vsm_model_path)
     vsm_tok = AutoTokenizer.from_pretrained(vsm_model_path, use_fast=False)
     loc_id = vsm_tok("[LOC]", add_special_tokens=False).input_ids[0]
     vsm_sd = load_torch_dir(vsm_model_path)
     vsm_params = vsm_params_from_torch(vsm_sd, vsm_cfg, dtype=jnp.bfloat16)
-    vsm = VSMEngine(vsm_params, vsm_cfg, vsm_tok, loc_token_id=loc_id)
-    return vqa, vsm
+    return VSMEngine(vsm_params, vsm_cfg, vsm_tok, loc_token_id=loc_id)
+
+
+def load_engines(vqa_model_path: str, vsm_model_path: str,
+                 conv_type: str = "v1"):
+    """Load both models from HF-format checkpoint directories."""
+    return (load_vqa_engine(vqa_model_path, conv_type),
+            load_vsm_engine(vsm_model_path))
 
 
 def eval_model(args, vqa_engine=None, vsm_engine=None):

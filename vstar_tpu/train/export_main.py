@@ -31,13 +31,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from ..core.checkpoint import load_params, load_torch_dir
-    from ..core.config import vsm_7b
+    from ..core.hf_config import vsm_config_for
     from ..core.hf_export import save_safetensors, vsm_state_dict
     from ..models.vsm import vsm_params_from_torch
     from ..train.lora import add_lora
     from ..train.vsm_train import VSMTrainState, make_vsm_optimizer
 
-    cfg = vsm_7b()
+    cfg = vsm_config_for(args.version)
     params = vsm_params_from_torch(load_torch_dir(args.version), cfg,
                                    dtype=jnp.float32)
     if args.lora_r > 0:

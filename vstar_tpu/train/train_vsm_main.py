@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import load_params, save_params
-from ..core.config import vsm_7b
 from ..core.mesh import make_mesh, shard_params
 from ..data.prefetch import prefetch
 from ..utils.metrics import AverageMeter, ProgressMeter, StepTimer
@@ -110,7 +109,8 @@ def main(argv=None):
     loc_token_id = tokenizer("[LOC]",
                              add_special_tokens=False).input_ids[0]
 
-    cfg = vsm_7b()
+    from ..core.hf_config import vsm_config_for
+    cfg = vsm_config_for(args.version)
     from ..core.checkpoint import load_torch_dir
     from ..models.vsm import vsm_params_from_torch
     param_dtype = jnp.bfloat16 if args.param_dtype == "bf16" else jnp.float32
