@@ -132,3 +132,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def global_batch(batch, mesh: Mesh):
+    """Host batch (numpy/array leaves, leading dim = this process's rows)
+    -> global device arrays sharded over the data axis.
+
+    Single process: equivalent to device_put with the data sharding.
+    Multi-process (pod): every host contributes its local rows to the
+    global batch (jax.make_array_from_process_local_data) — the TPU-native
+    replacement for the reference's per-rank DataLoader + DeepSpeed
+    scatter (VisualSearch/train.py:319-331)."""
+    import numpy as np
+
+    ndata = mesh.shape[DATA_AXIS]
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        if (arr.shape[0] * jax.process_count()) % ndata == 0:
+            out[k] = jax.make_array_from_process_local_data(
+                data_sharding(mesh, arr.ndim), arr)
+        elif jax.process_count() == 1:
+            # batch smaller than the data axis (tiny tests/debug runs):
+            # replicate and let sharding propagation decide, like a bare
+            # device transfer would
+            out[k] = jax.device_put(arr, NamedSharding(mesh, P()))
+        else:
+            raise ValueError(
+                f"batch dim {arr.shape[0]} x {jax.process_count()} "
+                f"processes not divisible by data axis {ndata} ({k})")
+    return out

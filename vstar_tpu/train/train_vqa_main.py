@@ -28,7 +28,7 @@ import numpy as np
 
 from ..core.checkpoint import save_params
 from ..core.config import vqa_llm_7b
-from ..core.mesh import make_mesh, shard_params
+from ..core.mesh import global_batch, make_mesh, shard_params
 from ..core.params import map_with_path
 from ..data.prefetch import prefetch_map
 from ..utils.metrics import AverageMeter, StepTimer
@@ -118,8 +118,12 @@ def run_training(args, cfg, params, dataset, collate_fn, tokenizer,
     with mesh:
         i = 0
         for epoch in range(args.num_train_epochs):
+            # multi-host: each process takes every process_count-th batch
+            # (DistributedSampler equivalent); rows join the global batch
+            # in global_batch below.
             starts = range(0, len(dataset) - args.per_device_batch_size + 1,
                            args.per_device_batch_size)
+            starts = list(starts)[jax.process_index()::jax.process_count()]
             # ordered parallel fetch+collate: image decode releases the
             # GIL, so worker threads overlap the device step
             # (HF Trainer DataLoader-workers equivalent)
@@ -128,8 +132,7 @@ def run_training(args, cfg, params, dataset, collate_fn, tokenizer,
                                   depth=args.prefetch_depth)
             for batch in loader:
                 timer.data_loaded()
-                state, m = step_fn(state, {k: jnp.asarray(v)
-                                           for k, v in batch.items()})
+                state, m = step_fn(state, global_batch(batch, mesh))
                 timer.step_done()
                 loss_m.update(float(m["loss"]))
                 if i % args.log_every == 0:
@@ -176,9 +179,11 @@ def main(argv=None):
                     os.path.join(args.output_dir, f"{key}_adapter"))
     else:
         from ..core.checkpoint import load_torch_dir
+        from ..core.hf_config import vqa_llm_config_for
         from ..data.vqa_sft_dataset import (SearchInstructionDataset,
                                             collate_vqa_sft)
         from ..models.vqa_llm import vqa_llm_params_from_torch
+        cfg = vqa_llm_config_for(args.model_path)
         tokenizer = AutoTokenizer.from_pretrained(args.model_path,
                                                   use_fast=False)
         params = vqa_llm_params_from_torch(load_torch_dir(args.model_path),

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.checkpoint import load_params, save_params
-from ..core.mesh import make_mesh, shard_params
+from ..core.mesh import global_batch, make_mesh, shard_params
 from ..data.prefetch import prefetch
 from ..utils.metrics import AverageMeter, ProgressMeter, StepTimer
 from .lora import add_lora, vsm_trainable_mask
@@ -82,11 +82,17 @@ def build_datasets(args, tokenizer, clip_size: int = 224,
     kept_rates = []
     ctor = {"general_segdet": SegDetDataset, "refer_seg": ReferSegDataset,
             "mixed_grounding": MixedGroundingDataset, "vqa": VQADataset}
-    for name, rate in zip(names, rates):
+    # per-process seed offset: in a multi-host run every process draws a
+    # DIFFERENT sample stream (its rows join the global batch via
+    # core.mesh.global_batch); same-seeded hosts would train dp-duplicated
+    # batches.
+    base_seed = 1000 * jax.process_index()
+    for i, (name, rate) in enumerate(zip(names, rates)):
         try:
             children.append(ctor[name](args.dataset_dir,
                                        clip_size=clip_size,
-                                       owl_size=owl_size))
+                                       owl_size=owl_size,
+                                       seed=base_seed + i))
             kept_rates.append(rate)
         except FileNotFoundError as e:
             print(f"[data] skipping {name}: {e}")
@@ -95,7 +101,8 @@ def build_datasets(args, tokenizer, clip_size: int = 224,
                                 f"{args.dataset_dir}")
     return HybridDataset(children, kept_rates,
                          samples_per_epoch=args.steps_per_epoch
-                         * args.batch_size * args.grad_accumulation_steps)
+                         * args.batch_size * args.grad_accumulation_steps,
+                         seed=base_seed + len(names))
 
 
 def main(argv=None):
@@ -209,9 +216,7 @@ def run_vsm_training(args, cfg, params, tokenizer, loc_token_id):
                 for step_i in range(args.steps_per_epoch):
                     batch = next(loader)
                     timer.data_loaded()
-                    state, m = step_fn(state,
-                                       {k: jnp.asarray(v)
-                                        for k, v in batch.items()})
+                    state, m = step_fn(state, global_batch(batch, mesh))
                     timer.step_done()
                     for k in meters:
                         meters[k].update(float(m[k]))
