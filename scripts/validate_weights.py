@@ -1,0 +1,117 @@
+"""One-command validation for REAL seal checkpoints, the day they arrive.
+
+Given HF-format checkpoint directories for seal_vqa_7b and/or seal_vsm_7b:
+  1. strict key audit of each state dict through the actual importers
+     (every present key consumed or skippable-by-design; nothing missing);
+  2. load both engines (shapes from the checkpoint's config.json);
+  3. smoke the full inference surfaces on a synthetic image: VQA free-form
+     + multiple-choice, VSM detect/vqa/segment, and one guided search;
+  4. optionally run the real V*Bench eval (--benchmark-folder).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/validate_weights.py \
+         --vqa-model-path <dir> --vsm-model-path <dir>
+
+Exit code 0 = importable and live on this backend. Accuracy still needs
+the benchmark folder (step 4) — parity targets in BASELINE.md.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+from PIL import Image
+
+
+def synthetic_image(w=640, h=480):
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 255, (h, w, 3), np.uint8)
+    arr[200:260, 300:380] = (250, 30, 30)  # a "red thing" to find
+    return Image.fromarray(arr)
+
+
+def audit(model_dir: str, which: str) -> bool:
+    from vstar_tpu.core.checkpoint import load_torch_dir
+    from vstar_tpu.core.hf_config import vqa_llm_config_for, vsm_config_for
+    from vstar_tpu.core.import_audit import audit_import
+
+    sd = load_torch_dir(model_dir)
+    if which == "vqa":
+        from vstar_tpu.models.vqa_llm import vqa_llm_params_from_torch
+        cfg = vqa_llm_config_for(model_dir)
+        aud = audit_import(sd, lambda s: vqa_llm_params_from_torch(s, cfg))
+    else:
+        from vstar_tpu.models.vsm import vsm_params_from_torch
+        cfg = vsm_config_for(model_dir)
+        aud = audit_import(sd, lambda s: vsm_params_from_torch(s, cfg))
+    print(f"[{which}] key audit: {aud.summary()}")
+    if aud.unknown:
+        print(f"[{which}] UNKNOWN keys: {aud.unknown[:20]}")
+    if aud.missing:
+        print(f"[{which}] MISSING keys: {aud.missing[:20]}")
+    return not (aud.unknown or aud.missing)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--vqa-model-path")
+    p.add_argument("--vsm-model-path")
+    p.add_argument("--benchmark-folder",
+                   help="optional: also run the real V*Bench eval")
+    p.add_argument("--skip-audit", action="store_true")
+    args = p.parse_args()
+    if not (args.vqa_model_path or args.vsm_model_path):
+        p.error("need --vqa-model-path and/or --vsm-model-path")
+
+    ok = True
+    if not args.skip_audit:
+        if args.vqa_model_path:
+            ok &= audit(args.vqa_model_path, "vqa")
+        if args.vsm_model_path:
+            ok &= audit(args.vsm_model_path, "vsm")
+        if not ok:
+            print("KEY AUDIT FAILED — fix the import schema before "
+                  "trusting any numbers below.")
+
+    img = synthetic_image()
+
+    vqa = vsm = None
+    from vstar_tpu.eval.vstar_bench import load_vqa_engine, load_vsm_engine
+    if args.vqa_model_path:
+        vqa = load_vqa_engine(args.vqa_model_path)
+        ans = vqa.free_form(img, "What is in this image?")
+        print(f"[vqa] free_form: {ans!r}")
+        opt = vqa.multiple_choice(
+            img, "What color is the rectangle?",
+            ["(A) red", "(B) blue", "(C) green", "(D) yellow"])
+        print(f"[vqa] multiple_choice -> option {opt}")
+    if args.vsm_model_path:
+        vsm = load_vsm_engine(args.vsm_model_path)
+        boxes, logits, heat = vsm.detect(img, "red rectangle")
+        top = float(logits.max()) if logits.size else float("nan")
+        print(f"[vsm] detect: {len(boxes)} candidates, top sigmoid "
+              f"{top:.3f}, heatmap max {float(heat.max()):.2f}")
+        txt = vsm.vqa(img, "According to the common sense knowledge, "
+                           "where is the red rectangle most likely to "
+                           "appear in this image?")
+        print(f"[vsm] vqa: {txt!r}")
+        from vstar_tpu.search.policy import visual_search
+        step, n, found, bboxes = visual_search(vsm, img, "red rectangle")
+        print(f"[search] found={found} path_len={n} "
+              f"bbox={None if step is None else step.bbox}")
+
+    if args.benchmark_folder and vqa is not None and vsm is not None:
+        from vstar_tpu.eval.vstar_bench import eval_model
+        ns = argparse.Namespace(
+            vqa_model_path=args.vqa_model_path,
+            vsm_model_path=args.vsm_model_path, conv_type="v1",
+            benchmark_folder=args.benchmark_folder,
+            output_path="eval_result.json", minimum_size_scale=4.0,
+            minimum_size=224, image_batch=1)
+        eval_model(ns, vqa, vsm)
+
+    print("VALIDATION", "PASSED" if ok else "FAILED (see audit)")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
