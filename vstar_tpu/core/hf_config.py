@@ -43,7 +43,7 @@ def llama_config_from_hf(d: Mapping) -> LlamaConfig:
         num_layers=int(d.get("num_hidden_layers", 32)),
         num_heads=heads,
         num_kv_heads=int(d.get("num_key_value_heads", heads)),
-        head_dim=hidden // heads,
+        head_dim=int(d.get("head_dim", hidden // heads)),
         max_position_embeddings=int(d.get("max_position_embeddings", 2048)),
         rope_theta=float(d.get("rope_theta", 10000.0)),
         rms_norm_eps=float(d.get("rms_norm_eps", 1e-6)),

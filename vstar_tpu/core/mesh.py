@@ -146,6 +146,14 @@ def global_batch(batch, mesh: Mesh):
     import numpy as np
 
     ndata = mesh.shape[DATA_AXIS]
+    nproc = jax.process_count()
+    if nproc > 1 and ndata < nproc:
+        # each process contributes DIFFERENT rows; a batch dim replicated
+        # (or sharded over fewer ways than there are processes) would make
+        # JAX assume identical per-host buffers and silently diverge
+        raise ValueError(
+            f"multi-host run needs the data mesh axis >= process count "
+            f"({ndata} < {nproc}); pass --mesh with data >= {nproc}")
     out = {}
     for k, v in batch.items():
         arr = np.asarray(v)

@@ -19,7 +19,7 @@ import numpy as np
 from PIL import Image
 
 from ..data.preprocess import expand2square
-from ..search.batched import run_batched_searches
+from ..search.batched import run_grouped_searches
 from .seal import focus_prompt, normalize_bbox, parse_missing_objects
 
 
@@ -72,31 +72,13 @@ def run_search_phase(vsm_batched, images: Sequence, missing: Sequence[List[str]]
     failed: List[List[str]] = [[] for _ in images]
     if not tasks:
         return search_results, failed
-    imgs = [images[i] for i, _ in tasks]
-    names = [n for _, n in tasks]
-    smallest = [max(int(np.ceil(min(im.width, im.height)
-                                / minimum_size_scale)), minimum_size)
-                for im in imgs]
-    # run_batched_searches takes shared kwargs; group tasks by their
-    # smallest_size so the policy parameters stay exact per task.
-    by_small = defaultdict(list)
-    for t_idx, s_val in enumerate(smallest):
-        by_small[s_val].append(t_idx)
-    outs: List = [None] * len(tasks)
-    if hasattr(vsm_batched, "detect_many"):
-        for s_val, t_idxs in by_small.items():
-            res = run_batched_searches(
-                vsm_batched, [imgs[t] for t in t_idxs],
-                [names[t] for t in t_idxs], smallest_size=s_val,
-                max_steps=max_search_steps)
-            for t, r in zip(t_idxs, res):
-                outs[t] = r
-    else:  # serial engine fallback
-        from ..search.policy import visual_search
-        for t in range(len(tasks)):
-            outs[t] = visual_search(vsm_batched, imgs[t], names[t],
-                                    smallest_size=smallest[t],
-                                    max_steps=max_search_steps)
+    search_tasks = [
+        {"image": images[i], "name": name,
+         "smallest": max(int(np.ceil(min(images[i].width, images[i].height)
+                                     / minimum_size_scale)), minimum_size)}
+        for i, name in tasks]
+    outs = run_grouped_searches(vsm_batched, search_tasks,
+                                max_steps=max_search_steps)
     for (i, name), (final_step, _, ok, all_boxes) in zip(tasks, outs):
         if not ok:
             failed[i].append(name)

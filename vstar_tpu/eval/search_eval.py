@@ -6,13 +6,14 @@ annotations."""
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 
 import numpy as np
 from PIL import Image
 
-from ..search.policy import iou_xywh, visual_search
+from ..search.policy import iou_xywh
 
 
 def _collect_tasks(benchmark_folder: str, minimum_size_scale: float,
@@ -26,21 +27,29 @@ def _collect_tasks(benchmark_folder: str, minimum_size_scale: float,
         for image_file in image_files:
             image_path = os.path.join(folder, image_file)
             ann = json.load(open(image_path.rsplit(".", 1)[0] + ".json"))
+            # size from the header only; decode lazily at dispatch so the
+            # whole benchmark's pixels are never resident at once
+            with Image.open(image_path) as im:
+                width, height = im.size
+            smallest = max(int(np.ceil(min(width, height)
+                                       / minimum_size_scale)), minimum_size)
             for i, (gt_bbox, name) in enumerate(zip(ann["bbox"],
                                                     ann["target_object"])):
-                image = Image.open(image_path).convert("RGB")
-                smallest = max(
-                    int(np.ceil(min(image.width, image.height)
-                                / minimum_size_scale)), minimum_size)
                 vis_path = None
                 if visualization:
                     vis_path = os.path.join(
                         output_path, test_type,
                         f"{image_file.rsplit('.', 1)[0]}_{i}")
-                tasks.append({"image": image, "name": name,
+                tasks.append({"image": functools.partial(_open_rgb,
+                                                         image_path),
+                              "name": name,
                               "gt_bbox": gt_bbox, "smallest": smallest,
                               "vis_path": vis_path})
     return tasks
+
+
+def _open_rgb(path: str):
+    return Image.open(path).convert("RGB")
 
 
 def evaluate_search(vsm_engine, benchmark_folder: str,
@@ -63,34 +72,9 @@ def evaluate_search(vsm_engine, benchmark_folder: str,
         target_cue_threshold_minimum=target_cue_threshold_minimum)
     tasks = _collect_tasks(benchmark_folder, minimum_size_scale,
                            minimum_size, visualization, output_path)
-    outs = []
-    if image_batch > 1:
-        from ..search.batched import run_batched_searches
-        from collections import defaultdict
-        # group by smallest_size so shared kwargs stay exact per task
-        by_small = defaultdict(list)
-        for t_idx, t in enumerate(tasks):
-            by_small[t["smallest"]].append(t_idx)
-        outs = [None] * len(tasks)
-        for s_val, t_idxs in by_small.items():
-            for a in range(0, len(t_idxs), image_batch):
-                grp = t_idxs[a:a + image_batch]
-                res = run_batched_searches(
-                    vsm_engine, [tasks[t]["image"] for t in grp],
-                    [tasks[t]["name"] for t in grp], smallest_size=s_val,
-                    target_bboxes=[tasks[t]["gt_bbox"] for t in grp],
-                    visualize=visualization,
-                    save_paths=[tasks[t]["vis_path"] for t in grp],
-                    **policy_kw)
-                for t, r in zip(grp, res):
-                    outs[t] = r
-    else:
-        for t in tasks:
-            outs.append(visual_search(
-                vsm_engine, t["image"], t["name"],
-                smallest_size=t["smallest"], target_bbox=t["gt_bbox"],
-                visualize=visualization, save_path=t["vis_path"],
-                **policy_kw))
+    from ..search.batched import run_grouped_searches
+    outs = run_grouped_searches(vsm_engine, tasks, image_batch=image_batch,
+                                visualize=visualization, **policy_kw)
 
     acc_list = []
     path_lengths = []

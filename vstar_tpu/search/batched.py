@@ -182,3 +182,52 @@ def run_batched_searches(engine: BatchedVSMEngine, images: Sequence,
                 None if target_bboxes is None else target_bboxes[i],
                 names[i], save_paths[i])
     return results
+
+
+def run_grouped_searches(engine, tasks: Sequence[Dict], image_batch=None,
+                         max_steps=None, visualize: bool = False,
+                         **policy_kw) -> List[Tuple]:
+    """Dispatch searches whose smallest_size differs per task.
+
+    tasks: dicts with 'image' (PIL image, or a zero-arg callable for lazy
+    decode), 'name', 'smallest', optional 'gt_bbox' and 'vis_path'.
+    Groups tasks by smallest_size (run_batched_searches takes shared
+    kwargs), chunks each group into image_batch-sized lockstep waves, and
+    falls back to serial `visual_search` when the engine has no
+    detect_many (or image_batch == 1). Results in task order, each the
+    `visual_search` return tuple."""
+    from collections import defaultdict
+
+    from .policy import visual_search
+
+    def img(t):
+        im = t["image"]
+        return im() if callable(im) else im
+
+    outs: List[Optional[Tuple]] = [None] * len(tasks)
+    serial = not hasattr(engine, "detect_many") or image_batch == 1
+    if serial:
+        for i, t in enumerate(tasks):
+            outs[i] = visual_search(
+                engine, img(t), t["name"], smallest_size=t["smallest"],
+                target_bbox=t.get("gt_bbox"), max_steps=max_steps,
+                visualize=visualize, save_path=t.get("vis_path"),
+                **policy_kw)
+        return outs
+    by_small: Dict[int, List[int]] = defaultdict(list)
+    for i, t in enumerate(tasks):
+        by_small[t["smallest"]].append(i)
+    for s_val, idxs in by_small.items():
+        step = image_batch or len(idxs)
+        for a in range(0, len(idxs), step):
+            grp = idxs[a:a + step]
+            res = run_batched_searches(
+                engine, [img(tasks[i]) for i in grp],
+                [tasks[i]["name"] for i in grp],
+                target_bboxes=[tasks[i].get("gt_bbox") for i in grp],
+                visualize=visualize,
+                save_paths=[tasks[i].get("vis_path") for i in grp],
+                smallest_size=s_val, max_steps=max_steps, **policy_kw)
+            for i, r in zip(grp, res):
+                outs[i] = r
+    return outs

@@ -104,8 +104,9 @@ def sft_train_step(state: TrainState, batch: Dict, cfg: VQALLMConfig,
     if trainable_mask is not None:
         # zero frozen-leaf grads WITHOUT changing dtype: an f32-cast mask
         # upcasts every bf16 grad leaf (+2 bytes/param live) — measured
-        # 10.5 s/step vs 0.10 s on a near-full 16 GB v5e for the 2-layer
-        # full-width probe (scripts/train_step_bench.py)
+        # 4.2-10.5 s/step (run-to-run HBM-pressure dependent) vs 0.10 s
+        # on a near-full 16 GB v5e for the 2-layer full-width probe
+        # (scripts/train_step_bench.py)
         grads = jax.tree_util.tree_map(
             lambda g, m: g if m else jnp.zeros_like(g), grads,
             trainable_mask)

@@ -94,7 +94,10 @@ def run_training(args, cfg, params, dataset, collate_fn, tokenizer,
                  hbm_gb=args.hbm_gb,
                  what=f"{args.stage} (mesh {dict(mesh.shape)})")
     params = shard_params(params, mesh)
-    steps_per_epoch = max(len(dataset) // args.per_device_batch_size, 1)
+    # one optimizer step consumes process_count batches (each host takes
+    # its stride), so the schedule counts global steps
+    steps_per_epoch = max(len(dataset) // args.per_device_batch_size
+                          // jax.process_count(), 1)
     total = steps_per_epoch * args.num_train_epochs
     opt = make_optimizer(lr, warmup_steps=min(100, total // 10),
                          total_steps=total, trainable_mask=trainable_mask,
@@ -120,10 +123,15 @@ def run_training(args, cfg, params, dataset, collate_fn, tokenizer,
         for epoch in range(args.num_train_epochs):
             # multi-host: each process takes every process_count-th batch
             # (DistributedSampler equivalent); rows join the global batch
-            # in global_batch below.
-            starts = range(0, len(dataset) - args.per_device_batch_size + 1,
-                           args.per_device_batch_size)
-            starts = list(starts)[jax.process_index()::jax.process_count()]
+            # in global_batch below. Truncate to a common multiple so every
+            # process runs the SAME number of steps — an unequal tail
+            # would leave one host inside a collective the others left.
+            starts = list(
+                range(0, len(dataset) - args.per_device_batch_size + 1,
+                      args.per_device_batch_size))
+            nproc = jax.process_count()
+            starts = starts[:len(starts) // nproc * nproc]
+            starts = starts[jax.process_index()::nproc]
             # ordered parallel fetch+collate: image decode releases the
             # GIL, so worker threads overlap the device step
             # (HF Trainer DataLoader-workers equivalent)
