@@ -101,3 +101,30 @@ def test_dir_fallback_and_json(tmp_path):
     with open(os.path.join(tmp_path, "config.json"), "w") as f:
         json.dump(d13, f)
     assert vsm_config_for(str(tmp_path)).llama.hidden_size == 5120
+
+
+def test_projector_types_initializable():
+    # every projector type the reference builder supports
+    # (multimodal_projector/builder.py:33-70) must init + apply
+    import jax
+    import jax.numpy as jnp
+
+    from vstar_tpu.core.config import PerceiverConfig, ProjectorConfig
+    from vstar_tpu.nn.projectors import (apply_projector,
+                                         init_projector_params)
+    feats = jnp.ones((1, 6, 8))
+    for cfg in [
+        ProjectorConfig(type="linear", in_dim=8, out_dim=16),
+        ProjectorConfig(type="mlp2x_gelu", in_dim=8, out_dim=16,
+                        mlp_depth=2),
+        ProjectorConfig(type="identity", in_dim=8, out_dim=8),
+        ProjectorConfig(type="perceiver", in_dim=8, out_dim=16,
+                        perceiver=PerceiverConfig(dim=8, depth=1,
+                                                  dim_head=4, heads=2,
+                                                  num_latents=2)),
+    ]:
+        p = init_projector_params(jax.random.PRNGKey(0), cfg)
+        out = apply_projector(p, cfg, feats)
+        want_n = 2 if cfg.type == "perceiver" else 6
+        want_d = cfg.out_dim if cfg.type != "identity" else 8
+        assert out.shape == (1, want_n, want_d), (cfg.type, out.shape)

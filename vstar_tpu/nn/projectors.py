@@ -35,6 +35,8 @@ def init_projector_params(key, cfg: ProjectorConfig,
         assert cfg.perceiver is not None
         return {"perceiver": init_perceiver_params(kg(), cfg.perceiver,
                                                    cfg.out_dim, dtype)}
+    if cfg.type == "identity":  # builder.py:51 IdentityMap — no params
+        return {}
     raise ValueError(f"unknown projector type {cfg.type}")
 
 
