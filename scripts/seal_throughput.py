@@ -34,7 +34,7 @@ imgs = [Image.fromarray((rng.rand(500, 600, 3) * 255).astype("uint8"))
 qs = [f"is the small object number {i} red or blue ?" for i in range(8)]
 opts = [["red thing", "blue thing", "green", "none"]] * 8
 
-for B in (1, 4):
+for B in (1, 4, 8):
     # warm (compile)
     eng.free_form_many(imgs[:B], qs[:B], max_new_tokens=32)
     eng.multiple_choice_many(imgs[:B], qs[:B], opts[:B])

@@ -98,3 +98,92 @@ def test_batched_engine_matches_serial_engine():
     s_txt = [eng.vqa(p, "what is here?") for p in patches]
     b_txt = eng.vqa_many(patches, ["what is here?"] * 3)
     assert s_txt == b_txt
+
+
+def test_patch_ref_matches_eager_crop():
+    from PIL import Image
+    from vstar_tpu.search.policy import PatchRef
+
+    rng = np.random.RandomState(7)
+    img = Image.fromarray((rng.rand(120, 160, 3) * 255).astype("uint8"))
+    # float bbox: PatchRef must reproduce PIL's int(l),int(t),int(r),int(b)
+    bbox = [10.7, 5.2, 60.9, 44.5]
+    ref = PatchRef(img, bbox)
+    eager = img.crop((int(bbox[0]), int(bbox[1]),
+                      int(bbox[0] + bbox[2]), int(bbox[1] + bbox[3])))
+    assert (ref.width, ref.height) == eager.size
+    np.testing.assert_array_equal(np.asarray(ref.pil()), np.asarray(eager))
+
+
+def test_device_preprocess_matches_host_window():
+    """Device canvas window-resize vs host PIL crop+expand2square+resize:
+    same content within resampler tolerance (jax cubic vs PIL bicubic
+    differ at the kernel level — the device path is the opt-in throughput
+    mode, not the exact-parity default)."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from vstar_tpu.data.preprocess import (clip_preprocess, expand2square,
+                                           owlvit_preprocess)
+    from vstar_tpu.kernels.image_ops import (normalized_canvas,
+                                             square_window, window_resize)
+    from vstar_tpu.search.policy import PatchRef
+
+    rng = np.random.RandomState(0)
+    img = Image.fromarray((rng.rand(300, 420, 3) * 255).astype("uint8"))
+    ref = PatchRef(img, [37, 22, 180, 120])
+    canvas, hw = normalized_canvas(img)
+    assert canvas.shape == (512, 512, 3) and hw == (300, 420)
+    canvas = jnp.asarray(canvas)
+    clip_dev = np.asarray(window_resize(
+        canvas, jnp.asarray(square_window(ref.bbox), jnp.float32), 28))
+    owl_dev = np.asarray(window_resize(
+        canvas, jnp.asarray(ref.bbox, jnp.float32), 48))
+    crop = ref.pil()
+    sq, _, _ = expand2square(crop)
+    clip_host = clip_preprocess(sq, 28)
+    owl_host = owlvit_preprocess(crop, 48)
+    # noise images are the resampler worst case; tolerances are content-
+    # level (measured: clip mean .068/max .70, owl mean .008/max .21)
+    assert np.abs(clip_dev - clip_host).mean() < 0.12
+    assert np.abs(clip_dev - clip_host).max() < 1.2
+    assert np.abs(owl_dev - owl_host).mean() < 0.03
+    assert np.abs(owl_dev - owl_host).max() < 0.5
+
+
+def test_device_preprocess_engine_close_to_host_engine():
+    """detect_many with device-resident patch extraction vs host PIL
+    preprocessing through the real (tiny) VSM: same decode, close heads."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from vstar_tpu.core.config import vsm_tiny
+    from vstar_tpu.models.vsm import init_vsm_params
+    from vstar_tpu.search.batched import BatchedVSMEngine
+    from vstar_tpu.search.policy import PatchRef
+    from tests.test_data import WordTokenizer
+
+    cfg = vsm_tiny()
+    tok = WordTokenizer()
+    params = init_vsm_params(jax.random.PRNGKey(2), cfg)
+    host = BatchedVSMEngine(params, cfg, tok,
+                            loc_token_id=tok._word_id("[LOC]"),
+                            max_new_tokens=4, prompt_buckets=(64, 128),
+                            compute_dtype=jnp.float32)
+    dev = BatchedVSMEngine(params, cfg, tok,
+                           loc_token_id=tok._word_id("[LOC]"),
+                           max_new_tokens=4, prompt_buckets=(64, 128),
+                           compute_dtype=jnp.float32,
+                           device_preprocess=True)
+    assert dev.wants_patch_refs and not host.wants_patch_refs
+
+    rng = np.random.RandomState(3)
+    img = Image.fromarray((rng.rand(200, 260, 3) * 255).astype("uint8"))
+    refs = [PatchRef(img, [0, 0, 260, 200]), PatchRef(img, [30, 20, 90, 70])]
+    names = ["cat", "dog"]
+    out_host = host.detect_many([r.pil() for r in refs], names)
+    out_dev = dev.detect_many(refs, names)
+    for (b1, l1, h1), (b2, l2, h2) in zip(out_host, out_dev):
+        assert b1.shape == b2.shape and l1.shape == l2.shape
+        assert h1.shape == h2.shape
+        if l1.size:   # same patch content -> close head outputs
+            np.testing.assert_allclose(l1, l2, atol=0.2)

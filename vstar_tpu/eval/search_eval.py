@@ -115,10 +115,16 @@ def main():
     p.add_argument("--image-batch", default=1, type=int,
                    help=">1: run this many searches concurrently as "
                         "lockstep device batches (identical results)")
+    p.add_argument("--device-preprocess", action="store_true",
+                   default=False,
+                   help="extract search patches on device (upload each "
+                        "image once; throughput mode — resampler differs "
+                        "slightly from the PIL-exact default)")
     args = p.parse_args()
 
     from .vstar_bench import load_vsm_engine
-    vsm = load_vsm_engine(args.version)
+    vsm = load_vsm_engine(args.version,
+                          device_preprocess=args.device_preprocess)
     evaluate_search(vsm, args.benchmark_folder,
                     minimum_size_scale=args.minimum_size_scale,
                     minimum_size=args.minimum_size,

@@ -45,9 +45,12 @@ def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1"):
     return VQAEngine(vqa_params, vqa_cfg, vqa_tok, conv_type=conv_type)
 
 
-def load_vsm_engine(vsm_model_path: str):
+def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False):
     """Load the VSM from an HF-format checkpoint directory (the
-    search-mechanism eval needs only this half, visual_search.py:142)."""
+    search-mechanism eval needs only this half, visual_search.py:142).
+    device_preprocess opts the batched search path into on-device patch
+    extraction (throughput mode; host PIL stays the exact-parity
+    default)."""
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
@@ -61,7 +64,8 @@ def load_vsm_engine(vsm_model_path: str):
     loc_id = vsm_tok("[LOC]", add_special_tokens=False).input_ids[0]
     vsm_sd = load_torch_dir(vsm_model_path)
     vsm_params = vsm_params_from_torch(vsm_sd, vsm_cfg, dtype=jnp.bfloat16)
-    return VSMEngine(vsm_params, vsm_cfg, vsm_tok, loc_token_id=loc_id)
+    return VSMEngine(vsm_params, vsm_cfg, vsm_tok, loc_token_id=loc_id,
+                     device_preprocess=device_preprocess)
 
 
 def load_engines(vqa_model_path: str, vsm_model_path: str,

@@ -81,3 +81,47 @@ def batched_crop_preprocess(image_u8: jnp.ndarray, bboxes: jnp.ndarray,
     """[N, 4] crops of one image -> [N, out, out, 3] (vmapped fused op)."""
     return jax.vmap(lambda b: crop_resize_normalize(image_u8, b, out_size)
                     )(bboxes.astype(jnp.float32))
+
+
+def normalized_canvas(image, bucket: int = 512):
+    """PIL image -> (np.float32 canvas [bH, bW, 3] CLIP-normalized,
+    (H, W)). The canvas is the image normalized in place, zero-padded to
+    bucket multiples; zero IS the CLIP mean color after normalization, and
+    `jax.image.scale_and_translate` zero-pads out-of-bounds samples — so
+    sampling a square window that overhangs the image reproduces
+    expand2square's mean fill exactly. Bucketing keeps the number of
+    compiled window-resize shapes small across image sizes."""
+    import numpy as np
+
+    arr = np.asarray(image.convert("RGB"), np.float32)
+    H, W = arr.shape[:2]
+    bh = -(-H // bucket) * bucket
+    bw = -(-W // bucket) * bucket
+    mean = np.asarray(CLIP_MEAN, np.float32)
+    std = np.asarray(CLIP_STD, np.float32)
+    canvas = np.zeros((bh, bw, 3), np.float32)
+    canvas[:H, :W] = (arr / 255.0 - mean) / std
+    return canvas, (H, W)
+
+
+def window_resize(canvas_norm: jnp.ndarray, bbox: jnp.ndarray,
+                  out_size: int, method: str = "cubic") -> jnp.ndarray:
+    """Resize a dynamic [x, y, w, h] window of a pre-normalized canvas to
+    [out, out, 3]. Out-of-canvas samples are zero == normalized CLIP mean,
+    matching expand2square padding. Pass the crop box for OwlViT
+    semantics, or the centered square window around it for the CLIP
+    crop+expand2square+resize path."""
+    x0, y0, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
+    scale = jnp.stack([out_size / h, out_size / w]).astype(jnp.float32)
+    translation = -jnp.stack([y0, x0]).astype(jnp.float32) * scale
+    return jax.image.scale_and_translate(
+        canvas_norm, (out_size, out_size, 3), (0, 1), scale, translation,
+        method=method)
+
+
+def square_window(bbox) -> list:
+    """Centered square window [x, y, side, side] around an [x, y, w, h]
+    crop — the expand2square geometry (integer paste offsets like PIL)."""
+    x0, y0, w, h = bbox
+    side = max(w, h)
+    return [x0 - (side - w) // 2, y0 - (side - h) // 2, side, side]

@@ -23,7 +23,7 @@ from ..data.preprocess import (clip_preprocess, expand2square,
 from ..multimodal.splicing import build_layout
 from ..multimodal.tokenizer import tokenize_with_image
 from .engine import VSMEngine, _round128
-from .policy import visual_search_gen
+from .policy import PatchRef, unwrap_patch, visual_search_gen
 
 
 def _batch_bucket(n: int, buckets=(1, 2, 4, 8, 16)) -> int:
@@ -34,7 +34,57 @@ def _batch_bucket(n: int, buckets=(1, 2, 4, 8, 16)) -> int:
 
 
 class BatchedVSMEngine(VSMEngine):
-    """VSMEngine whose modes also accept lists (one device batch)."""
+    """VSMEngine whose modes also accept lists (one device batch).
+
+    device_preprocess=True opts the lockstep search path into on-device
+    patch extraction (kernels/image_ops.py): each source image uploads
+    ONCE as a normalized bucketed canvas; every patch of every wave is a
+    dynamic window-resize on device (CLIP square window + OwlViT crop
+    window), so no per-step host crop/resize or multi-MB patch upload.
+    jax.image cubic differs from PIL bicubic at the sampling-kernel level,
+    so the exact-reference-parity default stays on host preprocessing."""
+
+    def __init__(self, *args, device_preprocess: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.device_preprocess = device_preprocess
+        self._canvas_cache = {}   # id(image) -> (device canvas, image ref)
+        if device_preprocess:
+            import functools
+            import jax
+
+            from ..kernels.image_ops import window_resize
+            self._jit_window = jax.jit(
+                functools.partial(window_resize),
+                static_argnames=("out_size", "method"))
+
+    @property
+    def wants_patch_refs(self) -> bool:
+        return self.device_preprocess
+
+    def _canvas(self, image):
+        key = id(image)
+        hit = self._canvas_cache.get(key)
+        if hit is not None and hit[1] is image:
+            return hit[0]
+        from ..kernels.image_ops import normalized_canvas
+        arr, _ = normalized_canvas(image)
+        dev = jnp.asarray(arr)
+        if len(self._canvas_cache) >= 8:   # keeps image refs alive, so
+            self._canvas_cache.clear()     # ids in the cache stay valid
+        self._canvas_cache[key] = (dev, image)
+        return dev
+
+    def _device_pair(self, ref):
+        """PatchRef -> (clip [224,224,3], owl [768,768,3]) device arrays."""
+        from ..kernels.image_ops import square_window
+        canvas = self._canvas(ref.image)
+        clip = self._jit_window(
+            canvas, jnp.asarray(square_window(ref.bbox), jnp.float32),
+            out_size=self.cfg.vision.image_size)
+        owl = self._jit_window(
+            canvas, jnp.asarray(ref.bbox, jnp.float32),
+            out_size=self.cfg.owl_vision.image_size)
+        return clip, owl
 
     def _run_many(self, images: Sequence, questions: Sequence[str]):
         n = len(images)
@@ -65,9 +115,15 @@ class BatchedVSMEngine(VSMEngine):
         owl_size = self.cfg.owl_vision.image_size
         clips, owls = [], []
         for img in images:
-            sq, _, _ = expand2square(img)
-            clips.append(clip_preprocess(sq, clip_size))
-            owls.append(owlvit_preprocess(img, owl_size))
+            if self.device_preprocess and isinstance(img, PatchRef):
+                c, o = self._device_pair(img)
+                clips.append(c)
+                owls.append(o)
+            else:
+                img = unwrap_patch(img)
+                sq, _, _ = expand2square(img)
+                clips.append(clip_preprocess(sq, clip_size))
+                owls.append(owlvit_preprocess(img, owl_size))
         for _ in range(pad):
             clips.append(clips[0])
             owls.append(owls[0])
@@ -77,8 +133,8 @@ class BatchedVSMEngine(VSMEngine):
         if self._draft_row is not None:
             draft = jnp.asarray(np.tile(self._draft_row[None], (bb, 1)))
         out = self._jit_generate(
-            self.params, self.cfg, jnp.asarray(np.stack(clips)),
-            jnp.asarray(np.stack(owls)),
+            self.params, self.cfg, jnp.stack(clips),
+            jnp.stack(owls),
             jnp.asarray(np.stack([l.text_ids for l in lays])),
             jnp.asarray(np.stack([l.feat_idx for l in lays])),
             jnp.asarray(np.stack([l.is_feat for l in lays])),
@@ -164,6 +220,9 @@ def run_batched_searches(engine: BatchedVSMEngine, images: Sequence,
             if not idxs:
                 continue
             patches = [pending[i][1] for i in idxs]
+            if not getattr(engine, "wants_patch_refs", False):
+                from .policy import unwrap_patch
+                patches = [unwrap_patch(p) for p in patches]
             texts = [pending[i][2] for i in idxs]
             outs = dispatch[kind](patches, texts)
             for i, out in zip(idxs, outs):

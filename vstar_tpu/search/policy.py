@@ -34,6 +34,39 @@ class VSMClient(Protocol):
         """-> heatmap [h,w] float >= 0."""
 
 
+class PatchRef:
+    """Lazy patch: source image + absolute pixel bbox [x, y, w, h] (the
+    same integer math as PIL crop's ltrb). `pil()` performs the crop —
+    the host-preprocessing path; device-preprocessing engines instead use
+    `.bbox` against a device-resident copy of `.image` so patch pixels
+    never round-trip through the host (SURVEY §7.6 fused image hot path).
+    """
+
+    __slots__ = ("image", "bbox")
+
+    def __init__(self, image, bbox):
+        l, t = int(bbox[0]), int(bbox[1])
+        r, b = int(bbox[0] + bbox[2]), int(bbox[1] + bbox[3])
+        self.image = image
+        self.bbox = [l, t, r - l, b - t]
+
+    @property
+    def width(self) -> int:
+        return self.bbox[2]
+
+    @property
+    def height(self) -> int:
+        return self.bbox[3]
+
+    def pil(self):
+        x0, y0, w, h = self.bbox
+        return self.image.crop((x0, y0, x0 + w, y0 + h))
+
+
+def unwrap_patch(p):
+    return p.pil() if isinstance(p, PatchRef) else p
+
+
 @dataclasses.dataclass(eq=False)  # identity equality: steps live in a list
 class SearchStep:
     bbox: List[int]               # [x, y, w, h] in original image pixels
@@ -113,8 +146,7 @@ def _process_patch_gen(image, name: str, step: SearchStep,
     (accepted, all_valid_boxes). Enables batching VSM calls across many
     concurrent searches (search/batched.py)."""
     bbox = step.bbox
-    patch = image.crop((int(bbox[0]), int(bbox[1]),
-                        int(bbox[0] + bbox[2]), int(bbox[1] + bbox[3])))
+    patch = PatchRef(image, bbox)
     question_name = name
     boxes, logits, heatmap = yield ("detect", patch, question_name)
 
@@ -274,6 +306,7 @@ def visual_search(vsm: VSMClient, image, target_object_name: str,
     try:
         kind, patch, text = next(gen)
         while True:
+            patch = unwrap_patch(patch)  # VSMClient takes PIL images
             if kind == "detect":
                 result = vsm.detect(patch, text)
             elif kind == "vqa":
