@@ -171,6 +171,39 @@ def main(argv=None):
     step_p50 = timed(draft)
     greedy_step_p50 = timed(None)
 
+    # 2K-image patch extraction, the part of a search step the pure
+    # compute number above excludes. Deployed path (--device-preprocess):
+    # the image uploads ONCE per search as a normalized canvas; each step
+    # extracts its CLIP + OWL windows on device (kernels/image_ops.py).
+    from vstar_tpu.kernels.image_ops import (normalize_canvas_device,
+                                             window_resize)
+    canvas_u8 = (rng.rand(1536, 2048, 3) * 255).astype(np.uint8)
+    norm_fn = jax.jit(normalize_canvas_device)
+    canvas = norm_fn(jnp.asarray(canvas_u8), jnp.int32(1500),
+                     jnp.int32(2000))
+    float(np.asarray(checksum(canvas[0, :, 0])))  # compile + warm
+    t0 = time.perf_counter()
+    canvas = norm_fn(jnp.asarray(canvas_u8), jnp.int32(1500),
+                     jnp.int32(2000))
+    float(np.asarray(checksum(canvas[0, :, 0])))
+    canvas_upload = time.perf_counter() - t0
+    win = jax.jit(window_resize, static_argnames=("out_size", "method"))
+    sq = jnp.asarray([256.0, 128.0, 1024.0, 1024.0])
+
+    def extract(i):
+        c = win(canvas, sq + i, out_size=cfg.vision.image_size)
+        o = win(canvas, sq + i, out_size=cfg.owl_vision.image_size)
+        return float(np.asarray(checksum(c[:, 0, 0]))
+                     + np.asarray(checksum(o[:, 0, 0])))
+
+    extract(0)  # compile
+    ts = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        extract(i + 1)
+        ts.append(time.perf_counter() - t0)
+    extract_p50 = max(0.0, float(np.percentile(ts, 50)) - overhead)
+
     if args.steps is not None:
         steps, plens = float(args.steps), []
     else:
@@ -178,7 +211,9 @@ def main(argv=None):
         # conservative: never below the paper-reported ~3-step average on
         # hard V*Bench samples (arXiv 2312.14135)
         steps = max(mean_plen, 3.0)
-    full_search_p50 = steps * step_p50
+    # full search on a 2K image = one canvas upload + per-step (device
+    # window extraction + VSM step)
+    full_search_p50 = canvas_upload + steps * (step_p50 + extract_p50)
     print(json.dumps({
         "metric": "seal_full_search_p50_latency",
         "value": round(full_search_p50, 4),
@@ -190,6 +225,12 @@ def main(argv=None):
         "step_p50_s": round(step_p50, 4),
         "greedy_step_p50_s": round(greedy_step_p50, 4),
         "spec_acceptance": round(acceptance, 3),
+        "patch_extract_p50_s": round(extract_p50, 4),
+        "canvas_upload_2k_s": round(canvas_upload, 4),
+        "definition": "r2+: includes one 2K uint8 canvas upload + "
+                      "per-step on-device patch extraction (r1 measured "
+                      "pure step compute only; that number is "
+                      "step_p50_s)",
     }))
 
 

@@ -133,6 +133,14 @@ def test_device_preprocess_matches_host_window():
     ref = PatchRef(img, [37, 22, 180, 120])
     canvas, hw = normalized_canvas(img)
     assert canvas.shape == (512, 512, 3) and hw == (300, 420)
+    # the engine's upload path: u8 canvas + on-device normalize+mask must
+    # equal the host-normalized canvas
+    from vstar_tpu.kernels.image_ops import (normalize_canvas_device,
+                                             u8_canvas)
+    c8, (h, w) = u8_canvas(img)
+    np.testing.assert_allclose(
+        np.asarray(normalize_canvas_device(jnp.asarray(c8), h, w)),
+        canvas, atol=1e-5)
     canvas = jnp.asarray(canvas)
     clip_dev = np.asarray(window_resize(
         canvas, jnp.asarray(square_window(ref.bbox), jnp.float32), 28))

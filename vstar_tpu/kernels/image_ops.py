@@ -125,3 +125,33 @@ def square_window(bbox) -> list:
     x0, y0, w, h = bbox
     side = max(w, h)
     return [x0 - (side - w) // 2, y0 - (side - h) // 2, side, side]
+
+
+def u8_canvas(image, bucket: int = 512):
+    """PIL image -> (uint8 canvas [bH, bW, 3] zero-padded, (H, W)).
+    Upload this (3x smaller than f32) and finish with
+    `normalize_canvas_device` on device."""
+    import numpy as np
+
+    arr = np.asarray(image.convert("RGB"), np.uint8)
+    H, W = arr.shape[:2]
+    bh = -(-H // bucket) * bucket
+    bw = -(-W // bucket) * bucket
+    canvas = np.zeros((bh, bw, 3), np.uint8)
+    canvas[:H, :W] = arr
+    return canvas, (H, W)
+
+
+def normalize_canvas_device(canvas_u8: jnp.ndarray, h: jnp.ndarray,
+                            w: jnp.ndarray) -> jnp.ndarray:
+    """uint8 canvas -> CLIP-normalized f32 with the pad region forced to
+    zero (== the normalized mean color), preserving the expand2square
+    fill semantics window_resize relies on. h/w are dynamic, so one
+    program per canvas BUCKET shape serves every image size."""
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+    norm = (canvas_u8.astype(jnp.float32) / 255.0 - mean) / std
+    bh, bw, _ = canvas_u8.shape
+    mask = ((jnp.arange(bh)[:, None] < h)
+            & (jnp.arange(bw)[None, :] < w))
+    return jnp.where(mask[..., None], norm, 0.0)

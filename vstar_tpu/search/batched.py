@@ -52,10 +52,12 @@ class BatchedVSMEngine(VSMEngine):
             import functools
             import jax
 
-            from ..kernels.image_ops import window_resize
+            from ..kernels.image_ops import (normalize_canvas_device,
+                                             window_resize)
             self._jit_window = jax.jit(
                 functools.partial(window_resize),
                 static_argnames=("out_size", "method"))
+            self._jit_norm = jax.jit(normalize_canvas_device)
 
     @property
     def wants_patch_refs(self) -> bool:
@@ -66,9 +68,11 @@ class BatchedVSMEngine(VSMEngine):
         hit = self._canvas_cache.get(key)
         if hit is not None and hit[1] is image:
             return hit[0]
-        from ..kernels.image_ops import normalized_canvas
-        arr, _ = normalized_canvas(image)
-        dev = jnp.asarray(arr)
+        # uint8 upload (3x smaller than f32), normalized + mean-padded on
+        # device
+        from ..kernels.image_ops import u8_canvas
+        arr, (h, w) = u8_canvas(image)
+        dev = self._jit_norm(jnp.asarray(arr), jnp.int32(h), jnp.int32(w))
         if len(self._canvas_cache) >= 8:   # keeps image refs alive, so
             self._canvas_cache.clear()     # ids in the cache stay valid
         self._canvas_cache[key] = (dev, image)

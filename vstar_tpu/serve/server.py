@@ -144,9 +144,15 @@ def main():
                         "co-batch on device instead of serializing")
     p.add_argument("--max-batch", default=8, type=int)
     p.add_argument("--window-ms", default=8.0, type=float)
+    p.add_argument("--device-preprocess", action="store_true",
+                   default=False,
+                   help="extract search patches on device (one canvas "
+                        "upload per image; 1.9x faster 2K search waves)")
     args = p.parse_args()
-    from ..eval.vstar_bench import load_engines
-    vqa, vsm = load_engines(args.vqa_model_path, args.vsm_model_path)
+    from ..eval.vstar_bench import load_vqa_engine, load_vsm_engine
+    vqa = load_vqa_engine(args.vqa_model_path)
+    vsm = load_vsm_engine(args.vsm_model_path,
+                          device_preprocess=args.device_preprocess)
     if args.continuous:
         from .continuous import ContinuousSealService
         service = ContinuousSealService(vqa, vsm, max_batch=args.max_batch,
