@@ -175,8 +175,10 @@ def main(argv=None):
     # compute number above excludes. Deployed path (--device-preprocess):
     # the image uploads ONCE per search as a normalized canvas; each step
     # extracts its CLIP + OWL windows on device (kernels/image_ops.py).
+    import functools
+
     from vstar_tpu.kernels.image_ops import (normalize_canvas_device,
-                                             window_resize)
+                                             pair_windows)
     canvas_u8 = (rng.rand(1536, 2048, 3) * 255).astype(np.uint8)
     norm_fn = jax.jit(normalize_canvas_device)
     canvas = norm_fn(jnp.asarray(canvas_u8), jnp.int32(1500),
@@ -187,14 +189,19 @@ def main(argv=None):
                      jnp.int32(2000))
     float(np.asarray(checksum(canvas[0, :, 0])))
     canvas_upload = time.perf_counter() - t0
-    win = jax.jit(window_resize, static_argnames=("out_size", "method"))
-    sq = jnp.asarray([256.0, 128.0, 1024.0, 1024.0])
+    sq = jnp.asarray([[256.0, 128.0, 1024.0, 1024.0]])
+
+    @functools.partial(jax.jit, static_argnames=("clip_size", "owl_size"))
+    def extract_sum(cv, sqs, crops, clip_size, owl_size):
+        c, o = pair_windows(cv, sqs, crops, clip_size, owl_size)
+        return jnp.sum(c[:, 0, 0]) + jnp.sum(o[:, 0, 0])
 
     def extract(i):
-        c = win(canvas, sq + i, out_size=cfg.vision.image_size)
-        o = win(canvas, sq + i, out_size=cfg.owl_vision.image_size)
-        return float(np.asarray(checksum(c[:, 0, 0]))
-                     + np.asarray(checksum(o[:, 0, 0])))
+        # the deployed path: one fused program per wave, no intermediate
+        # host round trip (search/batched.py _run_many dev_groups)
+        return float(np.asarray(extract_sum(
+            canvas, sq + i, sq + i, clip_size=cfg.vision.image_size,
+            owl_size=cfg.owl_vision.image_size)))
 
     extract(0)  # compile
     ts = []

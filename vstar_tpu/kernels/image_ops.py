@@ -155,3 +155,15 @@ def normalize_canvas_device(canvas_u8: jnp.ndarray, h: jnp.ndarray,
     mask = ((jnp.arange(bh)[:, None] < h)
             & (jnp.arange(bw)[None, :] < w))
     return jnp.where(mask[..., None], norm, 0.0)
+
+
+def pair_windows(canvas_norm: jnp.ndarray, sq_bboxes: jnp.ndarray,
+                 crop_bboxes: jnp.ndarray, clip_size: int, owl_size: int):
+    """Both tower inputs for N patches of one canvas in ONE program:
+    [N,4] square windows -> [N, clip, clip, 3] and [N,4] crop windows ->
+    [N, owl, owl, 3]. One dispatch per wave instead of two per patch."""
+    clip = jax.vmap(lambda b: window_resize(canvas_norm, b, clip_size)
+                    )(sq_bboxes.astype(jnp.float32))
+    owl = jax.vmap(lambda b: window_resize(canvas_norm, b, owl_size)
+                   )(crop_bboxes.astype(jnp.float32))
+    return clip, owl

@@ -53,10 +53,10 @@ class BatchedVSMEngine(VSMEngine):
             import jax
 
             from ..kernels.image_ops import (normalize_canvas_device,
-                                             window_resize)
-            self._jit_window = jax.jit(
-                functools.partial(window_resize),
-                static_argnames=("out_size", "method"))
+                                             pair_windows)
+            self._jit_pair = jax.jit(
+                functools.partial(pair_windows),
+                static_argnames=("clip_size", "owl_size"))
             self._jit_norm = jax.jit(normalize_canvas_device)
 
     @property
@@ -77,18 +77,6 @@ class BatchedVSMEngine(VSMEngine):
             self._canvas_cache.clear()     # ids in the cache stay valid
         self._canvas_cache[key] = (dev, image)
         return dev
-
-    def _device_pair(self, ref):
-        """PatchRef -> (clip [224,224,3], owl [768,768,3]) device arrays."""
-        from ..kernels.image_ops import square_window
-        canvas = self._canvas(ref.image)
-        clip = self._jit_window(
-            canvas, jnp.asarray(square_window(ref.bbox), jnp.float32),
-            out_size=self.cfg.vision.image_size)
-        owl = self._jit_window(
-            canvas, jnp.asarray(ref.bbox, jnp.float32),
-            out_size=self.cfg.owl_vision.image_size)
-        return clip, owl
 
     def _run_many(self, images: Sequence, questions: Sequence[str]):
         n = len(images)
@@ -117,17 +105,34 @@ class BatchedVSMEngine(VSMEngine):
         pad = bb - n
         clip_size = self.cfg.vision.image_size
         owl_size = self.cfg.owl_vision.image_size
-        clips, owls = [], []
-        for img in images:
+        clips, owls = [None] * n, [None] * n
+        dev_groups: Dict[int, list] = {}
+        for i, img in enumerate(images):
             if self.device_preprocess and isinstance(img, PatchRef):
-                c, o = self._device_pair(img)
-                clips.append(c)
-                owls.append(o)
+                # group device patches by source canvas: ONE fused
+                # vmapped window-pair program per (canvas, wave)
+                g = dev_groups.setdefault(
+                    id(img.image), [self._canvas(img.image), [], [], []])
+                g[1].append(i)
+                from ..kernels.image_ops import square_window
+                g[2].append(square_window(img.bbox))
+                g[3].append(img.bbox)
             else:
                 img = unwrap_patch(img)
                 sq, _, _ = expand2square(img)
-                clips.append(clip_preprocess(sq, clip_size))
-                owls.append(owlvit_preprocess(img, owl_size))
+                clips[i] = clip_preprocess(sq, clip_size)
+                owls[i] = owlvit_preprocess(img, owl_size)
+        for canvas, idxs, sqs, crops in dev_groups.values():
+            nb = _batch_bucket(len(idxs))
+            sqs = sqs + [sqs[0]] * (nb - len(idxs))
+            crops = crops + [crops[0]] * (nb - len(idxs))
+            c, o = self._jit_pair(canvas,
+                                  jnp.asarray(sqs, jnp.float32),
+                                  jnp.asarray(crops, jnp.float32),
+                                  clip_size=clip_size, owl_size=owl_size)
+            for j, i in enumerate(idxs):
+                clips[i] = c[j]
+                owls[i] = o[j]
         for _ in range(pad):
             clips.append(clips[0])
             owls.append(owls[0])
