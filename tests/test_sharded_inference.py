@@ -56,3 +56,51 @@ def test_sharded_vsm_generate_matches_single_device(cpu_mesh):
     np.testing.assert_allclose(np.asarray(out.mask_logits),
                                np.asarray(base.mask_logits),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_engine_with_mesh_matches_unsharded(cpu_mesh):
+    """VSMEngine(mesh=...) — the CLI --mesh multi-chip serving path —
+    must produce the same detections as the unsharded engine."""
+    from vstar_tpu.search.engine import VSMEngine
+    from tests.test_data import WordTokenizer
+
+    tok = WordTokenizer()
+    params = init_vsm_params(jax.random.PRNGKey(5), CFG)
+    rng = np.random.RandomState(1)
+    from PIL import Image
+    img = Image.fromarray((rng.rand(80, 96, 3) * 255).astype("uint8"))
+
+    kw = dict(loc_token_id=tok._word_id("[LOC]"), max_new_tokens=4,
+              prompt_buckets=(64, 128), compute_dtype=jnp.float32)
+    base = VSMEngine(params, CFG, tok, **kw)
+    sharded = VSMEngine(params, CFG, tok, mesh=cpu_mesh, **kw)
+    b_boxes, b_logits, b_heat = base.detect(img, "cat")
+    s_boxes, s_logits, s_heat = sharded.detect(img, "cat")
+    np.testing.assert_allclose(b_boxes, s_boxes, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(b_logits, s_logits, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(b_heat, s_heat, rtol=1e-3, atol=1e-3)
+
+
+def test_vqa_engine_with_mesh_matches_unsharded(cpu_mesh):
+    from vstar_tpu.core.config import vqa_llm_tiny
+    from vstar_tpu.eval.vqa_engine import VQAEngine
+    from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+    from tests.test_data import WordTokenizer
+
+    cfg = vqa_llm_tiny()
+    tok = WordTokenizer()
+    params = init_vqa_llm_params(jax.random.PRNGKey(6), cfg)
+    rng = np.random.RandomState(2)
+    from PIL import Image
+    img = Image.fromarray((rng.rand(64, 64, 3) * 255).astype("uint8"))
+
+    kw = dict(prompt_buckets=(128,), option_bucket=16,
+              compute_dtype=jnp.float32, speculative_template="")
+    base = VQAEngine(params, cfg, tok, **kw)
+    sharded = VQAEngine(params, cfg, tok, mesh=cpu_mesh, **kw)
+    q = "what color is the square ?"
+    opts = ["red", "blue", "green"]
+    assert base.free_form(img, q, max_new_tokens=4) \
+        == sharded.free_form(img, q, max_new_tokens=4)
+    assert base.multiple_choice(img, q, opts) \
+        == sharded.multiple_choice(img, q, opts)

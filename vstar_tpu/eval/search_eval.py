@@ -120,11 +120,15 @@ def main():
                    help="extract search patches on device (upload each "
                         "image once; throughput mode — resampler differs "
                         "slightly from the PIL-exact default)")
+    p.add_argument("--mesh", default=None,
+                   help="DxFxM device mesh to shard the VSM over "
+                        "(multi-chip), e.g. 1x4x1")
     args = p.parse_args()
 
-    from .vstar_bench import load_vsm_engine
+    from .vstar_bench import load_vsm_engine, resolve_mesh
     vsm = load_vsm_engine(args.version,
-                          device_preprocess=args.device_preprocess)
+                          device_preprocess=args.device_preprocess,
+                          mesh=resolve_mesh(args.mesh))
     evaluate_search(vsm, args.benchmark_folder,
                     minimum_size_scale=args.minimum_size_scale,
                     minimum_size=args.minimum_size,

@@ -64,11 +64,16 @@ class VQAEngine:
                  prompt_buckets: Tuple[int, ...] = (512, 768, 1024),
                  option_bucket: int = 64,
                  compute_dtype=jnp.bfloat16,
-                 speculative_template: Optional[str] = None):
+                 speculative_template: Optional[str] = None,
+                 mesh=None):
         if speculative_template is None:
             speculative_template = self.SPEC_TEMPLATE
         self._spec_template = speculative_template
         self.spec_chunk = 8
+        if mesh is not None:   # multi-chip serving (see search/engine.py)
+            from ..core.mesh import shard_params
+            params = shard_params(params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

@@ -25,7 +25,7 @@ from PIL import Image
 from .seal import seal_answer
 
 
-def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1"):
+def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None):
     """Load the VQA LLM from an HF-format checkpoint directory. Model
     shape follows the checkpoint's config.json (any Vicuna size / tower),
     like the reference's from_pretrained path (builder.py:26-151)."""
@@ -42,10 +42,12 @@ def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1"):
     vqa_sd = load_torch_dir(vqa_model_path)
     vqa_params = vqa_llm_params_from_torch(vqa_sd, vqa_cfg,
                                            dtype=jnp.bfloat16)
-    return VQAEngine(vqa_params, vqa_cfg, vqa_tok, conv_type=conv_type)
+    return VQAEngine(vqa_params, vqa_cfg, vqa_tok, conv_type=conv_type,
+                     mesh=mesh)
 
 
-def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False):
+def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
+                    mesh=None):
     """Load the VSM from an HF-format checkpoint directory (the
     search-mechanism eval needs only this half, visual_search.py:142).
     device_preprocess opts the batched search path into on-device patch
@@ -65,21 +67,35 @@ def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False):
     vsm_sd = load_torch_dir(vsm_model_path)
     vsm_params = vsm_params_from_torch(vsm_sd, vsm_cfg, dtype=jnp.bfloat16)
     return VSMEngine(vsm_params, vsm_cfg, vsm_tok, loc_token_id=loc_id,
-                     device_preprocess=device_preprocess)
+                     device_preprocess=device_preprocess, mesh=mesh)
 
 
 def load_engines(vqa_model_path: str, vsm_model_path: str,
-                 conv_type: str = "v1"):
-    """Load both models from HF-format checkpoint directories."""
-    return (load_vqa_engine(vqa_model_path, conv_type),
-            load_vsm_engine(vsm_model_path))
+                 conv_type: str = "v1", mesh=None):
+    """Load both models from HF-format checkpoint directories. mesh:
+    optional jax.sharding.Mesh (or 'DxFxM' string) to shard both models
+    over for multi-chip serving."""
+    mesh = resolve_mesh(mesh)
+    return (load_vqa_engine(vqa_model_path, conv_type, mesh=mesh),
+            load_vsm_engine(vsm_model_path, mesh=mesh))
+
+
+def resolve_mesh(mesh):
+    """None | 'DxFxM' string | Mesh -> None | Mesh."""
+    if mesh is None or not isinstance(mesh, str):
+        return mesh
+    import jax
+
+    from ..core.memory import parse_mesh_arg
+    from ..core.mesh import make_mesh
+    return make_mesh(parse_mesh_arg(mesh, len(jax.devices())))
 
 
 def eval_model(args, vqa_engine=None, vsm_engine=None):
     if vqa_engine is None:
-        vqa_engine, vsm_engine = load_engines(args.vqa_model_path,
-                                              args.vsm_model_path,
-                                              args.conv_type)
+        vqa_engine, vsm_engine = load_engines(
+            args.vqa_model_path, args.vsm_model_path, args.conv_type,
+            mesh=getattr(args, "mesh", None))
     if getattr(args, "image_batch", 1) > 1:
         # workload 4: batched lockstep searches (eval/batched_bench.py)
         from .batched_bench import eval_model_batched
@@ -135,6 +151,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-path", type=str, default="eval_result.json")
     p.add_argument("--minimum_size_scale", default=4.0, type=float)
     p.add_argument("--minimum_size", default=224, type=int)
+    p.add_argument("--mesh", default=None,
+                   help="DxFxM device mesh to shard both 7B models over "
+                        "(multi-chip serving), e.g. 1x4x1")
     p.add_argument("--image-batch", dest="image_batch", default=1, type=int,
                    help=">1 runs all searches of an image group as one "
                         "lockstep device batch (requires a batched VSM "

@@ -39,7 +39,16 @@ class VSMEngine:
                  max_new_tokens: int = 100,
                  prompt_buckets: Tuple[int, ...] = (384, 512),
                  compute_dtype=jnp.bfloat16,
-                 speculative_template: Optional[str] = "Sure, [LOC]."):
+                 speculative_template: Optional[str] = "Sure, [LOC].",
+                 mesh=None):
+        # mesh: shard the model over a jax.sharding.Mesh for multi-chip
+        # serving (TP/FSDP per core/mesh.py rules); XLA inserts the ICI
+        # collectives. The reference's multi-GPU story is HF device_map
+        # layering (builder.py:27) — this runs every layer on all chips.
+        if mesh is not None:
+            from ..core.mesh import shard_params
+            params = shard_params(params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

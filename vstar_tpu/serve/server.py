@@ -148,11 +148,17 @@ def main():
                    default=False,
                    help="extract search patches on device (one canvas "
                         "upload per image; 1.9x faster 2K search waves)")
+    p.add_argument("--mesh", default=None,
+                   help="DxFxM device mesh to shard both models over "
+                        "(multi-chip serving), e.g. 1x4x1")
     args = p.parse_args()
-    from ..eval.vstar_bench import load_vqa_engine, load_vsm_engine
-    vqa = load_vqa_engine(args.vqa_model_path)
+    from ..eval.vstar_bench import (load_vqa_engine, load_vsm_engine,
+                                    resolve_mesh)
+    mesh = resolve_mesh(args.mesh)
+    vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh)
     vsm = load_vsm_engine(args.vsm_model_path,
-                          device_preprocess=args.device_preprocess)
+                          device_preprocess=args.device_preprocess,
+                          mesh=mesh)
     if args.continuous:
         from .continuous import ContinuousSealService
         service = ContinuousSealService(vqa, vsm, max_batch=args.max_batch,
