@@ -23,24 +23,29 @@ class Tok:
     def decode(self, ids, skip_special_tokens=True):
         return " ".join(f"t{i}" for i in ids if i > 3)
 
-cfg = vqa_llm_7b()
-params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
-                             quantize_llm=True)
-eng = VQAEngine(params, cfg, Tok(), prompt_buckets=(512,), option_bucket=64)
+def main():
+    cfg = vqa_llm_7b()
+    params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
+                                 quantize_llm=True)
+    eng = VQAEngine(params, cfg, Tok(), prompt_buckets=(512,), option_bucket=64)
 
-rng = np.random.RandomState(0)
-imgs = [Image.fromarray((rng.rand(500, 600, 3) * 255).astype("uint8"))
-        for _ in range(8)]
-qs = [f"is the small object number {i} red or blue ?" for i in range(8)]
-opts = [["red thing", "blue thing", "green", "none"]] * 8
+    rng = np.random.RandomState(0)
+    imgs = [Image.fromarray((rng.rand(500, 600, 3) * 255).astype("uint8"))
+            for _ in range(8)]
+    qs = [f"is the small object number {i} red or blue ?" for i in range(8)]
+    opts = [["red thing", "blue thing", "green", "none"]] * 8
 
-for B in (1, 4, 8):
-    # warm (compile)
-    eng.free_form_many(imgs[:B], qs[:B], max_new_tokens=32)
-    eng.multiple_choice_many(imgs[:B], qs[:B], opts[:B])
-    t0 = time.perf_counter()
-    preds = eng.free_form_many(imgs[:B], qs[:B], max_new_tokens=32)
-    chosen = eng.multiple_choice_many(imgs[:B], qs[:B], opts[:B])
-    dt = time.perf_counter() - t0
-    print(f"B={B}: phases 1+3 {dt*1000:7.0f} ms -> {B/dt:5.2f} images/s "
-          f"(no-search path)", flush=True)
+    for B in (1, 4, 8):
+        # warm (compile)
+        eng.free_form_many(imgs[:B], qs[:B], max_new_tokens=32)
+        eng.multiple_choice_many(imgs[:B], qs[:B], opts[:B])
+        t0 = time.perf_counter()
+        preds = eng.free_form_many(imgs[:B], qs[:B], max_new_tokens=32)
+        chosen = eng.multiple_choice_many(imgs[:B], qs[:B], opts[:B])
+        dt = time.perf_counter() - t0
+        print(f"B={B}: phases 1+3 {dt*1000:7.0f} ms -> {B/dt:5.2f} images/s "
+              f"(no-search path)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
