@@ -99,3 +99,37 @@ def test_vsm_export_import_roundtrip():
     sd = vsm_state_dict(params)
     back = vsm_params_from_torch(sd, cfg)
     _tree_allclose(params, back)
+
+
+def test_torch_import_quantized_decoder_generates():
+    """quantize_llm=True (the single-chip 7B serving default in
+    load_engines) must import and still run the full generate pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from vstar_tpu.core.config import vsm_tiny
+    from vstar_tpu.core.hf_export import vsm_state_dict
+    from vstar_tpu.models.vsm import (init_vsm_params,
+                                      vsm_params_from_torch, vsm_generate)
+    from vstar_tpu.multimodal.constants import IMAGE_TOKEN_INDEX
+    from vstar_tpu.multimodal.splicing import build_layout
+
+    cfg = vsm_tiny()
+    sd = vsm_state_dict(init_vsm_params(jax.random.PRNGKey(9), cfg))
+    qparams = vsm_params_from_torch(sd, cfg, quantize_llm=True)
+    assert "q" in qparams["llama"]["lm_head"]   # int8 entry, not a dense W
+
+    rng = np.random.RandomState(0)
+    lay = build_layout([1, IMAGE_TOKEN_INDEX, 9, 10], 32,
+                       n_long=cfg.image_tokens, n_short=0, image_long=True)
+    out = jax.jit(vsm_generate, static_argnames=(
+        "cfg", "loc_token_id", "max_new_tokens", "eos_id", "cache_len",
+        "compute_dtype"))(
+        qparams, cfg,
+        jnp.asarray(rng.randn(1, 28, 28, 3), jnp.float32),
+        jnp.asarray(rng.randn(1, 48, 48, 3), jnp.float32),
+        jnp.asarray(lay.text_ids[None]), jnp.asarray(lay.feat_idx[None]),
+        jnp.asarray(lay.is_feat[None]),
+        jnp.asarray([lay.length], jnp.int32),
+        loc_token_id=5, max_new_tokens=4, eos_id=2, cache_len=64,
+        compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out.det_logits, np.float32)).all()

@@ -25,7 +25,18 @@ from PIL import Image
 from .seal import seal_answer
 
 
-def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None):
+def _auto_int8(int8, mesh) -> bool:
+    """Default weight-only int8 for the 7B decoders on a single TPU chip:
+    the bf16 pair (~27 GB) cannot fit one 16 GB v5e. Sharded (mesh) or
+    CPU runs keep bf16 unless int8 is requested explicitly."""
+    if int8 is not None:
+        return int8
+    import jax
+    return jax.devices()[0].platform == "tpu" and mesh is None
+
+
+def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
+                    int8=None):
     """Load the VQA LLM from an HF-format checkpoint directory. Model
     shape follows the checkpoint's config.json (any Vicuna size / tower),
     like the reference's from_pretrained path (builder.py:26-151)."""
@@ -40,14 +51,15 @@ def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None):
     vqa_cfg = vqa_llm_config_for(vqa_model_path)
     vqa_tok = AutoTokenizer.from_pretrained(vqa_model_path, use_fast=False)
     vqa_sd = load_torch_dir(vqa_model_path)
-    vqa_params = vqa_llm_params_from_torch(vqa_sd, vqa_cfg,
-                                           dtype=jnp.bfloat16)
+    vqa_params = vqa_llm_params_from_torch(
+        vqa_sd, vqa_cfg, dtype=jnp.bfloat16,
+        quantize_llm=_auto_int8(int8, mesh))
     return VQAEngine(vqa_params, vqa_cfg, vqa_tok, conv_type=conv_type,
                      mesh=mesh)
 
 
 def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
-                    mesh=None):
+                    mesh=None, int8=None):
     """Load the VSM from an HF-format checkpoint directory (the
     search-mechanism eval needs only this half, visual_search.py:142).
     device_preprocess opts the batched search path into on-device patch
@@ -65,7 +77,9 @@ def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
     vsm_tok = AutoTokenizer.from_pretrained(vsm_model_path, use_fast=False)
     loc_id = vsm_tok("[LOC]", add_special_tokens=False).input_ids[0]
     vsm_sd = load_torch_dir(vsm_model_path)
-    vsm_params = vsm_params_from_torch(vsm_sd, vsm_cfg, dtype=jnp.bfloat16)
+    vsm_params = vsm_params_from_torch(
+        vsm_sd, vsm_cfg, dtype=jnp.bfloat16,
+        quantize_llm=_auto_int8(int8, mesh))
     return VSMEngine(vsm_params, vsm_cfg, vsm_tok, loc_token_id=loc_id,
                      device_preprocess=device_preprocess, mesh=mesh)
 

@@ -42,8 +42,8 @@ def init_vqa_llm_params(key, cfg: VQALLMConfig, dtype=jnp.float32,
 
 
 def vqa_llm_params_from_torch(sd, cfg: VQALLMConfig,
-                              dtype=jnp.float32, strict: bool = False
-                              ) -> Dict:
+                              dtype=jnp.float32, strict: bool = False,
+                              quantize_llm: bool = False) -> Dict:
     """Import a LlavaSearchLlamaForCausalLM state_dict.
 
     Key roots: 'model.*' (decoder), 'model.vision_tower.vision_tower.
@@ -51,12 +51,16 @@ def vqa_llm_params_from_torch(sd, cfg: VQALLMConfig,
     'model.mm_projector_object.{0,1,2}.*' (perceiver Sequential).
 
     strict=True audits every checkpoint key: unknown (present but never
-    consumed) or missing keys raise (core/import_audit.py)."""
+    consumed) or missing keys raise (core/import_audit.py).
+    quantize_llm=True converts the decoder's matmul weights to
+    per-channel int8 after import (nn/quant.py) — required to serve the
+    7B pair on one 16 GB chip."""
     if strict:
         from ..core.import_audit import strict_import
         return strict_import(
-            sd, lambda s: vqa_llm_params_from_torch(s, cfg, dtype))
-    return {
+            sd, lambda s: vqa_llm_params_from_torch(
+                s, cfg, dtype, quantize_llm=quantize_llm))
+    params = {
         "llama": llama_params_from_torch(sd, cfg.llama, dtype),
         "vision": vit_params_from_torch(
             sd, cfg.vision, prefix="model.vision_tower.vision_tower."
@@ -67,6 +71,10 @@ def vqa_llm_params_from_torch(sd, cfg: VQALLMConfig,
             sd, cfg.projector_object.perceiver,
             prefix="model.mm_projector_object.", dtype=dtype)},
     }
+    if quantize_llm:
+        from ..nn.quant import quantize_llama_params
+        params["llama"] = quantize_llama_params(params["llama"])
+    return params
 
 
 # ---------------------------------------------------------------------------

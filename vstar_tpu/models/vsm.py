@@ -65,15 +65,19 @@ def init_vsm_params(key, cfg: VSMConfig, dtype=jnp.float32,
 
 
 def vsm_params_from_torch(sd, cfg: VSMConfig, dtype=jnp.float32,
-                          strict: bool = False) -> Dict:
+                          strict: bool = False,
+                          quantize_llm: bool = False) -> Dict:
     """Import a VSMForCausalLM state_dict (craigwu/seal_vsm_7b).
 
     strict=True audits every checkpoint key: unknown (present but never
-    consumed) or missing keys raise (core/import_audit.py)."""
+    consumed) or missing keys raise (core/import_audit.py).
+    quantize_llm=True: per-channel int8 decoder weights after import
+    (nn/quant.py) — required to serve 7B on one 16 GB chip."""
     if strict:
         from ..core.import_audit import strict_import
         return strict_import(
-            sd, lambda s: vsm_params_from_torch(s, cfg, dtype))
+            sd, lambda s: vsm_params_from_torch(
+                s, cfg, dtype, quantize_llm=quantize_llm))
     pe, dec = sam_params_from_torch(sd, cfg.sam, "model.prompt_encoder.",
                                     "model.mask_decoder.", dtype)
 
@@ -87,7 +91,7 @@ def vsm_params_from_torch(sd, cfg: VSMConfig, dtype=jnp.float32,
                         "b": jnp.asarray(_np(sd[prefix + ".2.bias"]),
                                          dtype)}}
 
-    return {
+    params = {
         "llama": llama_params_from_torch(sd, cfg.llama, dtype),
         "vision": vit_params_from_torch(
             sd, cfg.vision,
@@ -112,6 +116,10 @@ def vsm_params_from_torch(sd, cfg: VSMConfig, dtype=jnp.float32,
         "fc_det": fc("model.text_hidden_fcs_det.0"),
         "fc_seg": fc("model.text_hidden_fcs_seg.0"),
     }
+    if quantize_llm:
+        from ..nn.quant import quantize_llama_params
+        params["llama"] = quantize_llama_params(params["llama"])
+    return params
 
 
 # ---------------------------------------------------------------------------
