@@ -58,6 +58,11 @@ def main():
     p.add_argument("--benchmark-folder",
                    help="optional: also run the real V*Bench eval")
     p.add_argument("--skip-audit", action="store_true")
+    p.add_argument("--no-int8", dest="int8", action="store_false",
+                   default=None,
+                   help="validate bf16 decoder numerics (needs the HBM "
+                        "for it: mesh-shard or a >16 GB chip); default "
+                        "is the single-chip serving config (int8)")
     args = p.parse_args()
     if not (args.vqa_model_path or args.vsm_model_path):
         p.error("need --vqa-model-path and/or --vsm-model-path")
@@ -77,7 +82,7 @@ def main():
     vqa = vsm = None
     from vstar_tpu.eval.vstar_bench import load_vqa_engine, load_vsm_engine
     if args.vqa_model_path:
-        vqa = load_vqa_engine(args.vqa_model_path)
+        vqa = load_vqa_engine(args.vqa_model_path, int8=args.int8)
         ans = vqa.free_form(img, "What is in this image?")
         print(f"[vqa] free_form: {ans!r}")
         opt = vqa.multiple_choice(
@@ -85,7 +90,7 @@ def main():
             ["(A) red", "(B) blue", "(C) green", "(D) yellow"])
         print(f"[vqa] multiple_choice -> option {opt}")
     if args.vsm_model_path:
-        vsm = load_vsm_engine(args.vsm_model_path)
+        vsm = load_vsm_engine(args.vsm_model_path, int8=args.int8)
         boxes, logits, heat = vsm.detect(img, "red rectangle")
         top = float(logits.max()) if logits.size else float("nan")
         print(f"[vsm] detect: {len(boxes)} candidates, top sigmoid "

@@ -116,44 +116,52 @@ def test_patch_ref_matches_eager_crop():
 
 
 def test_device_preprocess_matches_host_window():
-    """Device canvas window-resize vs host PIL crop+expand2square+resize:
+    """Device canvas window-pair vs host PIL crop+expand2square+resize:
     same content within resampler tolerance (jax cubic vs PIL bicubic
     differ at the kernel level — the device path is the opt-in throughput
-    mode, not the exact-parity default)."""
+    mode, not the exact-parity default). Uses the production upload path
+    (u8 canvas + on-device normalize) and the production fused
+    pair_windows, whose crop mask reproduces expand2square's mean fill
+    for the square window's pad bands."""
     import jax.numpy as jnp
     from PIL import Image
     from vstar_tpu.data.preprocess import (clip_preprocess, expand2square,
                                            owlvit_preprocess)
-    from vstar_tpu.kernels.image_ops import (normalized_canvas,
-                                             square_window, window_resize)
+    from vstar_tpu.kernels.image_ops import (normalize_canvas_device,
+                                             pair_windows, square_window,
+                                             u8_canvas)
+    from vstar_tpu.multimodal.constants import CLIP_MEAN, CLIP_STD
     from vstar_tpu.search.policy import PatchRef
 
     rng = np.random.RandomState(0)
     img = Image.fromarray((rng.rand(300, 420, 3) * 255).astype("uint8"))
     ref = PatchRef(img, [37, 22, 180, 120])
-    canvas, hw = normalized_canvas(img)
-    assert canvas.shape == (512, 512, 3) and hw == (300, 420)
-    # the engine's upload path: u8 canvas + on-device normalize+mask must
-    # equal the host-normalized canvas
-    from vstar_tpu.kernels.image_ops import (normalize_canvas_device,
-                                             u8_canvas)
     c8, (h, w) = u8_canvas(img)
-    np.testing.assert_allclose(
-        np.asarray(normalize_canvas_device(jnp.asarray(c8), h, w)),
-        canvas, atol=1e-5)
-    canvas = jnp.asarray(canvas)
-    clip_dev = np.asarray(window_resize(
-        canvas, jnp.asarray(square_window(ref.bbox), jnp.float32), 28))
-    owl_dev = np.asarray(window_resize(
-        canvas, jnp.asarray(ref.bbox, jnp.float32), 48))
+    assert c8.shape == (512, 512, 3) and (h, w) == (300, 420)
+    canvas = normalize_canvas_device(jnp.asarray(c8), h, w)
+    # canvas = normalized image content; pad region exactly 0 (mean)
+    host_norm = ((np.asarray(img, np.float32) / 255.0
+                  - np.asarray(CLIP_MEAN, np.float32))
+                 / np.asarray(CLIP_STD, np.float32))
+    np.testing.assert_allclose(np.asarray(canvas)[:300, :420], host_norm,
+                               atol=1e-5)
+    assert np.all(np.asarray(canvas)[300:] == 0)
+    assert np.all(np.asarray(canvas)[:, 420:] == 0)
+
+    clip_dev_b, owl_dev_b = pair_windows(
+        canvas, jnp.asarray([square_window(ref.bbox)], jnp.float32),
+        jnp.asarray([ref.bbox], jnp.float32), 28, 48)
+    clip_dev = np.asarray(clip_dev_b[0])
+    owl_dev = np.asarray(owl_dev_b[0])
     crop = ref.pil()
     sq, _, _ = expand2square(crop)
     clip_host = clip_preprocess(sq, 28)
     owl_host = owlvit_preprocess(crop, 48)
     # noise images are the resampler worst case; tolerances are content-
-    # level (measured: clip mean .068/max .70, owl mean .008/max .21)
-    assert np.abs(clip_dev - clip_host).mean() < 0.12
-    assert np.abs(clip_dev - clip_host).max() < 1.2
+    # level. Before the crop mask the clip diff was mean .068/max .70
+    # (pad bands leaked neighboring image content).
+    assert np.abs(clip_dev - clip_host).mean() < 0.04
+    assert np.abs(clip_dev - clip_host).max() < 0.6
     assert np.abs(owl_dev - owl_host).mean() < 0.03
     assert np.abs(owl_dev - owl_host).max() < 0.5
 

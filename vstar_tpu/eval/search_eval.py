@@ -123,12 +123,16 @@ def main():
     p.add_argument("--mesh", default=None,
                    help="DxFxM device mesh to shard the VSM over "
                         "(multi-chip), e.g. 1x4x1")
+    p.add_argument("--no-int8", dest="int8", action="store_false",
+                   default=None,
+                   help="keep bf16 decoder weights (default: int8 on a "
+                        "single TPU chip)")
     args = p.parse_args()
 
     from .vstar_bench import load_vsm_engine, resolve_mesh
     vsm = load_vsm_engine(args.version,
                           device_preprocess=args.device_preprocess,
-                          mesh=resolve_mesh(args.mesh))
+                          mesh=resolve_mesh(args.mesh), int8=args.int8)
     evaluate_search(vsm, args.benchmark_folder,
                     minimum_size_scale=args.minimum_size_scale,
                     minimum_size=args.minimum_size,

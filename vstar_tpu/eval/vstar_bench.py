@@ -85,13 +85,15 @@ def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
 
 
 def load_engines(vqa_model_path: str, vsm_model_path: str,
-                 conv_type: str = "v1", mesh=None):
+                 conv_type: str = "v1", mesh=None, int8=None):
     """Load both models from HF-format checkpoint directories. mesh:
     optional jax.sharding.Mesh (or 'DxFxM' string) to shard both models
-    over for multi-chip serving."""
+    over for multi-chip serving. int8: None = auto (weight-only int8 on
+    a single TPU chip, bf16 otherwise), True/False = force."""
     mesh = resolve_mesh(mesh)
-    return (load_vqa_engine(vqa_model_path, conv_type, mesh=mesh),
-            load_vsm_engine(vsm_model_path, mesh=mesh))
+    return (load_vqa_engine(vqa_model_path, conv_type, mesh=mesh,
+                            int8=int8),
+            load_vsm_engine(vsm_model_path, mesh=mesh, int8=int8))
 
 
 def resolve_mesh(mesh):
@@ -109,7 +111,8 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
     if vqa_engine is None:
         vqa_engine, vsm_engine = load_engines(
             args.vqa_model_path, args.vsm_model_path, args.conv_type,
-            mesh=getattr(args, "mesh", None))
+            mesh=getattr(args, "mesh", None),
+            int8=getattr(args, "int8", None))
     if getattr(args, "image_batch", 1) > 1:
         # workload 4: batched lockstep searches (eval/batched_bench.py)
         from .batched_bench import eval_model_batched
@@ -168,6 +171,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default=None,
                    help="DxFxM device mesh to shard both 7B models over "
                         "(multi-chip serving), e.g. 1x4x1")
+    p.add_argument("--no-int8", dest="int8", action="store_false",
+                   default=None,
+                   help="keep bf16 decoder weights (default: int8 on a "
+                        "single TPU chip)")
     p.add_argument("--image-batch", dest="image_batch", default=1, type=int,
                    help=">1 runs all searches of an image group as one "
                         "lockstep device batch (requires a batched VSM "

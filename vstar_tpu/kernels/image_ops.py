@@ -83,35 +83,27 @@ def batched_crop_preprocess(image_u8: jnp.ndarray, bboxes: jnp.ndarray,
                     )(bboxes.astype(jnp.float32))
 
 
-def normalized_canvas(image, bucket: int = 512):
-    """PIL image -> (np.float32 canvas [bH, bW, 3] CLIP-normalized,
-    (H, W)). The canvas is the image normalized in place, zero-padded to
-    bucket multiples; zero IS the CLIP mean color after normalization, and
-    `jax.image.scale_and_translate` zero-pads out-of-bounds samples — so
-    sampling a square window that overhangs the image reproduces
-    expand2square's mean fill exactly. Bucketing keeps the number of
-    compiled window-resize shapes small across image sizes."""
-    import numpy as np
-
-    arr = np.asarray(image.convert("RGB"), np.float32)
-    H, W = arr.shape[:2]
-    bh = -(-H // bucket) * bucket
-    bw = -(-W // bucket) * bucket
-    mean = np.asarray(CLIP_MEAN, np.float32)
-    std = np.asarray(CLIP_STD, np.float32)
-    canvas = np.zeros((bh, bw, 3), np.float32)
-    canvas[:H, :W] = (arr / 255.0 - mean) / std
-    return canvas, (H, W)
-
-
 def window_resize(canvas_norm: jnp.ndarray, bbox: jnp.ndarray,
-                  out_size: int, method: str = "cubic") -> jnp.ndarray:
+                  out_size: int, method: str = "cubic",
+                  mask_bbox: jnp.ndarray = None) -> jnp.ndarray:
     """Resize a dynamic [x, y, w, h] window of a pre-normalized canvas to
-    [out, out, 3]. Out-of-canvas samples are zero == normalized CLIP mean,
-    matching expand2square padding. Pass the crop box for OwlViT
-    semantics, or the centered square window around it for the CLIP
-    crop+expand2square+resize path."""
+    [out, out, 3]. Out-of-canvas samples are zero == normalized CLIP mean
+    (normalize_canvas_device pads that way), matching expand2square fill.
+
+    mask_bbox: zero canvas content OUTSIDE this [x, y, w, h] region before
+    sampling. Required whenever the window extends beyond the crop INSIDE
+    the image — expand2square pads with the mean color there, while an
+    unmasked canvas would leak neighboring image content into the pad
+    bands. XLA fuses the mask into the resize contractions."""
     x0, y0, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
+    if mask_bbox is not None:
+        mx, my, mw, mh = (mask_bbox[0], mask_bbox[1], mask_bbox[2],
+                          mask_bbox[3])
+        bh, bw, _ = canvas_norm.shape
+        ys = jnp.arange(bh, dtype=jnp.float32)[:, None]
+        xs = jnp.arange(bw, dtype=jnp.float32)[None, :]
+        keep = ((ys >= my) & (ys < my + mh) & (xs >= mx) & (xs < mx + mw))
+        canvas_norm = jnp.where(keep[..., None], canvas_norm, 0.0)
     scale = jnp.stack([out_size / h, out_size / w]).astype(jnp.float32)
     translation = -jnp.stack([y0, x0]).astype(jnp.float32) * scale
     return jax.image.scale_and_translate(
@@ -161,9 +153,14 @@ def pair_windows(canvas_norm: jnp.ndarray, sq_bboxes: jnp.ndarray,
                  crop_bboxes: jnp.ndarray, clip_size: int, owl_size: int):
     """Both tower inputs for N patches of one canvas in ONE program:
     [N,4] square windows -> [N, clip, clip, 3] and [N,4] crop windows ->
-    [N, owl, owl, 3]. One dispatch per wave instead of two per patch."""
-    clip = jax.vmap(lambda b: window_resize(canvas_norm, b, clip_size)
-                    )(sq_bboxes.astype(jnp.float32))
-    owl = jax.vmap(lambda b: window_resize(canvas_norm, b, owl_size)
-                   )(crop_bboxes.astype(jnp.float32))
+    [N, owl, owl, 3]. One dispatch per wave instead of two per patch.
+    Content outside each crop bbox is masked to the mean color so the
+    CLIP square window's pad bands match expand2square."""
+    sq_bboxes = sq_bboxes.astype(jnp.float32)
+    crop_bboxes = crop_bboxes.astype(jnp.float32)
+    clip = jax.vmap(lambda sq, cr: window_resize(canvas_norm, sq,
+                                                 clip_size, mask_bbox=cr)
+                    )(sq_bboxes, crop_bboxes)
+    owl = jax.vmap(lambda cr: window_resize(canvas_norm, cr, owl_size,
+                                            mask_bbox=cr))(crop_bboxes)
     return clip, owl

@@ -46,8 +46,10 @@ class BatchedVSMEngine(VSMEngine):
 
     def __init__(self, *args, device_preprocess: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
+        from collections import OrderedDict
         self.device_preprocess = device_preprocess
-        self._canvas_cache = {}   # id(image) -> (device canvas, image ref)
+        # id(image) -> (device canvas, image ref), LRU
+        self._canvas_cache = OrderedDict()
         if device_preprocess:
             import functools
             import jax
@@ -67,14 +69,18 @@ class BatchedVSMEngine(VSMEngine):
         key = id(image)
         hit = self._canvas_cache.get(key)
         if hit is not None and hit[1] is image:
+            self._canvas_cache.move_to_end(key)
             return hit[0]
         # uint8 upload (3x smaller than f32), normalized + mean-padded on
         # device
         from ..kernels.image_ops import u8_canvas
         arr, (h, w) = u8_canvas(image)
         dev = self._jit_norm(jnp.asarray(arr), jnp.int32(h), jnp.int32(w))
-        if len(self._canvas_cache) >= 8:   # keeps image refs alive, so
-            self._canvas_cache.clear()     # ids in the cache stay valid
+        # LRU sized to the max wave width: a 16-image lockstep wave must
+        # never evict its own canvases mid-wave. Entries hold the image
+        # ref, so cached ids stay valid.
+        while len(self._canvas_cache) >= 16:
+            self._canvas_cache.popitem(last=False)
         self._canvas_cache[key] = (dev, image)
         return dev
 
@@ -138,12 +144,20 @@ class BatchedVSMEngine(VSMEngine):
             owls.append(owls[0])
             lays.append(lays[0])
 
+        def stack(rows):
+            # all-host rows: ONE bulk upload (jnp.stack of numpy rows
+            # would device_put each row separately — 5-15 ms dispatch
+            # apiece through the relay); device rows: concat on device.
+            if dev_groups:
+                return jnp.stack(rows)
+            return jnp.asarray(np.stack(rows))
+
         draft = None
         if self._draft_row is not None:
             draft = jnp.asarray(np.tile(self._draft_row[None], (bb, 1)))
         out = self._jit_generate(
-            self.params, self.cfg, jnp.stack(clips),
-            jnp.stack(owls),
+            self.params, self.cfg, stack(clips),
+            stack(owls),
             jnp.asarray(np.stack([l.text_ids for l in lays])),
             jnp.asarray(np.stack([l.feat_idx for l in lays])),
             jnp.asarray(np.stack([l.is_feat for l in lays])),
@@ -273,7 +287,12 @@ def run_grouped_searches(engine, tasks: Sequence[Dict], image_batch=None,
         return im() if callable(im) else im
 
     outs: List[Optional[Tuple]] = [None] * len(tasks)
-    serial = not hasattr(engine, "detect_many") or image_batch == 1
+    # device-preprocess engines stay on the batched driver even at
+    # image_batch == 1 (waves of one): the serial path unwraps PatchRefs
+    # to PIL, which would silently disable on-device extraction
+    serial = not hasattr(engine, "detect_many") or (
+        image_batch == 1 and not getattr(engine, "wants_patch_refs",
+                                         False))
     if serial:
         for i, t in enumerate(tasks):
             outs[i] = visual_search(

@@ -42,13 +42,14 @@ class PatchRef:
     never round-trip through the host (SURVEY §7.6 fused image hot path).
     """
 
-    __slots__ = ("image", "bbox")
+    __slots__ = ("image", "bbox", "_pil")
 
     def __init__(self, image, bbox):
         l, t = int(bbox[0]), int(bbox[1])
         r, b = int(bbox[0] + bbox[2]), int(bbox[1] + bbox[3])
         self.image = image
         self.bbox = [l, t, r - l, b - t]
+        self._pil = None
 
     @property
     def width(self) -> int:
@@ -59,8 +60,12 @@ class PatchRef:
         return self.bbox[3]
 
     def pil(self):
-        x0, y0, w, h = self.bbox
-        return self.image.crop((x0, y0, x0 + w, y0 + h))
+        # memoized: one step can unwrap the same ref for its detect, vqa
+        # and segment requests
+        if self._pil is None:
+            x0, y0, w, h = self.bbox
+            self._pil = self.image.crop((x0, y0, x0 + w, y0 + h))
+        return self._pil
 
 
 def unwrap_patch(p):

@@ -151,14 +151,19 @@ def main():
     p.add_argument("--mesh", default=None,
                    help="DxFxM device mesh to shard both models over "
                         "(multi-chip serving), e.g. 1x4x1")
+    p.add_argument("--no-int8", dest="int8", action="store_false",
+                   default=None,
+                   help="keep bf16 decoder weights (default: weight-only "
+                        "int8 on a single TPU chip — the 7B pair does "
+                        "not fit 16 GB in bf16)")
     args = p.parse_args()
     from ..eval.vstar_bench import (load_vqa_engine, load_vsm_engine,
                                     resolve_mesh)
     mesh = resolve_mesh(args.mesh)
-    vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh)
+    vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh, int8=args.int8)
     vsm = load_vsm_engine(args.vsm_model_path,
                           device_preprocess=args.device_preprocess,
-                          mesh=mesh)
+                          mesh=mesh, int8=args.int8)
     if args.continuous:
         from .continuous import ContinuousSealService
         service = ContinuousSealService(vqa, vsm, max_batch=args.max_batch,
