@@ -203,3 +203,63 @@ def test_device_preprocess_engine_close_to_host_engine():
         assert h1.shape == h2.shape
         if l1.size:   # same patch content -> close head outputs
             np.testing.assert_allclose(l1, l2, atol=0.2)
+
+
+def test_grouped_searches_image_batch_1_keeps_device_engine():
+    """--device-preprocess at --image-batch 1 must still route through
+    the batched driver (waves of one) — the serial path unwraps
+    PatchRefs and would silently disable on-device extraction."""
+    from vstar_tpu.search.batched import run_grouped_searches
+
+    seen = {"refs": 0, "pil": 0}
+
+    class RefAwareOracle(BatchedOracle):
+        wants_patch_refs = True
+
+        def detect_many(self, patches, names):
+            from vstar_tpu.search.policy import PatchRef
+            for p in patches:
+                seen["refs" if isinstance(p, PatchRef) else "pil"] += 1
+            return [self.detect(p.pil() if hasattr(p, "pil") else p, n)
+                    for p, n in zip(patches, names)]
+
+        def vqa_many(self, patches, qs):
+            return [self.vqa(getattr(p, "pil", lambda: p)(), q)
+                    for p, q in zip(patches, qs)]
+
+        def segment_many(self, patches, phrases):
+            return [self.segment(getattr(p, "pil", lambda: p)(), ph)
+                    for p, ph in zip(patches, phrases)]
+
+    tasks = [{"image": FakeImage(), "name": "needle", "smallest": 224}]
+    outs = run_grouped_searches(RefAwareOracle(), tasks, image_batch=1)
+    assert len(outs) == 1 and outs[0] is not None
+    assert seen["refs"] > 0 and seen["pil"] == 0
+
+
+def test_canvas_cache_is_lru():
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from vstar_tpu.core.config import vsm_tiny
+    from vstar_tpu.models.vsm import init_vsm_params
+    from vstar_tpu.search.batched import BatchedVSMEngine
+    from tests.test_data import WordTokenizer
+
+    cfg = vsm_tiny()
+    tok = WordTokenizer()
+    eng = BatchedVSMEngine(init_vsm_params(jax.random.PRNGKey(0), cfg),
+                           cfg, tok, loc_token_id=tok._word_id("[LOC]"),
+                           compute_dtype=jnp.float32,
+                           device_preprocess=True)
+    imgs = [Image.new("RGB", (40, 30)) for _ in range(18)]
+    for im in imgs:
+        eng._canvas(im)
+    assert len(eng._canvas_cache) == 16
+    # most-recently-used survive; the first two were evicted
+    assert id(imgs[0]) not in eng._canvas_cache
+    assert id(imgs[17]) in eng._canvas_cache
+    # re-touching an old survivor keeps it alive past the next insert
+    eng._canvas(imgs[2])
+    eng._canvas(Image.new("RGB", (40, 30)))
+    assert id(imgs[2]) in eng._canvas_cache
