@@ -85,7 +85,8 @@ def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
 
 
 def load_engines(vqa_model_path: str, vsm_model_path: str,
-                 conv_type: str = "v1", mesh=None, int8=None):
+                 conv_type: str = "v1", mesh=None, int8=None,
+                 device_preprocess: bool = False):
     """Load both models from HF-format checkpoint directories. mesh:
     optional jax.sharding.Mesh (or 'DxFxM' string) to shard both models
     over for multi-chip serving. int8: None = auto (weight-only int8 on
@@ -93,7 +94,8 @@ def load_engines(vqa_model_path: str, vsm_model_path: str,
     mesh = resolve_mesh(mesh)
     return (load_vqa_engine(vqa_model_path, conv_type, mesh=mesh,
                             int8=int8),
-            load_vsm_engine(vsm_model_path, mesh=mesh, int8=int8))
+            load_vsm_engine(vsm_model_path, mesh=mesh, int8=int8,
+                            device_preprocess=device_preprocess))
 
 
 def resolve_mesh(mesh):
@@ -112,7 +114,8 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
         vqa_engine, vsm_engine = load_engines(
             args.vqa_model_path, args.vsm_model_path, args.conv_type,
             mesh=getattr(args, "mesh", None),
-            int8=getattr(args, "int8", None))
+            int8=getattr(args, "int8", None),
+            device_preprocess=getattr(args, "device_preprocess", False))
     if getattr(args, "image_batch", 1) > 1:
         # workload 4: batched lockstep searches (eval/batched_bench.py)
         from .batched_bench import eval_model_batched
@@ -175,6 +178,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="keep bf16 decoder weights (default: int8 on a "
                         "single TPU chip)")
+    p.add_argument("--device-preprocess", action="store_true",
+                   default=False,
+                   help="extract search patches on device (one canvas "
+                        "upload per image; throughput mode)")
     p.add_argument("--image-batch", dest="image_batch", default=1, type=int,
                    help=">1 runs all searches of an image group as one "
                         "lockstep device batch (requires a batched VSM "
