@@ -123,3 +123,32 @@ def test_http_server_roundtrip():
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_warmup_compiles_all_buckets():
+    """warmup_* must run every (mode x bucket) program without error on
+    tiny engines (compilation coverage; serve.server --warmup)."""
+    import jax
+    import jax.numpy as jnp
+    from vstar_tpu.core.config import vsm_tiny, vqa_llm_tiny
+    from vstar_tpu.eval.vqa_engine import VQAEngine, warmup_vqa_engine
+    from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+    from vstar_tpu.models.vsm import init_vsm_params
+    from vstar_tpu.search.batched import (BatchedVSMEngine,
+                                          warmup_vsm_engine)
+    from tests.test_data import WordTokenizer
+
+    tok = WordTokenizer()
+    vsm = BatchedVSMEngine(
+        init_vsm_params(jax.random.PRNGKey(0), vsm_tiny()), vsm_tiny(),
+        tok, loc_token_id=tok._word_id("[LOC]"), max_new_tokens=4,
+        prompt_buckets=(64, 128), compute_dtype=jnp.float32,
+        device_preprocess=True)
+    warmup_vsm_engine(vsm, image_size=(64, 64), batch_buckets=(1, 2),
+                      log=None)
+
+    vqa = VQAEngine(init_vqa_llm_params(jax.random.PRNGKey(1),
+                                        vqa_llm_tiny()), vqa_llm_tiny(),
+                    tok, prompt_buckets=(128,), option_bucket=16,
+                    compute_dtype=jnp.float32, speculative_template="")
+    warmup_vqa_engine(vqa, image_size=28, batch_buckets=(1,), log=None)

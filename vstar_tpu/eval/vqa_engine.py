@@ -505,3 +505,29 @@ class VQAEngine:
                 jnp.asarray([len(opt_ids)], jnp.int32))
             losses.append(float(ce[0]))
         return int(np.argmin(losses))
+
+
+def warmup_vqa_engine(engine: VQAEngine, image_size: int = 256,
+                      batch_buckets=(1, 2, 4, 8), log=print):
+    """Pre-compile the free-form and option-scoring programs per batch
+    bucket so no live request stalls on a 20-40 s compile (serve.server
+    --warmup)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    img = Image.fromarray((rng.rand(image_size, image_size, 3)
+                           * 255).astype("uint8"))
+    for bb in batch_buckets:
+        if hasattr(engine, "free_form_many"):
+            engine.free_form_many([img] * bb, ["what is this?"] * bb,
+                                  max_new_tokens=8)
+            engine.multiple_choice_many([img] * bb, ["which one?"] * bb,
+                                        [["a thing", "another"]] * bb)
+        else:
+            engine.free_form(img, "what is this?", max_new_tokens=8)
+            engine.multiple_choice(img, "which one?",
+                                   ["a thing", "another"])
+            break
+        if log:
+            log(f"[warmup] vqa B<={bb} compiled")

@@ -318,3 +318,30 @@ def run_grouped_searches(engine, tasks: Sequence[Dict], image_batch=None,
             for i, r in zip(grp, res):
                 outs[i] = r
     return outs
+
+
+def warmup_vsm_engine(engine: BatchedVSMEngine, image_size=(512, 512),
+                      batch_buckets=(1, 2, 4, 8, 16), log=print):
+    """Pre-compile every (mode x batch-bucket) program so no live search
+    wave stalls on a 20-40 s compile. Call once at serving/eval startup
+    (serve.server --warmup); costs one dummy wave per program."""
+    import numpy as np
+    from PIL import Image
+
+    from .policy import PatchRef
+
+    rng = np.random.RandomState(0)
+    img = Image.fromarray((rng.rand(image_size[0], image_size[1], 3)
+                           * 255).astype("uint8"))
+    h, w = image_size
+    patch = (PatchRef(img, [0, 0, w, h])
+             if getattr(engine, "device_preprocess", False) else img)
+    for bb in batch_buckets:
+        for kind, fn, text in (
+                ("detect", engine.detect_many, "object"),
+                ("vqa", engine.vqa_many, "where is the object most "
+                                         "likely to appear?"),
+                ("segment", engine.segment_many, "the table")):
+            fn([patch] * bb, [text] * bb)
+            if log:
+                log(f"[warmup] vsm {kind} B<={bb} compiled")

@@ -156,6 +156,10 @@ def main():
                    help="keep bf16 decoder weights (default: weight-only "
                         "int8 on a single TPU chip — the 7B pair does "
                         "not fit 16 GB in bf16)")
+    p.add_argument("--warmup", action="store_true", default=False,
+                   help="pre-compile every (mode x batch-bucket) program "
+                        "before accepting traffic — no live request ever "
+                        "stalls on a 20-40 s first-shape compile")
     args = p.parse_args()
     from ..eval.vstar_bench import (load_vqa_engine, load_vsm_engine,
                                     resolve_mesh)
@@ -164,6 +168,11 @@ def main():
     vsm = load_vsm_engine(args.vsm_model_path,
                           device_preprocess=args.device_preprocess,
                           mesh=mesh, int8=args.int8)
+    if args.warmup:
+        from ..eval.vqa_engine import warmup_vqa_engine
+        from ..search.batched import warmup_vsm_engine
+        warmup_vqa_engine(vqa)
+        warmup_vsm_engine(vsm)
     if args.continuous:
         from .continuous import ContinuousSealService
         service = ContinuousSealService(vqa, vsm, max_batch=args.max_batch,
