@@ -58,6 +58,9 @@ def main():
     p.add_argument("--benchmark-folder",
                    help="optional: also run the real V*Bench eval")
     p.add_argument("--skip-audit", action="store_true")
+    p.add_argument("--int8", dest="int8", action="store_true",
+                   default=None,
+                   help="force weight-only int8 even on mesh/CPU runs")
     p.add_argument("--no-int8", dest="int8", action="store_false",
                    default=None,
                    help="validate bf16 decoder numerics (needs the HBM "

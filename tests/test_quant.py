@@ -144,3 +144,16 @@ def test_w8a8_path_close_to_weight_only():
     scale = np.abs(base).max()
     assert np.abs(base - w8a8).max() <= 0.05 * scale + 0.05
     assert (base.argmax(-1) == w8a8.argmax(-1)).mean() >= 0.95
+
+
+def test_quantize_weight_np_matches_device():
+    """Host importer quantization must be bit-identical to the device
+    path (same scales, same int8 codes)."""
+    import numpy as np
+    from vstar_tpu.nn.quant import quantize_weight, quantize_weight_np
+    rng = np.random.RandomState(0)
+    w = rng.randn(3, 16, 24).astype(np.float32) * 3
+    host = quantize_weight_np(w)
+    dev = quantize_weight(jnp.asarray(w))
+    np.testing.assert_array_equal(host["q"], np.asarray(dev["q"]))
+    np.testing.assert_allclose(host["s"], np.asarray(dev["s"]), rtol=1e-7)

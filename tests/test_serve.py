@@ -144,11 +144,12 @@ def test_warmup_compiles_all_buckets():
         tok, loc_token_id=tok._word_id("[LOC]"), max_new_tokens=4,
         prompt_buckets=(64, 128), compute_dtype=jnp.float32,
         device_preprocess=True)
-    warmup_vsm_engine(vsm, image_size=(64, 64), batch_buckets=(1, 2),
-                      log=None)
+    warmup_vsm_engine(vsm, canvas_sizes=((64, 64), (96, 64)),
+                      batch_buckets=(1, 2), log=None)
 
     vqa = VQAEngine(init_vqa_llm_params(jax.random.PRNGKey(1),
                                         vqa_llm_tiny()), vqa_llm_tiny(),
                     tok, prompt_buckets=(128,), option_bucket=16,
                     compute_dtype=jnp.float32, speculative_template="")
-    warmup_vqa_engine(vqa, image_size=28, batch_buckets=(1,), log=None)
+    warmup_vqa_engine(vqa, image_size=28, batch_buckets=(1,),
+                      max_new_tokens=4, log=None)

@@ -43,13 +43,27 @@ def strip_prefix(sd: Mapping, prefix: str) -> Dict:
 # ---------------------------------------------------------------------------
 
 def llama_params_from_torch(sd: Mapping, cfg: LlamaConfig,
-                            dtype=jnp.float32) -> Dict:
+                            dtype=jnp.float32, quantize: bool = False
+                            ) -> Dict:
     """Convert an HF LlamaForCausalLM state_dict.
 
     Handles both bare HF models ('model.layers...') and LLaVA-wrapped ones
     (same keys; vision keys are simply ignored here).
+
+    quantize=True: the decoder's matmul weights quantize to per-channel
+    int8 on the HOST, per layer, so only int8 + scales upload — the full
+    bf16 decoder (~13.4 GB at 7B) never sits in HBM.
     """
     def stack_lin(fmt):
+        if quantize:
+            from ..nn.quant import quantize_weight_np
+            qs, ss = [], []
+            for i in range(cfg.num_layers):
+                e = quantize_weight_np(_lin(sd, fmt.format(i)))
+                qs.append(e["q"])
+                ss.append(e["s"])
+            return {"q": jnp.asarray(np.stack(qs)),
+                    "s": jnp.asarray(np.stack(ss))}
         return jnp.asarray(
             np.stack([_lin(sd, fmt.format(i)) for i in range(cfg.num_layers)]),
             dtype)
@@ -76,13 +90,19 @@ def llama_params_from_torch(sd: Mapping, cfg: LlamaConfig,
             "w_down": stack_lin("model.layers.{}.mlp.down_proj.weight"),
         },
     }
+    if quantize:
+        from ..nn.quant import quantize_weight_np
+        e = quantize_weight_np(_lin(sd, "lm_head.weight"))
+        lm_head = {"q": jnp.asarray(e["q"]), "s": jnp.asarray(e["s"])}
+    else:
+        lm_head = jnp.asarray(_lin(sd, "lm_head.weight"), dtype)
     return {
         "embed_tokens": jnp.asarray(_np(sd["model.embed_tokens.weight"]),
                                     dtype),
         "layers": layers,
         "final_norm": {"scale": jnp.asarray(_np(sd["model.norm.weight"]),
                                             dtype)},
-        "lm_head": jnp.asarray(_lin(sd, "lm_head.weight"), dtype),
+        "lm_head": lm_head,
     }
 
 

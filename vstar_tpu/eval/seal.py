@@ -11,7 +11,6 @@ import numpy as np
 from PIL import Image
 
 from ..data.preprocess import expand2square
-from ..search.policy import visual_search
 
 MISSING_OBJECTS_MSG = ("Sorry, I can not answer the question. Some visual "
                        "information about the following objects is missing "
@@ -73,12 +72,20 @@ def seal_answer(vqa_engine, vsm_engine, image: Image.Image, question: str,
 
     search_result = []
     if missing_objects:
-        for object_name in missing_objects:
-            smallest = max(int(np.ceil(min(original.width, original.height)
-                                       / minimum_size_scale)), minimum_size)
-            final_step, _, _, all_valid_boxes = visual_search(
-                vsm_engine, original, object_name, smallest_size=smallest,
-                max_steps=max_search_steps)
+        smallest = max(int(np.ceil(min(original.width, original.height)
+                                   / minimum_size_scale)), minimum_size)
+        # grouped dispatch: multiple missing objects search in lockstep
+        # on batched engines, and device-preprocessing engines keep their
+        # on-device patch extraction (serial visual_search would unwrap
+        # every PatchRef to PIL)
+        from ..search.batched import run_grouped_searches
+        outs = run_grouped_searches(
+            vsm_engine,
+            [{"image": original, "name": name, "smallest": smallest}
+             for name in missing_objects],
+            max_steps=max_search_steps)
+        for object_name, (final_step, _, _, all_valid_boxes) in zip(
+                missing_objects, outs):
             if all_valid_boxes is not None:
                 for sb in all_valid_boxes:
                     sb = np.asarray(sb, np.float64).copy()

@@ -123,6 +123,9 @@ def main():
     p.add_argument("--mesh", default=None,
                    help="DxFxM device mesh to shard the VSM over "
                         "(multi-chip), e.g. 1x4x1")
+    p.add_argument("--int8", dest="int8", action="store_true",
+                   default=None,
+                   help="force weight-only int8 even on mesh/CPU runs")
     p.add_argument("--no-int8", dest="int8", action="store_false",
                    default=None,
                    help="keep bf16 decoder weights (default: int8 on a "

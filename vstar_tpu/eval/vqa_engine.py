@@ -508,26 +508,50 @@ class VQAEngine:
 
 
 def warmup_vqa_engine(engine: VQAEngine, image_size: int = 256,
-                      batch_buckets=(1, 2, 4, 8), log=print):
-    """Pre-compile the free-form and option-scoring programs per batch
-    bucket so no live request stalls on a 20-40 s compile (serve.server
-    --warmup)."""
+                      batch_buckets=(1, 2, 4, 8),
+                      max_new_tokens: int = 200, log=print):
+    """Pre-compile the free-form and option-scoring programs per
+    (batch-bucket x PROMPT-bucket) so no live request stalls on a
+    20-230 s remote compile (serve.server --warmup). max_new_tokens is a
+    STATIC jit arg — it must equal what live traffic passes (the
+    free_form default is 200); option scoring beyond the default
+    option_bucket (very long options) still compiles lazily."""
     import numpy as np
     from PIL import Image
+
+    from ..search.batched import _filler_for_bucket
+
+    def length_of(q):
+        ids = engine._tokenize(engine._prompt(q))
+        from ..multimodal.splicing import spliced_length
+        return spliced_length(ids, n_long=engine.cfg.image_tokens_long,
+                              n_short=engine.cfg.image_tokens_short,
+                              image_long=True)
+
+    texts = ["what is this ?"]
+    lo = engine.prompt_buckets[0]
+    for b in engine.prompt_buckets[1:]:
+        t = _filler_for_bucket(length_of, lo, b)
+        if t is not None:
+            texts.append(t)
+        lo = b
 
     rng = np.random.RandomState(0)
     img = Image.fromarray((rng.rand(image_size, image_size, 3)
                            * 255).astype("uint8"))
+    opts = ["a thing", "another"]
     for bb in batch_buckets:
-        if hasattr(engine, "free_form_many"):
-            engine.free_form_many([img] * bb, ["what is this?"] * bb,
-                                  max_new_tokens=8)
-            engine.multiple_choice_many([img] * bb, ["which one?"] * bb,
-                                        [["a thing", "another"]] * bb)
-        else:
-            engine.free_form(img, "what is this?", max_new_tokens=8)
-            engine.multiple_choice(img, "which one?",
-                                   ["a thing", "another"])
-            break
+        for q in texts:
+            if hasattr(engine, "free_form_many"):
+                engine.free_form_many([img] * bb, [q] * bb,
+                                      max_new_tokens=max_new_tokens)
+                engine.multiple_choice_many([img] * bb, [q] * bb,
+                                            [opts] * bb)
+            else:
+                engine.free_form(img, q, max_new_tokens=max_new_tokens)
+                engine.multiple_choice(img, q, opts)
         if log:
-            log(f"[warmup] vqa B<={bb} compiled")
+            log(f"[warmup] vqa B<={bb} ({len(texts)} prompt buckets) "
+                f"compiled")
+        if not hasattr(engine, "free_form_many"):
+            break

@@ -60,8 +60,11 @@ def vqa_llm_params_from_torch(sd, cfg: VQALLMConfig,
         return strict_import(
             sd, lambda s: vqa_llm_params_from_torch(
                 s, cfg, dtype, quantize_llm=quantize_llm))
-    params = {
-        "llama": llama_params_from_torch(sd, cfg.llama, dtype),
+    return {
+        # quantization happens per-tensor on the HOST inside the importer
+        # — the full bf16 decoder never materializes in HBM
+        "llama": llama_params_from_torch(sd, cfg.llama, dtype,
+                                         quantize=quantize_llm),
         "vision": vit_params_from_torch(
             sd, cfg.vision, prefix="model.vision_tower.vision_tower."
             "vision_model.", dtype=dtype),
@@ -71,10 +74,6 @@ def vqa_llm_params_from_torch(sd, cfg: VQALLMConfig,
             sd, cfg.projector_object.perceiver,
             prefix="model.mm_projector_object.", dtype=dtype)},
     }
-    if quantize_llm:
-        from ..nn.quant import quantize_llama_params
-        params["llama"] = quantize_llama_params(params["llama"])
-    return params
 
 
 # ---------------------------------------------------------------------------

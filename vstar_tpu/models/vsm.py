@@ -92,7 +92,9 @@ def vsm_params_from_torch(sd, cfg: VSMConfig, dtype=jnp.float32,
                                          dtype)}}
 
     params = {
-        "llama": llama_params_from_torch(sd, cfg.llama, dtype),
+        # host-side per-tensor quantization (see vqa_llm importer)
+        "llama": llama_params_from_torch(sd, cfg.llama, dtype,
+                                         quantize=quantize_llm),
         "vision": vit_params_from_torch(
             sd, cfg.vision,
             prefix="model.vision_tower.vision_tower.vision_model.",
@@ -116,9 +118,6 @@ def vsm_params_from_torch(sd, cfg: VSMConfig, dtype=jnp.float32,
         "fc_det": fc("model.text_hidden_fcs_det.0"),
         "fc_seg": fc("model.text_hidden_fcs_seg.0"),
     }
-    if quantize_llm:
-        from ..nn.quant import quantize_llama_params
-        params["llama"] = quantize_llama_params(params["llama"])
     return params
 
 

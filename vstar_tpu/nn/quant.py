@@ -28,6 +28,20 @@ def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": q, "s": scale}
 
 
+def quantize_weight_np(w) -> Dict:
+    """Host-side (numpy) twin of quantize_weight, identical math — used
+    by the checkpoint importers so real 7B weights quantize per-tensor on
+    the HOST and only int8 + scales ever upload (a device-side pass would
+    materialize the full bf16 decoder plus f32 temporaries in HBM)."""
+    import numpy as np
+
+    wf = np.asarray(w, np.float32)
+    scale = np.maximum(np.max(np.abs(wf), axis=-2, keepdims=True) / 127.0,
+                       1e-8)
+    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+    return {"q": q, "s": scale}
+
+
 GROUP4 = 128  # int4 group size along the reduction dim
 
 

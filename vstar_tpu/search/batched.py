@@ -48,8 +48,13 @@ class BatchedVSMEngine(VSMEngine):
         super().__init__(*args, **kwargs)
         from collections import OrderedDict
         self.device_preprocess = device_preprocess
-        # id(image) -> (device canvas, image ref), LRU
+        # id(image) -> (device canvas, image ref), LRU. Capacity adapts
+        # to the widest lockstep group seen (a >16-image group would
+        # otherwise thrash: each 16-row chunk evicting the previous
+        # chunk's canvases every wave), capped to bound HBM (48 2K
+        # canvases ~ 1.8 GB f32).
         self._canvas_cache = OrderedDict()
+        self._canvas_capacity = 16
         if device_preprocess:
             import functools
             import jax
@@ -76,10 +81,8 @@ class BatchedVSMEngine(VSMEngine):
         from ..kernels.image_ops import u8_canvas
         arr, (h, w) = u8_canvas(image)
         dev = self._jit_norm(jnp.asarray(arr), jnp.int32(h), jnp.int32(w))
-        # LRU sized to the max wave width: a 16-image lockstep wave must
-        # never evict its own canvases mid-wave. Entries hold the image
-        # ref, so cached ids stay valid.
-        while len(self._canvas_cache) >= 16:
+        # Entries hold the image ref, so cached ids stay valid.
+        while len(self._canvas_cache) >= self._canvas_capacity:
             self._canvas_cache.popitem(last=False)
         self._canvas_cache[key] = (dev, image)
         return dev
@@ -87,6 +90,11 @@ class BatchedVSMEngine(VSMEngine):
     def _run_many(self, images: Sequence, questions: Sequence[str]):
         n = len(images)
         assert n > 0
+        if self.device_preprocess:
+            distinct = len({id(p.image) for p in images
+                            if isinstance(p, PatchRef)})
+            self._canvas_capacity = min(
+                max(self._canvas_capacity, distinct + 1), 48)
         max_bb = 16
         if n > max_bb:
             # split oversized waves into bucket-sized device batches and
@@ -320,28 +328,72 @@ def run_grouped_searches(engine, tasks: Sequence[Dict], image_batch=None,
     return outs
 
 
-def warmup_vsm_engine(engine: BatchedVSMEngine, image_size=(512, 512),
+def _filler_for_bucket(length_of, lo: int, hi: int):
+    """Grow a filler question until its spliced length lands in
+    (lo, hi]. Host-only token counting; returns None if unreachable."""
+    k = 1
+    while k < 20000:
+        text = "where is the " + "very " * k + "small object ?"
+        n = length_of(text)
+        if n > hi:
+            return None
+        if n > lo:
+            return text
+        k += max(1, (lo - n) // 2 + 1)
+    return None
+
+
+def warmup_vsm_engine(engine: BatchedVSMEngine,
+                      canvas_sizes=((512, 512),),
                       batch_buckets=(1, 2, 4, 8, 16), log=print):
-    """Pre-compile every (mode x batch-bucket) program so no live search
-    wave stalls on a 20-40 s compile. Call once at serving/eval startup
-    (serve.server --warmup); costs one dummy wave per program."""
+    """Pre-compile the search programs so no live wave stalls on a
+    20-230 s remote compile (serve.server --warmup): every (mode x
+    batch-bucket x PROMPT-bucket) generate program, and for
+    device-preprocess engines the canvas normalize/window programs per
+    canvas_sizes bucket (pass the 512-multiple shapes your image sizes
+    bucket to, e.g. (1536, 2048) for 2K traffic)."""
     import numpy as np
     from PIL import Image
 
+    from ..multimodal.tokenizer import tokenize_with_image
     from .policy import PatchRef
 
+    def length_of(q):
+        ids = tokenize_with_image(engine._build_prompt(q),
+                                  engine.tokenizer)
+        return len(ids) - 1 + engine.cfg.image_tokens
+
+    # one question per prompt bucket (the short default text covers the
+    # smallest; fillers reach each larger bucket)
+    texts = ["where is the small object ?"]
+    lo = engine.prompt_buckets[0]
+    for b in engine.prompt_buckets[1:]:
+        t = _filler_for_bucket(length_of, lo, b)
+        if t is not None:
+            texts.append(t)
+        lo = b
+
     rng = np.random.RandomState(0)
-    img = Image.fromarray((rng.rand(image_size[0], image_size[1], 3)
-                           * 255).astype("uint8"))
-    h, w = image_size
-    patch = (PatchRef(img, [0, 0, w, h])
-             if getattr(engine, "device_preprocess", False) else img)
+
+    def make_patch(h, w):
+        img = Image.fromarray((rng.rand(h, w, 3) * 255).astype("uint8"))
+        return (PatchRef(img, [0, 0, w, h])
+                if getattr(engine, "device_preprocess", False) else img)
+
+    h0, w0 = canvas_sizes[0]
+    patch = make_patch(h0, w0)
     for bb in batch_buckets:
-        for kind, fn, text in (
-                ("detect", engine.detect_many, "object"),
-                ("vqa", engine.vqa_many, "where is the object most "
-                                         "likely to appear?"),
-                ("segment", engine.segment_many, "the table")):
-            fn([patch] * bb, [text] * bb)
+        for kind, fn in (("detect", engine.detect_many),
+                         ("vqa", engine.vqa_many),
+                         ("segment", engine.segment_many)):
+            for text in texts:
+                fn([patch] * bb, [text] * bb)
             if log:
-                log(f"[warmup] vsm {kind} B<={bb} compiled")
+                log(f"[warmup] vsm {kind} B<={bb} "
+                    f"({len(texts)} prompt buckets) compiled")
+    # extra canvas shapes only need their normalize/window programs: one
+    # minimal wave each
+    for h, w in canvas_sizes[1:]:
+        engine.detect_many([make_patch(h, w)], [texts[0]])
+        if log:
+            log(f"[warmup] vsm canvas {h}x{w} compiled")

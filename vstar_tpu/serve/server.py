@@ -151,6 +151,9 @@ def main():
     p.add_argument("--mesh", default=None,
                    help="DxFxM device mesh to shard both models over "
                         "(multi-chip serving), e.g. 1x4x1")
+    p.add_argument("--int8", dest="int8", action="store_true",
+                   default=None,
+                   help="force weight-only int8 even on mesh/CPU runs")
     p.add_argument("--no-int8", dest="int8", action="store_false",
                    default=None,
                    help="keep bf16 decoder weights (default: weight-only "
@@ -172,7 +175,9 @@ def main():
         from ..eval.vqa_engine import warmup_vqa_engine
         from ..search.batched import warmup_vsm_engine
         warmup_vqa_engine(vqa)
-        warmup_vsm_engine(vsm)
+        # cover the common canvas buckets (512-multiples) up to 2K
+        warmup_vsm_engine(vsm, canvas_sizes=(
+            (512, 512), (1024, 1024), (1536, 2048), (2048, 2048)))
     if args.continuous:
         from .continuous import ContinuousSealService
         service = ContinuousSealService(vqa, vsm, max_batch=args.max_batch,
