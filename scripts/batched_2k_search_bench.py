@@ -22,7 +22,7 @@ from vstar_tpu.search.batched import BatchedVSMEngine, run_batched_searches
 
 import sys
 sys.path.insert(0, "/root/repo/scripts")
-from seal_throughput import Tok
+from bench_common import Tok
 
 MAX_STEPS = 3
 

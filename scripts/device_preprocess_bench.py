@@ -5,7 +5,6 @@ patches through BatchedVSMEngine with device_preprocess on/off.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/device_preprocess_bench.py
 """
 import time
-import zlib
 
 import jax
 import jax.numpy as jnp
@@ -18,24 +17,7 @@ from vstar_tpu.search.batched import BatchedVSMEngine
 from vstar_tpu.search.policy import PatchRef
 
 
-class Tok:
-    bos_token_id = 1
-    eos_token_id = 2
-
-    class _O:
-        def __init__(s, i):
-            s.input_ids = i
-
-    def __call__(self, text, add_special_tokens=True):
-        text = text.replace("</s>", " </s> ").replace("[LOC]", " [LOC] ")
-        ids = [1] if add_special_tokens else []
-        for w in text.split():
-            ids.append(2 if w == "</s>" else 3 if w == "[LOC]"
-                       else 4 + zlib.crc32(w.encode()) % 31000)
-        return self._O(ids)
-
-    def decode(self, ids, skip_special_tokens=True):
-        return " ".join(f"t{i}" for i in ids if i > 3)
+from bench_common import Tok  # noqa: E402
 
 
 def waves(image):

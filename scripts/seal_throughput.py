@@ -9,19 +9,7 @@ from vstar_tpu.eval.vqa_engine import VQAEngine
 from vstar_tpu.models.vqa_llm import init_vqa_llm_params
 from vstar_tpu.nn.llama import init_llama_params
 
-class Tok:
-    bos_token_id = 1; eos_token_id = 2
-    class _O:
-        def __init__(s, i): s.input_ids = i
-    def __call__(self, text, add_special_tokens=True):
-        text = text.replace("</s>", " </s> ").replace("[LOC]", " [LOC] ")
-        ids = [1] if add_special_tokens else []
-        for w in text.split():
-            ids.append(2 if w == "</s>" else 3 if w == "[LOC]"
-                       else 4 + zlib.crc32(w.encode()) % 31000)
-        return self._O(ids)
-    def decode(self, ids, skip_special_tokens=True):
-        return " ".join(f"t{i}" for i in ids if i > 3)
+from bench_common import Tok  # noqa: E402
 
 def main():
     cfg = vqa_llm_7b()

@@ -306,11 +306,13 @@ class VQAEngine:
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         return text
 
+    BATCH_BUCKETS = (1, 2, 4, 8, 16)
+
     def _batch_bucket(self, n: int) -> int:
-        for b in (1, 2, 4, 8, 16):
+        for b in self.BATCH_BUCKETS:
             if n <= b:
                 return b
-        return 16
+        return self.BATCH_BUCKETS[-1]
 
     def free_form_many(self, images, questions, object_crops_list=None,
                        images_long=None, objects_long=None,
@@ -320,7 +322,7 @@ class VQAEngine:
         (None entries use the defaults). Waves larger than the biggest
         batch bucket are split and concatenated."""
         n = len(images)
-        max_bb = 16
+        max_bb = self.BATCH_BUCKETS[-1]
         if n > max_bb:
             def sl(x, a, b):
                 return None if x is None else x[a:b]
@@ -391,7 +393,7 @@ class VQAEngine:
         """Batched option scoring across images (all rows must have the
         same option count, as V*Bench does)."""
         n = len(images)
-        max_bb = 16
+        max_bb = self.BATCH_BUCKETS[-1]
         if n > max_bb:
             def sl(x, a, b):
                 return None if x is None else x[a:b]

@@ -26,7 +26,10 @@ from .engine import VSMEngine, _round128
 from .policy import PatchRef, unwrap_patch, visual_search_gen
 
 
-def _batch_bucket(n: int, buckets=(1, 2, 4, 8, 16)) -> int:
+BATCH_BUCKETS = (1, 2, 4, 8, 16)
+
+
+def _batch_bucket(n: int, buckets=BATCH_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
             return b
@@ -95,7 +98,7 @@ class BatchedVSMEngine(VSMEngine):
                             if isinstance(p, PatchRef)})
             self._canvas_capacity = min(
                 max(self._canvas_capacity, distinct + 1), 48)
-        max_bb = 16
+        max_bb = BATCH_BUCKETS[-1]
         if n > max_bb:
             # split oversized waves into bucket-sized device batches and
             # concatenate the outputs (r1 silently compiled B=n shapes)
@@ -391,9 +394,13 @@ def warmup_vsm_engine(engine: BatchedVSMEngine,
             if log:
                 log(f"[warmup] vsm {kind} B<={bb} "
                     f"({len(texts)} prompt buckets) compiled")
-    # extra canvas shapes only need their normalize/window programs: one
-    # minimal wave each
+    # extra canvas shapes need their normalize + pair_windows programs,
+    # which are keyed by (canvas shape, same-canvas group bucket): cover
+    # the common 1/2/4-patch groups (several searches of one image)
     for h, w in canvas_sizes[1:]:
-        engine.detect_many([make_patch(h, w)], [texts[0]])
+        p = make_patch(h, w)
+        for g in (1, 2, 4):
+            engine.detect_many([p] * g, [texts[0]] * g)
         if log:
-            log(f"[warmup] vsm canvas {h}x{w} compiled")
+            log(f"[warmup] vsm canvas {h}x{w} (group buckets 1/2/4) "
+                f"compiled")

@@ -134,6 +134,21 @@ class ContinuousSealService:
                 self._n_waves += 1
                 self._n_requests += len(wave)
                 self._max_wave = max(self._max_wave, len(wave))
+                # confine bad inputs to their own request: decode each
+                # image up front; a corrupt one must not 500 the 7 other
+                # requests co-batched in its wave
+                ok_wave = []
+                for r in wave:
+                    try:
+                        if hasattr(r.image, "load"):
+                            r.image.load()   # force decode; raises here
+                        ok_wave.append(r)
+                    except Exception as e:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+                wave = ok_wave
+                if not wave:
+                    continue
                 try:
                     recs = self._process_wave(wave)
                     for r, rec in zip(wave, recs):

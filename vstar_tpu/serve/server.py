@@ -174,9 +174,14 @@ def main():
     if args.warmup:
         from ..eval.vqa_engine import warmup_vqa_engine
         from ..search.batched import warmup_vsm_engine
-        warmup_vqa_engine(vqa)
+        # warm exactly the batch buckets traffic can form: waves pad UP
+        # to the bucket covering --max-batch
+        from ..search.batched import _batch_bucket
+        top = _batch_bucket(max(args.max_batch, 1))
+        bbs = tuple(b for b in (1, 2, 4, 8, 16) if b <= top)
+        warmup_vqa_engine(vqa, batch_buckets=bbs)
         # cover the common canvas buckets (512-multiples) up to 2K
-        warmup_vsm_engine(vsm, canvas_sizes=(
+        warmup_vsm_engine(vsm, batch_buckets=bbs, canvas_sizes=(
             (512, 512), (1024, 1024), (1536, 2048), (2048, 2048)))
     if args.continuous:
         from .continuous import ContinuousSealService

@@ -167,6 +167,12 @@ def main(argv=None):
             "lmsys/vicuna-7b-v1.5", use_fast=False)
         params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg,
                                      dtype=param_dtype)
+        # the trained projector keeps f32 STORAGE (trivially small) so
+        # the exported adapter is the exact accumulation, not a bf16
+        # rounding of it — the frozen rest of the model stays bf16
+        key = "proj_image" if args.projector == "linear" else "proj_object"
+        params[key] = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), params[key])
         lr = args.learning_rate or (2e-3 if args.projector == "linear"
                                     else 2e-4)
         ds = PretrainCaptionDataset(args.data_path, args.image_folder,
