@@ -48,6 +48,16 @@ def audit(model_dir: str, which: str) -> bool:
         print(f"[{which}] UNKNOWN keys: {aud.unknown[:20]}")
     if aud.missing:
         print(f"[{which}] MISSING keys: {aud.missing[:20]}")
+    if (aud.aborted or aud.missing) and cfg.llama.num_layers == 32:
+        # the importer stops at its first missing key; the committed 7B
+        # manifest gives the COMPLETE missing/unknown lists
+        from vstar_tpu.core.import_audit import audit_key_list
+        man = audit_key_list(sd.keys(), f"seal_{which}_7b")
+        print(f"[{which}] manifest audit: {man.summary()}")
+        if man.missing:
+            print(f"[{which}] manifest MISSING: {man.missing[:40]}")
+        if man.unknown:
+            print(f"[{which}] manifest UNKNOWN: {man.unknown[:40]}")
     return not (aud.unknown or aud.missing)
 
 
