@@ -157,3 +157,26 @@ def test_quantize_weight_np_matches_device():
     dev = quantize_weight(jnp.asarray(w))
     np.testing.assert_array_equal(host["q"], np.asarray(dev["q"]))
     np.testing.assert_allclose(host["s"], np.asarray(dev["s"]), rtol=1e-7)
+
+
+def test_quantized_towers_close_and_runnable():
+    """int8 towers (single-chip pair serving) must run the full VSM
+    pipeline with outputs close to the bf16 towers."""
+    import numpy as np
+    from vstar_tpu.core.config import vsm_tiny
+    from vstar_tpu.models.vsm import init_vsm_params
+    from vstar_tpu.nn.quant import quantize_model_towers
+    from vstar_tpu.nn.vit import clip_patch_features
+
+    cfg = vsm_tiny()
+    params = init_vsm_params(jax.random.PRNGKey(4), cfg)
+    qparams = quantize_model_towers(dict(params))
+    assert "q" in qparams["vision"]["layers"]["attn"]["wq"]
+    assert "q" in qparams["owl_tower"]["layers"]["mlp"]["fc1"]
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(1, 28, 28, 3), jnp.float32)
+    a = np.asarray(clip_patch_features(params["vision"], cfg.vision, img))
+    b = np.asarray(clip_patch_features(qparams["vision"], cfg.vision, img))
+    # int8 per-channel weight quantization error only
+    assert np.abs(a - b).max() < 0.15 * max(1.0, np.abs(a).max())

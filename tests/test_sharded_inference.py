@@ -104,3 +104,28 @@ def test_vqa_engine_with_mesh_matches_unsharded(cpu_mesh):
         == sharded.free_form(img, q, max_new_tokens=4)
     assert base.multiple_choice(img, q, opts) \
         == sharded.multiple_choice(img, q, opts)
+
+
+def test_split_model_placement_across_devices():
+    """Per-model chip placement (the SEAL 7B pair exceeds one 16 GB chip;
+    load_engines splits VQA -> chip0 / VSM -> chip1): params device_put
+    to different devices must produce identical results."""
+    from vstar_tpu.search.engine import VSMEngine
+    from tests.test_data import WordTokenizer
+
+    devs = jax.devices()
+    assert len(devs) >= 2
+    tok = WordTokenizer()
+    params = init_vsm_params(jax.random.PRNGKey(7), CFG)
+    from PIL import Image
+    rng = np.random.RandomState(3)
+    img = Image.fromarray((rng.rand(60, 80, 3) * 255).astype("uint8"))
+
+    kw = dict(loc_token_id=tok._word_id("[LOC]"), max_new_tokens=4,
+              prompt_buckets=(64, 128), compute_dtype=jnp.float32)
+    base = VSMEngine(params, CFG, tok, **kw)
+    moved = VSMEngine(jax.device_put(params, devs[1]), CFG, tok, **kw)
+    b = base.detect(img, "cat")
+    m = moved.detect(img, "cat")
+    for x, y in zip(b, m):
+        np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-5)

@@ -36,7 +36,7 @@ def _auto_int8(int8, mesh) -> bool:
 
 
 def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
-                    int8=None):
+                    int8=None, device=None):
     """Load the VQA LLM from an HF-format checkpoint directory. Model
     shape follows the checkpoint's config.json (any Vicuna size / tower),
     like the reference's from_pretrained path (builder.py:26-151)."""
@@ -51,15 +51,21 @@ def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
     vqa_cfg = vqa_llm_config_for(vqa_model_path)
     vqa_tok = AutoTokenizer.from_pretrained(vqa_model_path, use_fast=False)
     vqa_sd = load_torch_dir(vqa_model_path)
+    use_int8 = _auto_int8(int8, mesh)
     vqa_params = vqa_llm_params_from_torch(
-        vqa_sd, vqa_cfg, dtype=jnp.bfloat16,
-        quantize_llm=_auto_int8(int8, mesh))
+        vqa_sd, vqa_cfg, dtype=jnp.bfloat16, quantize_llm=use_int8)
+    if use_int8:
+        from ..nn.quant import quantize_model_towers
+        vqa_params = quantize_model_towers(vqa_params)
+    if device is not None:   # per-model chip placement (see load_engines)
+        import jax
+        vqa_params = jax.device_put(vqa_params, device)
     return VQAEngine(vqa_params, vqa_cfg, vqa_tok, conv_type=conv_type,
                      mesh=mesh)
 
 
 def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
-                    mesh=None, int8=None):
+                    mesh=None, int8=None, device=None):
     """Load the VSM from an HF-format checkpoint directory (the
     search-mechanism eval needs only this half, visual_search.py:142).
     device_preprocess opts the batched search path into on-device patch
@@ -77,25 +83,46 @@ def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
     vsm_tok = AutoTokenizer.from_pretrained(vsm_model_path, use_fast=False)
     loc_id = vsm_tok("[LOC]", add_special_tokens=False).input_ids[0]
     vsm_sd = load_torch_dir(vsm_model_path)
+    use_int8 = _auto_int8(int8, mesh)
     vsm_params = vsm_params_from_torch(
-        vsm_sd, vsm_cfg, dtype=jnp.bfloat16,
-        quantize_llm=_auto_int8(int8, mesh))
+        vsm_sd, vsm_cfg, dtype=jnp.bfloat16, quantize_llm=use_int8)
+    if use_int8:
+        from ..nn.quant import quantize_model_towers
+        vsm_params = quantize_model_towers(vsm_params)
+    if device is not None:
+        import jax
+        vsm_params = jax.device_put(vsm_params, device)
     return VSMEngine(vsm_params, vsm_cfg, vsm_tok, loc_token_id=loc_id,
                      device_preprocess=device_preprocess, mesh=mesh)
 
 
 def load_engines(vqa_model_path: str, vsm_model_path: str,
                  conv_type: str = "v1", mesh=None, int8=None,
-                 device_preprocess: bool = False):
+                 device_preprocess: bool = False, split_models=None):
     """Load both models from HF-format checkpoint directories. mesh:
     optional jax.sharding.Mesh (or 'DxFxM' string) to shard both models
     over for multi-chip serving. int8: None = auto (weight-only int8 on
-    a single TPU chip, bf16 otherwise), True/False = force."""
+    a single TPU chip, bf16 otherwise), True/False = force.
+
+    split_models: place the VQA LLM on chip 0 and the VSM on chip 1
+    (None = auto when >= 2 un-meshed TPU chips exist). The int8 7B PAIR
+    is ~15 GB of weights — it does NOT fit one 16 GB v5e together with
+    activations/KV (measured), so a single chip can serve ONE model;
+    the pair needs two chips (this split) or a sharding mesh."""
+    import jax
+
     mesh = resolve_mesh(mesh)
+    devs = jax.devices()
+    if split_models is None:
+        split_models = (mesh is None and len(devs) >= 2
+                        and devs[0].platform == "tpu")
+    d_vqa = devs[0] if split_models else None
+    d_vsm = devs[1] if split_models else None
     return (load_vqa_engine(vqa_model_path, conv_type, mesh=mesh,
-                            int8=int8),
+                            int8=int8, device=d_vqa),
             load_vsm_engine(vsm_model_path, mesh=mesh, int8=int8,
-                            device_preprocess=device_preprocess))
+                            device_preprocess=device_preprocess,
+                            device=d_vsm))
 
 
 def resolve_mesh(mesh):

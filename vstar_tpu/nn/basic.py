@@ -46,7 +46,11 @@ def init_dense(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 
 def dense(p, x):
-    y = x @ p["w"].astype(x.dtype)
+    if "q" in p:            # weight-only int8 entry (nn/quant.py)
+        from .quant import qdot
+        y = qdot(x, p)
+    else:
+        y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

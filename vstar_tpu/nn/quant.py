@@ -153,3 +153,33 @@ def dequantize_weight(entry: WeightEntry, dtype=jnp.float32) -> jnp.ndarray:
     if isinstance(entry, dict) and "q" in entry:
         return (entry["q"].astype(jnp.float32) * entry["s"]).astype(dtype)
     return entry.astype(dtype)
+
+
+def quantize_vit_params(vit_params: Dict) -> Dict:
+    """Per-channel int8 for a ViT tower's dense matmul weights (attn
+    qkv/out + MLP; biases, norms, patch/position/class embeddings stay
+    high-precision). Halves tower HBM — needed to fit the SEAL 7B PAIR
+    plus activations on one 16 GB chip."""
+    out = dict(vit_params)
+    layers = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in vit_params["layers"].items()}
+    for group in ("attn", "mlp"):
+        g = dict(layers[group])
+        for k, entry in g.items():
+            qe = quantize_weight(entry["w"])
+            e = {kk: v for kk, v in entry.items() if kk != "w"}
+            e["q"], e["s"] = qe["q"], qe["s"]
+            g[k] = e
+        layers[group] = g
+    out["layers"] = layers
+    return out
+
+
+def quantize_model_towers(params: Dict) -> Dict:
+    """int8 the ViT towers of a built model pytree (keys 'vision' and,
+    for the VSM, 'owl_tower')."""
+    out = dict(params)
+    for key in ("vision", "owl_tower"):
+        if key in out:
+            out[key] = quantize_vit_params(out[key])
+    return out
