@@ -22,24 +22,36 @@ from ..core.config import LlamaConfig
 from ..nn.llama import KVCache, embed_tokens, llama_forward, lm_logits
 
 
-def sample_token(logits: jnp.ndarray, key, temperature: float = 0.0,
-                 top_p: Optional[float] = None) -> jnp.ndarray:
+def sample_token(logits: jnp.ndarray, key, temperature=0.0,
+                 top_p=None) -> jnp.ndarray:
     """Greedy (temperature 0) or temperature/top-p sampling, matching the
     reference's generate flags (vstar_bench_eval.py:97-100: do_sample when
-    temperature > 0). logits: [B, V] -> int32 [B]."""
-    if temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits.astype(jnp.float32) / temperature
-    if top_p is not None and top_p < 1.0:
+    temperature > 0). logits: [B, V] -> int32 [B].
+
+    temperature/top_p may be Python floats (static: a greedy call costs
+    one argmax and nothing else) or traced scalars (one compiled program
+    serves every sampling value — serving must not recompile per
+    temperature). A traced top_p >= 1 keeps every token (cum - probs < 1
+    always), so 1.0 is the no-filter value."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    static_temp = isinstance(temperature, (int, float))
+    if static_temp and temperature <= 0.0:
+        return greedy
+    temp = jnp.asarray(temperature, jnp.float32)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)
+    if top_p is not None:
         sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         # keep the smallest prefix with cumulative mass >= top_p
-        keep = cum - probs < top_p
+        keep = cum - probs < jnp.asarray(top_p, jnp.float32)
         cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
                          keepdims=True)
         scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    if static_temp:
+        return sampled
+    return jnp.where(temp > 0.0, sampled, greedy)
 
 
 class DecodeResult(NamedTuple):

@@ -83,16 +83,21 @@ class VQAEngine:
         self.option_bucket = option_bucket
         self.compute_dtype = compute_dtype
 
+        # temperature/top_p are TRACED args: one compiled program serves
+        # every sampling value (a static arg would compile a 20-230 s
+        # relay program per distinct temperature). Only the boolean
+        # `sampling` split is static, so the greedy hot path keeps its
+        # argmax-only decode step.
         self._jit_free_form = jax.jit(
             self._free_form_device,
-            static_argnames=("bucket", "max_new_tokens", "temperature",
-                             "top_p", "use_speculative"))
+            static_argnames=("bucket", "max_new_tokens", "sampling",
+                             "use_speculative"))
         self._rng = jax.random.PRNGKey(0)
         self._jit_prefill = jax.jit(
             self._prefill_device, static_argnames=("bucket", "opt_room"))
         self._jit_chunk = jax.jit(
             self._chunk_decode_device,
-            static_argnames=("k", "temperature", "top_p"))
+            static_argnames=("k", "sampling"))
         self._jit_option_ce = jax.jit(
             functools.partial(option_ce, compute_dtype=compute_dtype),
             static_argnames=("cfg",))
@@ -165,8 +170,9 @@ class VQAEngine:
         return logits, last_hidden, cache
 
     def _free_form_device(self, params, image, objects, text_ids, feat_idx,
-                          is_feat, lens, rng_key, draft=None, *, bucket,
-                          max_new_tokens, temperature=0.0, top_p=None,
+                          is_feat, lens, rng_key, draft=None,
+                          temperature=0.0, top_p=1.0, *, bucket,
+                          max_new_tokens, sampling=False,
                           use_speculative=False):
         bank = encode_feature_bank(params, self.cfg, image, objects)
         bank = bank.astype(self.compute_dtype)
@@ -184,23 +190,25 @@ class VQAEngine:
                                      max_new_tokens, [self.eos_id],
                                      self.spec_chunk, self.compute_dtype)
         else:
-            res = greedy_decode(params["llama"], self.cfg.llama, cache,
-                                logits, last_hidden, max_new_tokens,
-                                [self.eos_id], self.compute_dtype,
-                                temperature=temperature, top_p=top_p,
-                                rng_key=rng_key)
+            res = greedy_decode(
+                params["llama"], self.cfg.llama, cache, logits,
+                last_hidden, max_new_tokens, [self.eos_id],
+                self.compute_dtype,
+                temperature=temperature if sampling else 0.0,
+                top_p=top_p if sampling else None, rng_key=rng_key)
         return res.tokens, res.num_generated
 
     def _chunk_decode_device(self, params, cache, logits, hidden,
-                             rng_key=None, *, k, temperature=0.0,
-                             top_p=None):
-        """k tokens (greedy, or sampled when temperature > 0) + the
+                             rng_key=None, temperature=0.0, top_p=1.0, *,
+                             k, sampling=False):
+        """k tokens (greedy, or sampled when sampling=True) + the
         continuation state (logits/hidden/cache positioned after the k-th
-        token) for host-chunked decoding."""
+        token) for host-chunked decoding. temperature/top_p are traced."""
         from ..models.vqa_llm import decode_step
         res = greedy_decode(params["llama"], self.cfg.llama, cache, logits,
                             hidden, k, [self.eos_id], self.compute_dtype,
-                            temperature=temperature, top_p=top_p,
+                            temperature=temperature if sampling else 0.0,
+                            top_p=top_p if sampling else None,
                             rng_key=rng_key)
         logits2, hidden2, cache2 = decode_step(
             params, self.cfg, res.cache, res.tokens[:, k - 1:k],
@@ -238,8 +246,9 @@ class VQAEngine:
             k = min(chunk, max_new_tokens - len(toks))
             self._rng, sub = jax.random.split(self._rng)
             tokens, ngen, logits, hidden, cache = self._jit_chunk(
-                self.params, cache, logits, hidden, sub, k=k,
-                temperature=temperature, top_p=top_p)
+                self.params, cache, logits, hidden, sub,
+                float(temperature), 1.0 if top_p is None else float(top_p),
+                k=k, sampling=temperature > 0.0)
             got = [int(t) for t in np.asarray(tokens[0, :int(ngen[0])])]
             toks.extend(got)
             hit_eos = got and got[-1] == self.eos_id
@@ -298,9 +307,10 @@ class VQAEngine:
         tokens, ngen = self._jit_free_form(
             self.params, img, objs, jnp.asarray(lay.text_ids[None]),
             jnp.asarray(lay.feat_idx[None]), jnp.asarray(lay.is_feat[None]),
-            jnp.asarray([lay.length], jnp.int32), sub, draft, bucket=bucket,
-            max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p, use_speculative=use_spec)
+            jnp.asarray([lay.length], jnp.int32), sub, draft,
+            float(temperature), 1.0 if top_p is None else float(top_p),
+            bucket=bucket, max_new_tokens=max_new_tokens,
+            sampling=temperature > 0.0, use_speculative=use_spec)
         n_out = int(ngen[0])
         toks = [int(t) for t in np.asarray(tokens[0, :n_out])]
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
@@ -536,6 +546,9 @@ def warmup_vqa_engine(engine: VQAEngine, image_size: int = 256,
         t = _filler_for_bucket(length_of, lo, b)
         if t is not None:
             texts.append(t)
+        elif log:  # no-silent-caps: this bucket stays cold
+            log(f"[warmup] vqa prompt bucket {b} unreachable by filler "
+                f"text — first live prompt in ({lo}, {b}] will compile")
         lo = b
 
     rng = np.random.RandomState(0)
@@ -557,3 +570,10 @@ def warmup_vqa_engine(engine: VQAEngine, image_size: int = 256,
                 f"compiled")
         if not hasattr(engine, "free_form_many"):
             break
+    # The sampled decode program (sampling=True) is shared by every
+    # temperature/top_p value (traced args) — one B=1 compile covers it.
+    engine.free_form(img, texts[0], max_new_tokens=max_new_tokens,
+                     temperature=0.7, top_p=0.9)
+    if log:
+        log("[warmup] vqa sampled-decode program compiled (all "
+            "temperature/top_p values share it)")

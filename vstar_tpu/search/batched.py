@@ -374,6 +374,9 @@ def warmup_vsm_engine(engine: BatchedVSMEngine,
         t = _filler_for_bucket(length_of, lo, b)
         if t is not None:
             texts.append(t)
+        elif log:  # no-silent-caps: this bucket stays cold
+            log(f"[warmup] vsm prompt bucket {b} unreachable by filler "
+                f"text — first live prompt in ({lo}, {b}] will compile")
         lo = b
 
     rng = np.random.RandomState(0)
@@ -396,11 +399,14 @@ def warmup_vsm_engine(engine: BatchedVSMEngine,
                     f"({len(texts)} prompt buckets) compiled")
     # extra canvas shapes need their normalize + pair_windows programs,
     # which are keyed by (canvas shape, same-canvas group bucket): cover
-    # the common 1/2/4-patch groups (several searches of one image)
+    # every group bucket traffic can form up to the wave cap (a wave with
+    # 8+ patches of one image lands in the 8/16 pair_windows buckets)
+    group_buckets = tuple(b for b in BATCH_BUCKETS
+                          if b <= max(batch_buckets))
     for h, w in canvas_sizes[1:]:
         p = make_patch(h, w)
-        for g in (1, 2, 4):
+        for g in group_buckets:
             engine.detect_many([p] * g, [texts[0]] * g)
         if log:
-            log(f"[warmup] vsm canvas {h}x{w} (group buckets 1/2/4) "
-                f"compiled")
+            log(f"[warmup] vsm canvas {h}x{w} (group buckets "
+                f"{'/'.join(str(g) for g in group_buckets)}) compiled")

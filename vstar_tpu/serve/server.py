@@ -180,9 +180,15 @@ def main():
         top = _batch_bucket(max(args.max_batch, 1))
         bbs = tuple(b for b in (1, 2, 4, 8, 16) if b <= top)
         warmup_vqa_engine(vqa, batch_buckets=bbs)
-        # cover the common canvas buckets (512-multiples) up to 2K
-        warmup_vsm_engine(vsm, batch_buckets=bbs, canvas_sizes=(
-            (512, 512), (1024, 1024), (1536, 2048), (2048, 2048)))
+        # cover the common canvas buckets (512-multiples) up to 2K — BOTH
+        # orientations of each non-square size (a portrait 2K upload
+        # buckets to (2048,1536), a different program than (1536,2048))
+        sizes = [(512, 512), (1024, 1024), (1536, 2048), (2048, 2048)]
+        for h, w in list(sizes):
+            if h != w and (w, h) not in sizes:
+                sizes.append((w, h))
+        warmup_vsm_engine(vsm, batch_buckets=bbs,
+                          canvas_sizes=tuple(sizes))
     if args.continuous:
         from .continuous import ContinuousSealService
         service = ContinuousSealService(vqa, vsm, max_batch=args.max_batch,
