@@ -153,7 +153,8 @@ class RefAdapter:
         return torch.tensor(self.o.segment_np(box, phrase))
 
 
-def _run_both(make_oracle, name="needle", size=(896, 896), **kw):
+def _run_both(make_oracle, name="needle", size=(896, 896), impl="host",
+              **kw):
     ref_vs = load_reference_visual_search()
     # Common chunker on both sides (reference spaCy is stubbed out; the
     # heuristic-vs-spaCy fidelity is a separate test).
@@ -162,9 +163,17 @@ def _run_both(make_oracle, name="needle", size=(896, 896), **kw):
 
     o_ours, o_ref = make_oracle(), make_oracle()
     img = CoordImage(*size)
-    ours = our_visual_search(OurAdapter(o_ours), img, name,
-                             smallest_size=kw.pop("smallest_size", 224),
-                             **kw)
+    if impl == "device":
+        # the compiled policy (search/compiled.py): queue/threshold/split/
+        # scoring decisions on device, same VSMClient protocol
+        from vstar_tpu.search.compiled import visual_search_device_policy
+        ours = visual_search_device_policy(
+            OurAdapter(o_ours), img, name,
+            smallest_size=kw.pop("smallest_size", 224), **kw)
+    else:
+        ours = our_visual_search(OurAdapter(o_ours), img, name,
+                                 smallest_size=kw.pop("smallest_size", 224),
+                                 **kw)
     ref = ref_vs.visual_search(RefAdapter(o_ref), img, name, None,
                                smallest_size=224, **kw)
     return ours, ref, o_ours, o_ref
@@ -196,26 +205,29 @@ def _assert_paths_equal(ours, ref, o_ours, o_ref):
         assert valid_ours is None
 
 
-def test_root_acceptance_multi_instance():
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_root_acceptance_multi_instance(impl):
     # big target -> confident at the whole-image step -> all boxes >0.5
     ours, ref, o1, o2 = _run_both(
-        lambda: ScriptedVSM(target=[300, 280, 320, 300]))
+        lambda: ScriptedVSM(target=[300, 280, 320, 300]), impl=impl)
     _assert_paths_equal(ours, ref, o1, o2)
     assert ours[1] == 1 and ours[3] is not None and len(ours[3]) == 2
 
 
-def test_target_cue_guided_descent():
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_target_cue_guided_descent(impl):
     ours, ref, o1, o2 = _run_both(
-        lambda: ScriptedVSM(target=[700, 650, 60, 50]))
+        lambda: ScriptedVSM(target=[700, 650, 60, 50]), impl=impl)
     _assert_paths_equal(ours, ref, o1, o2)
     assert ours[2] and ours[1] > 1
     assert not o1.vqa_calls  # target cue stayed prominent
 
 
-def test_context_cue_descent():
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_context_cue_descent(impl):
     # weak heatmap (< minimum threshold 3.0) -> VQA + segmentation cue
     ours, ref, o1, o2 = _run_both(
-        lambda: ScriptedVSM(target=[700, 650, 60, 50], heat_amp=2.0))
+        lambda: ScriptedVSM(target=[700, 650, 60, 50], heat_amp=2.0), impl=impl)
     _assert_paths_equal(ours, ref, o1, o2)
     assert ours[2]
     # the context-cue branch ran on both sides, with the same phrase
@@ -224,26 +236,29 @@ def test_context_cue_descent():
     assert o1.segment_calls[0][1] == o2.segment_calls[0][1]
 
 
-def test_low_confidence_fallback_success():
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_low_confidence_fallback_success(impl):
     # never exceeds 0.5; deep patches stash 0.45 >= 0.3 -> fallback success
     ours, ref, o1, o2 = _run_both(
-        lambda: ScriptedVSM(target=[700, 650, 60, 50], max_logit=0.45))
+        lambda: ScriptedVSM(target=[700, 650, 60, 50], max_logit=0.45), impl=impl)
     _assert_paths_equal(ours, ref, o1, o2)
     assert ours[2]
 
 
-def test_low_confidence_fallback_failure():
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_low_confidence_fallback_failure(impl):
     # best stash 0.2 < confidence_low 0.3 -> unsuccessful on both sides
     ours, ref, o1, o2 = _run_both(
-        lambda: ScriptedVSM(target=[700, 650, 60, 50], max_logit=0.2))
+        lambda: ScriptedVSM(target=[700, 650, 60, 50], max_logit=0.2), impl=impl)
     _assert_paths_equal(ours, ref, o1, o2)
     assert not ours[2]
 
 
-def test_aspect_ratio_split_parity():
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_aspect_ratio_split_parity(impl):
     # wide image -> 4x1 split path
     ours, ref, o1, o2 = _run_both(
         lambda: ScriptedVSM(target=[1500, 100, 60, 50], sigma=40.0),
-        size=(1800, 400))
+        size=(1800, 400), impl=impl)
     _assert_paths_equal(ours, ref, o1, o2)
     assert ours[2]

@@ -1,0 +1,645 @@
+"""The compiled search: guided-search policy state and transitions on
+device, so a whole detect-path (target-cue) search runs as ONE dispatched
+program instead of one host round-trip per step.
+
+This is the BASELINE.json north star ("re-express the recursive guided
+search as a bucketed device loop over padded crop batches so the whole
+search compiles"). The reference's control flow (visual_search.py:390-516)
+is a host recursion popping a PriorityQueue and calling the VSM per patch;
+here the queue, the path record, the accept/threshold tests, the 2x2/4x1
+splits and the ancestor-weighted sub-patch scores are all jax arrays and
+jittable transitions:
+
+  * `policy_state_init` / `PolicyState` — fixed-capacity queue + path
+    arrays (slot allocation is monotonic, pop = max score with
+    min-insertion-order tie-break, exactly heapq's (-score, counter)).
+  * `injected_step` — one policy transition driven by EXTERNALLY provided
+    VSM outputs (det boxes/logits + full-res heatmap). One dispatch per
+    step; used by the parity tests to prove the device policy traverses
+    byte-identically to the reference under a shared oracle, and usable
+    with any VSMClient.
+  * `fused_search` — the production program: a `lax.while_loop` that pops
+    a patch, extracts both tower windows from the device-resident canvas
+    (kernels/image_ops.pair_windows math), runs the full VSM
+    (towers + prefill + speculative decode + [LOC] heads) and applies the
+    policy transition — N steps per dispatch, exiting to the host only on
+    accept, queue-exhaustion, path cap, or the (text-dependent)
+    context-cue fallback, which the host serves and pushes back with
+    `context_push`.
+
+Heatmap semantics match the host path exactly: the 192^2 mask logits are
+bilinear-resized (torch half-pixel convention, data/preprocess.py
+resize_bilinear_torch) to the patch size on a statically padded grid,
+clamped at 0, min-max normalized; sub-patch scores are heatmap-mass
+fractions accumulated over the ancestor chain weighted 1/4^level
+(visual_search.py:451-465). Ancestor heatmaps are stored at low-res
+(147 KB/step instead of a full-res store) and re-resized on demand —
+bit-identical each time, so descendant scoring sees exactly the values
+the expansion saw.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# Exit codes of a policy transition.
+RUNNING = 0
+ACCEPT = 1          # top detection sigmoid > confidence_high
+NEED_CTX = 2        # heatmap weak -> host must run vqa + segment cue
+QUEUE_EMPTY = 3
+MAX_STEPS = 4       # path hit max_steps (or the P capacity)
+
+_NEG = jnp.float32(-3.4e38)
+_BIGI = jnp.int32(2 ** 31 - 1)
+
+
+class PolicyState(NamedTuple):
+    # priority queue, capacity K = 4 * P (each processed step pushes <= 4)
+    q_bbox: jnp.ndarray      # [K, 4] i32 (x, y, w, h) canvas pixels
+    q_level: jnp.ndarray     # [K] i32 scale level
+    q_score: jnp.ndarray     # [K] f32 priority
+    q_parent: jnp.ndarray    # [K] i32 path index of parent
+    q_counter: jnp.ndarray   # [K] i32 insertion order (heapq tie-break)
+    q_valid: jnp.ndarray     # [K] bool
+    counter: jnp.ndarray     # scalar i32, next free slot / insertion id
+    # search path (visited steps, in visit order), capacity P
+    n_path: jnp.ndarray      # scalar i32
+    p_bbox: jnp.ndarray      # [P, 4] i32
+    p_level: jnp.ndarray     # [P] i32
+    p_parent: jnp.ndarray    # [P] i32
+    p_score: jnp.ndarray     # [P] f32 (priority the step was queued with)
+    p_top_logit: jnp.ndarray  # [P] f32 stashed low-confidence top sigmoid
+    p_has_stash: jnp.ndarray  # [P] bool temp_detection_result present
+    p_det_box: jnp.ndarray   # [P, 4] f32 patch-local [x, y, w, h] top box
+    p_ctx: jnp.ndarray       # [P] bool step used the context cue
+    # per-step heatmap record for ancestor-weighted scoring
+    p_heat_low: jnp.ndarray  # [P, mh, mw] f32 raw low-res mask logits
+    p_heat_mn: jnp.ndarray   # [P] f32 min of clipped resized heat
+    p_heat_mx: jnp.ndarray   # [P] f32 max of clipped resized heat
+    p_heat_total: jnp.ndarray  # [P] f32 sum of the NORMALIZED heat
+    p_heat_valid: jnp.ndarray  # [P] bool final_heatmap computed
+
+
+def policy_state_init(root_w: int, root_h: int, P: int,
+                      mask_res: Tuple[int, int]) -> PolicyState:
+    """Root patch [0, 0, W, H] at scale level 1, path pre-seeded with it
+    (visual_search.py:487-494)."""
+    K = 4 * P
+    mh, mw = mask_res
+    st = PolicyState(
+        q_bbox=jnp.zeros((K, 4), jnp.int32),
+        q_level=jnp.zeros((K,), jnp.int32),
+        q_score=jnp.zeros((K,), jnp.float32),
+        q_parent=jnp.zeros((K,), jnp.int32),
+        q_counter=jnp.zeros((K,), jnp.int32),
+        q_valid=jnp.zeros((K,), bool),
+        counter=jnp.int32(0),
+        n_path=jnp.int32(1),
+        p_bbox=jnp.zeros((P, 4), jnp.int32).at[0].set(
+            jnp.asarray([0, 0, root_w, root_h], jnp.int32)),
+        p_level=jnp.zeros((P,), jnp.int32).at[0].set(1),
+        p_parent=jnp.full((P,), -1, jnp.int32),
+        p_score=jnp.zeros((P,), jnp.float32),
+        p_top_logit=jnp.zeros((P,), jnp.float32),
+        p_has_stash=jnp.zeros((P,), bool),
+        p_det_box=jnp.zeros((P, 4), jnp.float32),
+        p_ctx=jnp.zeros((P,), bool),
+        p_heat_low=jnp.zeros((P, mh, mw), jnp.float32),
+        p_heat_mn=jnp.zeros((P,), jnp.float32),
+        p_heat_mx=jnp.zeros((P,), jnp.float32),
+        p_heat_total=jnp.zeros((P,), jnp.float32),
+        p_heat_valid=jnp.zeros((P,), bool),
+    )
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Heatmap math (exact host-path semantics on a statically padded grid)
+# ---------------------------------------------------------------------------
+
+def resize_clip_padded(low: jnp.ndarray, h, w, Hc: int, Wc: int
+                       ) -> jnp.ndarray:
+    """clip(resize_bilinear_torch(low, h, w), 0) onto a static [Hc, Wc]
+    grid; entries outside [0:h, 0:w] are 0. h/w are traced scalars, so one
+    program serves every patch size of a canvas bucket."""
+    in_h, in_w = low.shape
+    low = low.astype(jnp.float32)
+
+    def axis(out_static: int, out_dyn, in_n: int):
+        c = ((jnp.arange(out_static, dtype=jnp.float32) + 0.5)
+             * (in_n / out_dyn.astype(jnp.float32)) - 0.5)
+        c0 = jnp.floor(c)
+        frac = c - c0
+        c0c = jnp.clip(c0, 0, in_n - 1).astype(jnp.int32)
+        c1c = jnp.clip(c0 + 1, 0, in_n - 1).astype(jnp.int32)
+        return c0c, c1c, frac
+
+    y0, y1, fy = axis(Hc, h, in_h)
+    x0, x1, fx = axis(Wc, w, in_w)
+    top = (low[y0][:, x0] * (1 - fx)[None, :]
+           + low[y0][:, x1] * fx[None, :])
+    bot = (low[y1][:, x0] * (1 - fx)[None, :]
+           + low[y1][:, x1] * fx[None, :])
+    out = top * (1 - fy)[:, None] + bot * fy[:, None]
+    valid = ((jnp.arange(Hc)[:, None] < h)
+             & (jnp.arange(Wc)[None, :] < w))
+    return jnp.where(valid, jnp.maximum(out, 0.0), 0.0)
+
+
+def _minmax_valid(heat: jnp.ndarray, h, w):
+    Hc, Wc = heat.shape
+    valid = ((jnp.arange(Hc)[:, None] < h)
+             & (jnp.arange(Wc)[None, :] < w))
+    mx = jnp.max(jnp.where(valid, heat, _NEG))
+    mn = jnp.min(jnp.where(valid, heat, -_NEG))
+    return mn, mx, valid
+
+
+def normalize_heat(heat: jnp.ndarray, mn, mx, valid) -> jnp.ndarray:
+    """normalize_score (policy.py:125-129): (h - mn)/(mx - mn), or zeros
+    when the heatmap is constant."""
+    rng = mx - mn
+    return jnp.where(valid & (rng != 0), (heat - mn) / rng, 0.0)
+
+
+def rect_sums(heat: jnp.ndarray, rects: jnp.ndarray) -> jnp.ndarray:
+    """Sums of `heat` over 4 patch-local integer rects [x, y, w, h]
+    (einsum of row/col indicators — no dynamic shapes)."""
+    Hc, Wc = heat.shape
+    ys = jnp.arange(Hc)[None, :]
+    xs = jnp.arange(Wc)[None, :]
+    iy = ((ys >= rects[:, 1:2]) & (ys < rects[:, 1:2] + rects[:, 3:4])
+          ).astype(jnp.float32)
+    ix = ((xs >= rects[:, 0:1]) & (xs < rects[:, 0:1] + rects[:, 2:3])
+          ).astype(jnp.float32)
+    return jnp.einsum("cy,yx,cx->c", iy, heat, ix)
+
+
+# ---------------------------------------------------------------------------
+# Geometry (split_4subpatches + get_sub_patches, policy.py:91-110)
+# ---------------------------------------------------------------------------
+
+def child_rects(bbox: jnp.ndarray) -> jnp.ndarray:
+    """[4] i32 (x, y, w, h) -> [4, 4] i32 children: 2x2, or 4x1/1x4 when
+    the aspect ratio >= 2 or <= 0.5, remainder absorbed by the last
+    patch in each direction."""
+    x0, y0, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
+    ratio = h.astype(jnp.float32) / w.astype(jnp.float32)
+    num_w = jnp.where(ratio >= 2.0, 1, jnp.where(ratio <= 0.5, 4, 2))
+    num_h = jnp.where(ratio >= 2.0, 4, jnp.where(ratio <= 0.5, 1, 2))
+    ws = w // num_w
+    hs = h // num_h
+    c = jnp.arange(4, dtype=jnp.int32)
+    i = c % num_w
+    j = c // num_w
+    cw = jnp.where(i == num_w - 1, w - i * ws, ws)
+    ch = jnp.where(j == num_h - 1, h - j * hs, hs)
+    return jnp.stack([x0 + i * ws, y0 + j * hs, cw, ch], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Policy transition pieces
+# ---------------------------------------------------------------------------
+
+def _ancestor_scores(state: PolicyState, idx, subs: jnp.ndarray,
+                     tail_heat_norm: jnp.ndarray, tail_total,
+                     Hc: int, Wc: int) -> jnp.ndarray:
+    """Child priorities: heatmap-mass fraction of each child rect,
+    accumulated over the step and all its ancestors, each weighted
+    1/4^scale_level (visual_search.py:451-465).
+
+    The tail step's normalized heat is passed directly (it was just
+    computed); ancestors are reconstructed from their stored low-res
+    logits + normalize constants — identical values to what their own
+    expansion used."""
+    def contribution(heat_norm, total, bbox, level):
+        local = subs.at[:, 0].add(-bbox[0]).at[:, 1].add(-bbox[1])
+        mass = rect_sums(heat_norm, local)
+        frac = jnp.where(total > 0, mass / total, 0.0)
+        return frac / (4.0 ** level.astype(jnp.float32))
+
+    scores = contribution(tail_heat_norm, tail_total,
+                          state.p_bbox[idx], state.p_level[idx])
+
+    def cond(carry):
+        j, _ = carry
+        return j != -1
+
+    def body(carry):
+        j, acc = carry
+        bbox = state.p_bbox[j]
+        heat = resize_clip_padded(state.p_heat_low[j], bbox[3], bbox[2],
+                                  Hc, Wc)
+        mn, mx = state.p_heat_mn[j], state.p_heat_mx[j]
+        valid = ((jnp.arange(Hc)[:, None] < bbox[3])
+                 & (jnp.arange(Wc)[None, :] < bbox[2]))
+        heat_n = normalize_heat(heat, mn, mx, valid)
+        heat_n = jnp.where(state.p_heat_valid[j], heat_n, 0.0)
+        acc = acc + contribution(heat_n, state.p_heat_total[j], bbox,
+                                 state.p_level[j])
+        return state.p_parent[j], acc
+
+    parent = state.p_parent[idx]
+    _, scores = jax.lax.while_loop(cond, body, (parent, scores))
+    return scores
+
+
+def _ancestor_scores_injected(state: PolicyState, idx, subs: jnp.ndarray,
+                              tail_heat_norm: jnp.ndarray, tail_total,
+                              heat_store: jnp.ndarray) -> jnp.ndarray:
+    """Injected-mode variant: ancestors' normalized heats live in a
+    full-res store [P, Hc, Wc] (externally provided heatmaps have no
+    low-res representation to reconstruct from)."""
+    def contribution(heat_norm, total, bbox, level):
+        local = subs.at[:, 0].add(-bbox[0]).at[:, 1].add(-bbox[1])
+        mass = rect_sums(heat_norm, local)
+        frac = jnp.where(total > 0, mass / total, 0.0)
+        return frac / (4.0 ** level.astype(jnp.float32))
+
+    scores = contribution(tail_heat_norm, tail_total,
+                          state.p_bbox[idx], state.p_level[idx])
+
+    def cond(carry):
+        j, _ = carry
+        return j != -1
+
+    def body(carry):
+        j, acc = carry
+        acc = acc + contribution(heat_store[j], state.p_heat_total[j],
+                                 state.p_bbox[j], state.p_level[j])
+        return state.p_parent[j], acc
+
+    _, scores = jax.lax.while_loop(cond, body,
+                                   (state.p_parent[idx], scores))
+    return scores
+
+
+def _push_children(state: PolicyState, idx, subs: jnp.ndarray,
+                   scores: jnp.ndarray, do_push) -> PolicyState:
+    """Queue 4 children at slots [counter, counter+4) (gated by do_push —
+    slots stay invalid and the counter does not advance otherwise)."""
+    K = state.q_valid.shape[0]
+    slots = jnp.clip(state.counter + jnp.arange(4, dtype=jnp.int32),
+                     0, K - 1)
+    in_cap = (state.counter + jnp.arange(4, dtype=jnp.int32)) < K
+    ok = jnp.logical_and(do_push, in_cap)
+    return state._replace(
+        q_bbox=state.q_bbox.at[slots].set(
+            jnp.where(ok[:, None], subs, state.q_bbox[slots])),
+        q_level=state.q_level.at[slots].set(
+            jnp.where(ok, state.p_level[idx] + 1, state.q_level[slots])),
+        q_score=state.q_score.at[slots].set(
+            jnp.where(ok, scores, state.q_score[slots])),
+        q_parent=state.q_parent.at[slots].set(
+            jnp.where(ok, idx, state.q_parent[slots])),
+        q_counter=state.q_counter.at[slots].set(
+            jnp.where(ok, state.counter + jnp.arange(4, dtype=jnp.int32),
+                      state.q_counter[slots])),
+        q_valid=state.q_valid.at[slots].set(
+            jnp.where(ok, True, state.q_valid[slots])),
+        counter=state.counter + jnp.where(do_push, 4, 0).astype(jnp.int32),
+    )
+
+
+def _pop_append(state: PolicyState, max_steps: int) -> Tuple[PolicyState,
+                                                             jnp.ndarray]:
+    """heapq pop ((-score, counter) lexicographic min = max score, ties to
+    the earliest insertion) + append to the path. Returns (state',
+    exit_code): QUEUE_EMPTY / MAX_STEPS when the search cannot continue
+    (checked in the host policy's order, policy.py:260-262)."""
+    P = state.p_bbox.shape[0]
+    any_valid = jnp.any(state.q_valid)
+    cap = min(max_steps, P) if max_steps is not None else P
+    full = state.n_path >= cap
+    exit_code = jnp.where(~any_valid, QUEUE_EMPTY,
+                          jnp.where(full, MAX_STEPS, RUNNING))
+
+    best = jnp.max(jnp.where(state.q_valid, state.q_score, _NEG))
+    tie = state.q_valid & (state.q_score == best)
+    slot = jnp.argmin(jnp.where(tie, state.q_counter, _BIGI))
+    do = exit_code == RUNNING
+    n = jnp.clip(state.n_path, 0, P - 1)
+    new = state._replace(
+        q_valid=state.q_valid.at[slot].set(
+            jnp.where(do, False, state.q_valid[slot])),
+        p_bbox=state.p_bbox.at[n].set(
+            jnp.where(do, state.q_bbox[slot], state.p_bbox[n])),
+        p_level=state.p_level.at[n].set(
+            jnp.where(do, state.q_level[slot], state.p_level[n])),
+        p_parent=state.p_parent.at[n].set(
+            jnp.where(do, state.q_parent[slot], state.p_parent[n])),
+        p_score=state.p_score.at[n].set(
+            jnp.where(do, state.q_score[slot], state.p_score[n])),
+        n_path=state.n_path + jnp.where(do, 1, 0).astype(jnp.int32),
+    )
+    return new, exit_code
+
+
+def _detect_phase(state: PolicyState, det_valid, det_logits, det_boxes,
+                  confidence_high: float, apply_sigmoid: bool = False):
+    """Accept test + low-confidence stash for the path tail
+    (visual_search.py:398-414). apply_sigmoid: det_logits are raw head
+    outputs (production); the VSMClient protocol already delivers sigmoid
+    probabilities. Returns (state', accept, top_sig, accept_box)."""
+    idx = state.n_path - 1
+    bbox = state.p_bbox[idx]
+    w = bbox[2].astype(jnp.float32)
+    h = bbox[3].astype(jnp.float32)
+    sig = det_logits.astype(jnp.float32)
+    if apply_sigmoid:
+        sig = jax.nn.sigmoid(sig)
+    top = jnp.argmax(sig)
+    top_sig = jnp.where(det_valid, sig[top], 0.0)
+    scale = jnp.stack([w, h, w, h])
+    fb = det_boxes[top].astype(jnp.float32) * scale
+    fb = fb.at[0].add(-fb[2] / 2).at[1].add(-fb[3] / 2)
+    accept = jnp.logical_and(det_valid, top_sig > confidence_high)
+    stash = jnp.logical_and(det_valid, ~accept)
+    state = state._replace(
+        p_top_logit=state.p_top_logit.at[idx].set(
+            jnp.where(stash, top_sig, state.p_top_logit[idx])),
+        p_has_stash=state.p_has_stash.at[idx].set(
+            jnp.where(stash, True, state.p_has_stash[idx])),
+        p_det_box=state.p_det_box.at[idx].set(
+            jnp.where(det_valid, fb, state.p_det_box[idx])),
+    )
+    return state, accept, top_sig, fb
+
+
+def _expand_phase(state: PolicyState, heat: jnp.ndarray, heat_low,
+                  is_ctx, *, Hc: int, Wc: int, max_steps,
+                  heat_store: Optional[jnp.ndarray],
+                  smallest_size, target_cue_threshold: float,
+                  target_cue_threshold_decay: float,
+                  target_cue_threshold_minimum: float,
+                  skip_threshold: bool = False):
+    """Threshold test + heat record + children push + pop for the path
+    tail. heat: clipped, patch-local, padded [Hc, Wc]. heat_low: raw
+    low-res logits (production) or None (injected, full-res store
+    maintained instead). skip_threshold: the context-cue path (the host
+    already decided; the ctx heat is final regardless of its max).
+
+    Returns (state', exit_code, heat_store')."""
+    idx = state.n_path - 1
+    bbox = state.p_bbox[idx]
+    level = state.p_level[idx]
+    hp, wp = bbox[3], bbox[2]
+
+    small = jnp.minimum(wp, hp) <= smallest_size
+    mn, mx, valid = _minmax_valid(heat, hp, wp)
+    threshold = jnp.maximum(
+        jnp.float32(target_cue_threshold_minimum),
+        target_cue_threshold
+        * target_cue_threshold_decay ** (level.astype(jnp.float32) - 1.0))
+    weak = mx <= threshold
+    if skip_threshold:
+        need_ctx = jnp.zeros((), bool)
+        expand = ~small
+    else:
+        need_ctx = jnp.logical_and(~small, weak)
+        expand = jnp.logical_and(~small, ~weak)
+
+    heat_n = normalize_heat(heat, mn, mx, valid)
+    total = jnp.sum(heat_n)
+    subs = child_rects(bbox)
+    if heat_store is None:
+        scores = _ancestor_scores(state, idx, subs, heat_n, total, Hc, Wc)
+    else:
+        scores = _ancestor_scores_injected(state, idx, subs, heat_n, total,
+                                           heat_store)
+
+    rec = state._replace(
+        p_heat_mn=state.p_heat_mn.at[idx].set(
+            jnp.where(expand, mn, state.p_heat_mn[idx])),
+        p_heat_mx=state.p_heat_mx.at[idx].set(
+            jnp.where(expand, mx, state.p_heat_mx[idx])),
+        p_heat_total=state.p_heat_total.at[idx].set(
+            jnp.where(expand, total, state.p_heat_total[idx])),
+        p_heat_valid=state.p_heat_valid.at[idx].set(
+            jnp.where(expand, True, state.p_heat_valid[idx])),
+        p_ctx=state.p_ctx.at[idx].set(
+            jnp.where(jnp.logical_and(expand, is_ctx), True,
+                      state.p_ctx[idx])),
+    )
+    if heat_low is not None:
+        rec = rec._replace(p_heat_low=rec.p_heat_low.at[idx].set(
+            jnp.where(expand, heat_low.astype(jnp.float32),
+                      rec.p_heat_low[idx])))
+    new_store = heat_store
+    if heat_store is not None:
+        new_store = heat_store.at[idx].set(
+            jnp.where(expand, heat_n, heat_store[idx]))
+
+    rec = _push_children(rec, idx, subs, scores, expand)
+    popped, exit_code = _pop_append(rec, max_steps)
+    exit_code = jnp.where(need_ctx, NEED_CTX, exit_code)
+    # the NEED_CTX exit must not pop (the host pushes the ctx children
+    # first), so keep the pre-pop state on that branch
+    state_out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(need_ctx, a, b), rec, popped)
+    return state_out, exit_code, new_store
+
+
+# ---------------------------------------------------------------------------
+# Injected mode (one dispatch per step; any VSMClient or scripted oracle)
+# ---------------------------------------------------------------------------
+
+def injected_step(state: PolicyState, heat_store: jnp.ndarray,
+                  det_valid, det_logits, det_boxes, heat: jnp.ndarray, *,
+                  smallest_size: int, confidence_high: float,
+                  target_cue_threshold: float,
+                  target_cue_threshold_decay: float,
+                  target_cue_threshold_minimum: float,
+                  max_steps):
+    """One full policy transition for the path tail given its VSM detect
+    outputs. heat: the patch's clipped heatmap padded to the store's
+    [Hc, Wc]. Returns (state', heat_store', exit_code, next_bbox)."""
+    Hc, Wc = heat_store.shape[1:]
+    state, accept, _, _ = _detect_phase(state, det_valid, det_logits,
+                                        det_boxes, confidence_high)
+    st2, exit_code, store2 = _expand_phase(
+        state, heat, None, jnp.zeros((), bool), Hc=Hc, Wc=Wc,
+        max_steps=max_steps, heat_store=heat_store,
+        smallest_size=smallest_size,
+        target_cue_threshold=target_cue_threshold,
+        target_cue_threshold_decay=target_cue_threshold_decay,
+        target_cue_threshold_minimum=target_cue_threshold_minimum)
+    # accept preempts expansion entirely
+    state_out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, a, b), state, st2)
+    store_out = jnp.where(accept, heat_store, store2)
+    exit_code = jnp.where(accept, ACCEPT, exit_code)
+    nb = state_out.p_bbox[state_out.n_path - 1]
+    return state_out, store_out, exit_code, nb
+
+
+def context_push(state: PolicyState, heat_store: jnp.ndarray,
+                 heat: jnp.ndarray, *, smallest_size: int,
+                 target_cue_threshold: float,
+                 target_cue_threshold_decay: float,
+                 target_cue_threshold_minimum: float, max_steps):
+    """Host-computed context-cue heat for the path tail -> record + push
+    children + pop (the step's detect phase already ran). Returns
+    (state', heat_store', exit_code, next_bbox)."""
+    Hc, Wc = heat_store.shape[1:]
+    st, exit_code, store = _expand_phase(
+        state, heat, None, jnp.ones((), bool), Hc=Hc, Wc=Wc,
+        max_steps=max_steps, heat_store=heat_store,
+        smallest_size=smallest_size,
+        target_cue_threshold=target_cue_threshold,
+        target_cue_threshold_decay=target_cue_threshold_decay,
+        target_cue_threshold_minimum=target_cue_threshold_minimum,
+        skip_threshold=True)
+    nb = st.p_bbox[st.n_path - 1]
+    return st, store, exit_code, nb
+
+
+# ---------------------------------------------------------------------------
+# Host driver, injected mode: device policy x any VSMClient
+# ---------------------------------------------------------------------------
+
+def visual_search_device_policy(client, image, target_object_name: str,
+                                smallest_size: int = 224,
+                                confidence_high: float = 0.5,
+                                confidence_low: float = 0.3,
+                                target_cue_threshold: float = 6.0,
+                                target_cue_threshold_decay: float = 0.7,
+                                target_cue_threshold_minimum: float = 3.0,
+                                max_steps: Optional[int] = None,
+                                P: int = 32,
+                                path_out: Optional[list] = None):
+    """`visual_search` with every policy decision (queue, thresholds,
+    splits, ancestor scores) made by jitted device transitions; the host
+    only relays VSM calls and the text-dependent context-cue phrase.
+    Same return contract: (final_step, path_length, success,
+    all_valid_boxes)."""
+    import functools
+
+    import numpy as np
+
+    from .policy import (PatchRef, SearchStep, context_phrase,
+                         context_question, unwrap_patch)
+
+    W, H = image.width, image.height
+    Hc, Wc = H, W          # padded heat grid: every patch fits the root
+    state = policy_state_init(W, H, P, (1, 1))
+    heat_store = jnp.zeros((P, Hc, Wc), jnp.float32)
+
+    kw = dict(smallest_size=smallest_size,
+              confidence_high=confidence_high,
+              target_cue_threshold=target_cue_threshold,
+              target_cue_threshold_decay=target_cue_threshold_decay,
+              target_cue_threshold_minimum=target_cue_threshold_minimum,
+              max_steps=max_steps)
+    step_fn = jax.jit(functools.partial(injected_step, **kw))
+    ckw = dict(kw)
+    ckw.pop("confidence_high")
+    ctx_fn = jax.jit(functools.partial(context_push, **ckw))
+
+    def pad_heat(h2d):
+        out = np.zeros((Hc, Wc), np.float32)
+        a = np.asarray(h2d, np.float32)
+        out[:a.shape[0], :a.shape[1]] = a
+        return jnp.asarray(out)
+
+    cur_bbox = [0, 0, W, H]
+    ctx_cues = {}          # path idx -> "answer#phrase"
+    accept_info = None     # (boxes, logits, bbox) of the accepting call
+    code = RUNNING
+    n_steps = 0
+    while True:
+        patch = PatchRef(image, cur_bbox)
+        pil = unwrap_patch(patch)
+        boxes, logits, heat = client.detect(pil, target_object_name)
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        logits = np.asarray(logits, np.float32).reshape(-1)
+        det_valid = len(logits) > 0
+        if not det_valid:
+            boxes = np.zeros((1, 4), np.float32)
+            logits = np.zeros((1,), np.float32)
+        state, heat_store, code, nb = step_fn(
+            state, heat_store, det_valid, jnp.asarray(logits),
+            jnp.asarray(boxes), pad_heat(heat))
+        code = int(code)
+        n_steps += 1
+        if code == ACCEPT:
+            accept_info = (boxes, logits, list(cur_bbox))
+            break
+        if code == NEED_CTX:
+            answer = client.vqa(pil, context_question(target_object_name))
+            phrase = context_phrase(answer, target_object_name)
+            ctx = client.segment(pil, phrase)
+            ctx_cues[n_steps - 1] = answer + "#" + phrase
+            state, heat_store, code, nb = ctx_fn(state, heat_store,
+                                                 pad_heat(ctx))
+            code = int(code)
+        if code != RUNNING:
+            break
+        cur_bbox = [int(v) for v in np.asarray(nb)]
+
+    return _finalize(state, code, accept_info, confidence_low, ctx_cues,
+                     path_out)
+
+
+def _finalize(state: PolicyState, code: int, accept_info,
+              confidence_low: float, ctx_cues: dict,
+              path_out: Optional[list]):
+    """Fetch the path record once and apply the host policy's ending
+    (policy.py:266-284): success bookkeeping, root multi-instance boxes,
+    low-confidence fallback over the stashed detections."""
+    import numpy as np
+
+    from .policy import SearchStep
+
+    n = int(state.n_path)
+    p_bbox = np.asarray(state.p_bbox[:n])
+    p_level = np.asarray(state.p_level[:n])
+    p_parent = np.asarray(state.p_parent[:n])
+    p_score = np.asarray(state.p_score[:n])
+    p_stash_logit = np.asarray(state.p_top_logit[:n])
+    p_has_stash = np.asarray(state.p_has_stash[:n])
+    p_det_box = np.asarray(state.p_det_box[:n])
+
+    steps = []
+    for i in range(n):
+        steps.append(SearchStep(
+            bbox=[int(v) for v in p_bbox[i]],
+            scale_level=int(p_level[i]),
+            score=None if i == 0 else float(p_score[i]),
+            parent_index=int(p_parent[i]),
+            context_cue=ctx_cues.get(i)))
+        if p_has_stash[i]:
+            steps[i].temp_detection_result = (
+                float(p_stash_logit[i]), p_det_box[i].copy())
+    if path_out is not None:
+        path_out[:] = steps
+
+    success = code == ACCEPT
+    all_valid_boxes = None
+    if success:
+        final_step = steps[-1]
+        final_step.detection_result = p_det_box[n - 1].copy()
+        if n == 1:
+            boxes, logits, bbox = accept_info
+            scale = np.asarray([bbox[2], bbox[3], bbox[2], bbox[3]],
+                               np.float32)
+            valid = boxes[logits > 0.5].reshape(-1, 4) * scale[None]
+            valid[:, :2] -= valid[:, 2:] / 2
+            all_valid_boxes = valid
+        return final_step, n, True, all_valid_boxes
+
+    max_logit = 0.0
+    final_step = None
+    path_length = 0
+    for i in range(n):
+        if p_has_stash[i] and float(p_stash_logit[i]) > max_logit:
+            max_logit = float(p_stash_logit[i])
+            final_step = steps[i]
+            path_length = i + 1
+    if final_step is not None:
+        final_step.detection_result = final_step.temp_detection_result[1]
+    return final_step, path_length, max_logit >= confidence_low, None

@@ -129,6 +129,28 @@ def normalize_score(h: np.ndarray) -> np.ndarray:
     return h * 0
 
 
+def context_question(name: str) -> str:
+    """The common-sense location question (visual_search.py:429-430)."""
+    return ("According to the common sense knowledge and possible "
+            "visual cues, what is the most likely location of the "
+            f"{name} in the image?")
+
+
+def context_phrase(vqa_answer: str, name: str) -> str:
+    """Extract the location phrase to segment from the VSM's answer
+    (visual_search.py:431-439): text after 'most likely to appear',
+    stripped of the target name, reduced to its noun chunk when unique."""
+    phrase = vqa_answer.split("most likely to appear")[-1].strip()
+    if phrase.endswith("."):
+        phrase = phrase[:-1]
+    phrase = phrase.split(name)[-1]
+    from .cues import extract_noun_chunks
+    chunks = extract_noun_chunks(phrase)
+    if len(chunks) == 1:
+        return chunks[0]
+    return f"region {phrase}"
+
+
 def iou_xywh(b1, b2) -> float:
     x1 = max(b1[0], b2[0])
     y1 = max(b1[1], b2[1])
@@ -181,20 +203,8 @@ def _process_patch_gen(image, name: str, step: SearchStep,
     if score_max > threshold:
         step.final_heatmap = normalize_score(heatmap)
     else:
-        question = ("According to the common sense knowledge and possible "
-                    "visual cues, what is the most likely location of the "
-                    f"{name} in the image?")
-        vqa_answer = yield ("vqa", patch, question)
-        phrase = vqa_answer.split("most likely to appear")[-1].strip()
-        if phrase.endswith("."):
-            phrase = phrase[:-1]
-        phrase = phrase.split(name)[-1]
-        from .cues import extract_noun_chunks
-        chunks = extract_noun_chunks(phrase)
-        if len(chunks) == 1:
-            phrase = chunks[0]
-        else:
-            phrase = f"region {phrase}"
+        vqa_answer = yield ("vqa", patch, context_question(name))
+        phrase = context_phrase(vqa_answer, name)
         ctx = yield ("segment", patch, phrase)
         ctx = np.asarray(ctx, np.float32).reshape(bbox[3], bbox[2])
         step.final_heatmap = normalize_score(ctx)
@@ -291,16 +301,18 @@ def visual_search(vsm: VSMClient, image, target_object_name: str,
                   target_cue_threshold_decay: float = 0.7,
                   target_cue_threshold_minimum: float = 3.0,
                   max_steps: Optional[int] = None,
-                  visualize: bool = False, save_path: Optional[str] = None):
+                  visualize: bool = False, save_path: Optional[str] = None,
+                  path_out: Optional[List] = None):
     """Best-first guided search (visual_search.py:484-516 semantics).
 
     Returns (final_step, path_length, search_successful, all_valid_boxes).
     With visualize=True, writes the step/heatmap overlays under save_path
-    (visual_search.py:512-514).
+    (visual_search.py:512-514). path_out: caller-owned list filled with
+    the visited SearchStep path.
     """
     if visualize:
         assert save_path is not None
-    path: List[SearchStep] = []
+    path: List[SearchStep] = path_out if path_out is not None else []
     gen = visual_search_gen(
         image, target_object_name, smallest_size=smallest_size,
         confidence_high=confidence_high, confidence_low=confidence_low,
