@@ -1,0 +1,128 @@
+"""Fused production search (whole search in one device dispatch,
+search/compiled.py fused_search) vs the host-policy path driving the SAME
+device-preprocessing engine: identical trajectories and results on a tiny
+random VSM. Both sides extract patches on device from one canvas and share
+every VSM program, so agreement here validates the in-loop policy +
+window-extraction wiring, not model numerics."""
+
+import zlib
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from vstar_tpu.core.config import vsm_tiny
+from vstar_tpu.models.vsm import init_vsm_params
+from vstar_tpu.search.batched import BatchedVSMEngine, run_batched_searches
+from vstar_tpu.search.compiled import CompiledVSMSearch
+
+CFG = vsm_tiny()
+
+
+class ToyTokenizer:
+    bos_token_id = 1
+    eos_token_id = 2
+
+    class _Out:
+        def __init__(self, ids):
+            self.input_ids = ids
+
+    def __call__(self, text):
+        ids = [self.bos_token_id]
+        for w in text.split():
+            ids.append(3 + zlib.crc32(w.encode())
+                       % (CFG.llama.vocab_size - 3))
+        return self._Out(ids)
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"t{i}" for i in ids
+                        if not (skip_special_tokens and i < 3))
+
+
+def _make_engine(loc_id=None, **kw):
+    import jax.numpy as jnp
+    params = init_vsm_params(jax.random.PRNGKey(11), CFG)
+    tok = ToyTokenizer()
+    eng = BatchedVSMEngine(params, CFG, tok,
+                           loc_token_id=0 if loc_id is None else loc_id,
+                           eos_id=2, max_new_tokens=4,
+                           prompt_buckets=(64, 128),
+                           compute_dtype=jnp.float32,
+                           device_preprocess=True,
+                           speculative_template=None, **kw)
+    if loc_id is None:
+        # whatever token the random model emits first acts as [LOC]
+        img = Image.fromarray((np.random.RandomState(0)
+                               .rand(64, 64, 3) * 255).astype("uint8"))
+        out, _ = eng._run_many([img], ["probe"])
+        eng.loc_token_id = int(out.tokens[0, 0])
+    return eng
+
+
+@pytest.fixture(scope="module")
+def engines():
+    eng = _make_engine()
+    return eng, CompiledVSMSearch(eng, P=16)
+
+
+def _img(seed, h=360, w=460):
+    return Image.fromarray((np.random.RandomState(seed)
+                            .rand(h, w, 3) * 255).astype("uint8"))
+
+
+@pytest.mark.parametrize("seed,small", [(0, 120), (3, 200)])
+def test_fused_matches_host_policy(engines, seed, small):
+    eng, comp = engines
+    img = _img(seed)
+
+    host = run_batched_searches(eng, [img], ["cat"], smallest_size=small,
+                                max_steps=8)[0]
+    comp_res = comp.search(img, "cat", smallest_size=small, max_steps=8)
+
+    fh, plh, okh, vh = host
+    fc, plc, okc, vc = comp_res
+    assert okh == okc
+    assert plh == plc
+    if fh is None:
+        assert fc is None
+    else:
+        assert fc.bbox == fh.bbox
+        assert fc.scale_level == fh.scale_level
+        if fh.detection_result is not None:
+            np.testing.assert_allclose(np.asarray(fc.detection_result),
+                                       np.asarray(fh.detection_result),
+                                       rtol=1e-4, atol=1e-4)
+    if vh is not None:
+        np.testing.assert_allclose(np.asarray(vc), np.asarray(vh),
+                                   rtol=1e-4, atol=1e-4)
+    else:
+        assert vc is None
+
+
+def test_fused_trajectory_and_dispatch_count(engines):
+    """The whole detect-path search runs in ONE fused dispatch: the
+    engine's per-wave generate program must NOT be called for detect
+    steps (only the context-cue vqa/segment waves may use it)."""
+    eng, comp = engines
+    img = _img(7)
+    calls = []
+    orig = eng._run_many
+
+    def spy(images, questions):
+        calls.append(list(questions))
+        return orig(images, questions)
+
+    eng._run_many = spy
+    try:
+        path = []
+        final, plen, ok, _ = comp.search(img, "cat", smallest_size=120,
+                                         max_steps=8, path_out=path)
+    finally:
+        eng._run_many = orig
+    # every engine-side call must be a context-cue wave (vqa question or
+    # a segment prompt), never the per-step detect
+    for qs in calls:
+        assert all("Please locate the cat in this image." != q
+                   for q in qs)
+    assert len(path) == max(plen, 1) or not ok

@@ -103,7 +103,7 @@ def greedy_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
         hidden, new_cache = llama_forward(
             params, cfg, h, pos, cache.length + 1,
             q_offsets=cache.length, cache=cache)
-        new_cache = KVCache(new_cache.k, new_cache.v, new_lens)
+        new_cache = new_cache._replace(length=new_lens)
         logits = lm_logits(params, hidden)[:, 0]
         key, sub = jax.random.split(key)
         nxt = sample_token(logits, sub, temperature, top_p)

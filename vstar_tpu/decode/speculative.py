@@ -115,7 +115,7 @@ def speculative_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
         # except the one holding the (unconsumed) next feed token
         consumed = jnp.where(done, 0, jnp.minimum(emit, m + 1))
         new_len = cache.length + consumed
-        new_cache = KVCache(new_cache.k, new_cache.v, new_len)
+        new_cache = new_cache._replace(length=new_len)
 
         last_idx = jnp.clip(emit - 1, 0, K - 1)
         new_feed = jnp.where(

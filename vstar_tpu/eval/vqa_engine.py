@@ -65,7 +65,7 @@ class VQAEngine:
                  option_bucket: int = 64,
                  compute_dtype=jnp.bfloat16,
                  speculative_template: Optional[str] = None,
-                 mesh=None):
+                 mesh=None, kv_int8: bool = False):
         if speculative_template is None:
             speculative_template = self.SPEC_TEMPLATE
         self._spec_template = speculative_template
@@ -82,6 +82,9 @@ class VQAEngine:
         self.prompt_buckets = tuple(sorted(prompt_buckets))
         self.option_bucket = option_bucket
         self.compute_dtype = compute_dtype
+        # int8 KV cache: halves cache residency + decode-time KV reads
+        # (the B=8 SEAL knee is KV bandwidth, BASELINE.md r2)
+        self.kv_int8 = kv_int8
 
         # temperature/top_p are TRACED args: one compiled program serves
         # every sampling value (a static arg would compile a 20-230 s
@@ -161,7 +164,7 @@ class VQAEngine:
         bank = bank.astype(self.compute_dtype)
         cache = init_cache(self.cfg.llama, text_ids.shape[0],
                            bucket + (opt_room or self.option_bucket),
-                           self.compute_dtype)
+                           self.compute_dtype, kv_int8=self.kv_int8)
         logits, hidden, cache = prefill(params, self.cfg, bank, text_ids,
                                         feat_idx, is_feat, lens, cache,
                                         self.compute_dtype)
@@ -178,7 +181,7 @@ class VQAEngine:
         bank = bank.astype(self.compute_dtype)
         cache_len = bucket + ((max_new_tokens + 127) // 128) * 128
         cache = init_cache(self.cfg.llama, text_ids.shape[0], cache_len,
-                           self.compute_dtype)
+                           self.compute_dtype, kv_int8=self.kv_int8)
         logits, hidden, cache = prefill(params, self.cfg, bank, text_ids,
                                         feat_idx, is_feat, lens, cache,
                                         self.compute_dtype)

@@ -193,14 +193,17 @@ def vsm_generate(params: Dict, cfg: VSMConfig, images_clip: jnp.ndarray,
                  cache_len: int = 768,
                  compute_dtype=jnp.bfloat16,
                  draft_ids: "jnp.ndarray" = None,
-                 spec_chunk: int = 8) -> VSMOutput:
+                 spec_chunk: int = 8, kv_int8: bool = False) -> VSMOutput:
     """Generate + [LOC]-multiplexed heads (VSM.py:438-554 semantics).
 
     draft_ids (optional [B, max_new_tokens + spec_chunk]): when given,
     decoding runs the greedy-equivalent speculative verifier against this
     draft (decode/speculative.py) — the search answers are templated
     ("Sure, [LOC].</s>"), so a template draft collapses ~7 decode steps
-    into ~2 chunk verifications."""
+    into ~2 chunk verifications.
+
+    kv_int8: int8 KV cache (per-token/head scales, nn/llama.init_cache) —
+    halves cache residency + decode-time KV reads for batched waves."""
     from ..nn.llama import init_cache
 
     B, S = text_ids.shape
@@ -209,7 +212,8 @@ def vsm_generate(params: Dict, cfg: VSMConfig, images_clip: jnp.ndarray,
     tok = embed_tokens(params["llama"], text_ids, compute_dtype)
     h = apply_splice(tok, bank, feat_idx, is_feat)
     pos = jnp.broadcast_to(jnp.arange(S), (B, S))
-    cache = init_cache(cfg.llama, B, cache_len, compute_dtype)
+    cache = init_cache(cfg.llama, B, cache_len, compute_dtype,
+                       kv_int8=kv_int8)
     hidden, cache = llama_forward(
         params["llama"], cfg.llama, h, pos, lens,
         q_offsets=jnp.zeros((B,), jnp.int32), cache=cache)

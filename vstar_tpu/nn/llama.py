@@ -31,11 +31,21 @@ from .rope import apply_rope, rope_angles
 
 
 class KVCache(NamedTuple):
-    """Ragged per-row KV cache. k/v: [L, B, S_max, H_kv, Dh]; length: [B]."""
+    """Ragged per-row KV cache. k/v: [L, B, S_max, H_kv, Dh]; length: [B].
+
+    int8 mode (k/v int8 + per-(token, head) f32 scales): halves cache
+    residency AND the per-decode-step HBM reads — decode is KV-bandwidth
+    bound once B x S grows (BASELINE.md r2: B=8 SEAL slower than B=4
+    because 32 option rows of bf16 KV ~ 5.4 GB rivals the weight reads).
+    Dequantization happens inside the attention reads (the single-token
+    decode path is fused jnp, so XLA reads int8 from HBM and scales in
+    registers)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     length: jnp.ndarray  # int32 [B], valid prefix per row
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, S_max, H_kv] f32
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def max_len(self) -> int:
@@ -43,10 +53,26 @@ class KVCache(NamedTuple):
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> KVCache:
+               dtype=jnp.bfloat16, kv_int8: bool = False) -> KVCache:
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if kv_int8:
+        sshape = shape[:-1]
+        return KVCache(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       length=jnp.zeros((batch,), jnp.int32),
+                       k_scale=jnp.zeros(sshape, jnp.float32),
+                       v_scale=jnp.zeros(sshape, jnp.float32))
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    length=jnp.zeros((batch,), jnp.int32))
+
+
+def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, S, H, D] -> (int8 [B,S,H,D], f32 scale [B,S,H]) per token+head
+    (absmax / 127)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-10)
+    q = jnp.round(xf / s[..., None]).astype(jnp.int8)
+    return q, s
 
 
 # ---------------------------------------------------------------------------
@@ -115,9 +141,11 @@ def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32,
 
 def _ragged_insert(cache_kv: jnp.ndarray, new_kv: jnp.ndarray,
                    offsets: jnp.ndarray) -> jnp.ndarray:
-    """Insert new_kv [B,S,H,D] into cache_kv [B,Smax,H,D] at per-row offsets."""
+    """Insert new_kv [B,S,...] into cache_kv [B,Smax,...] at per-row
+    offsets (rank-agnostic: scales [B,S,H] insert the same way)."""
     def one(c, x, o):
-        return jax.lax.dynamic_update_slice(c, x.astype(c.dtype), (o, 0, 0))
+        starts = (o,) + (0,) * (c.ndim - 1)
+        return jax.lax.dynamic_update_slice(c, x.astype(c.dtype), starts)
     return jax.vmap(one)(cache_kv, new_kv, offsets)
 
 
@@ -127,7 +155,9 @@ def _attention_block(lp: Dict, cfg: LlamaConfig, x: jnp.ndarray,
                      cache_k: Optional[jnp.ndarray],
                      cache_v: Optional[jnp.ndarray],
                      use_pallas: Optional[bool],
-                     kv_valid: Optional[jnp.ndarray] = None):
+                     kv_valid: Optional[jnp.ndarray] = None,
+                     cache_ks: Optional[jnp.ndarray] = None,
+                     cache_vs: Optional[jnp.ndarray] = None):
     B, S, D = x.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -145,9 +175,23 @@ def _attention_block(lp: Dict, cfg: LlamaConfig, x: jnp.ndarray,
 
     if cache_k is not None:
         offs = q_offsets if q_offsets is not None else jnp.zeros((B,), jnp.int32)
-        cache_k = _ragged_insert(cache_k, k, offs)
-        cache_v = _ragged_insert(cache_v, v, offs)
-        k_all, v_all = cache_k, cache_v
+        if cache_ks is not None:        # int8 KV cache
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            cache_k = _ragged_insert(cache_k, kq, offs)
+            cache_v = _ragged_insert(cache_v, vq, offs)
+            cache_ks = _ragged_insert(cache_ks, ks, offs)
+            cache_vs = _ragged_insert(cache_vs, vs, offs)
+            # dequant on read; on the single-token decode path XLA fuses
+            # this into the attention contraction (int8 HBM reads)
+            k_all = (cache_k.astype(jnp.float32)
+                     * cache_ks[..., None]).astype(k.dtype)
+            v_all = (cache_v.astype(jnp.float32)
+                     * cache_vs[..., None]).astype(v.dtype)
+        else:
+            cache_k = _ragged_insert(cache_k, k, offs)
+            cache_v = _ragged_insert(cache_v, v, offs)
+            k_all, v_all = cache_k, cache_v
     else:
         k_all, v_all = k, v
 
@@ -160,7 +204,7 @@ def _attention_block(lp: Dict, cfg: LlamaConfig, x: jnp.ndarray,
                           q_offsets=q_offsets, causal=True,
                           use_pallas=use_pallas, kv_valid=kv_valid)
     out = out.reshape(B, S, H * Dh)
-    return qdot(out, lp["wo"]), cache_k, cache_v
+    return qdot(out, lp["wo"]), cache_k, cache_v, cache_ks, cache_vs
 
 
 def _mlp_block(lp: Dict, x: jnp.ndarray) -> jnp.ndarray:
@@ -192,35 +236,50 @@ def llama_forward(params: Dict, cfg: LlamaConfig, hidden: jnp.ndarray,
     cos = cos[:, :, None, :]  # [B,S,1,Dh] broadcast over heads
     sin = sin[:, :, None, :]
 
+    kv_int8 = cache is not None and cache.k_scale is not None
+
     def layer(carry, xs):
         x = carry
+        ck = cv = cks = cvs = None
         if cache is not None:
-            lp, ck, cv = xs
+            if kv_int8:
+                lp, ck, cv, cks, cvs = xs
+            else:
+                lp, ck, cv = xs
         else:
-            lp, ck, cv = xs, None, None
+            lp = xs
         h = rmsnorm(lp["input_norm"], x, cfg.rms_norm_eps)
-        attn_out, new_ck, new_cv = _attention_block(
+        attn_out, new_ck, new_cv, new_cks, new_cvs = _attention_block(
             lp["attn"], cfg, h, cos, sin, kv_lens, q_offsets, ck, cv,
-            use_pallas, kv_valid)
+            use_pallas, kv_valid, cks, cvs)
         x = x + attn_out
         h = rmsnorm(lp["post_norm"], x, cfg.rms_norm_eps)
         x = x + _mlp_block(lp["mlp"], h)
+        if kv_int8:
+            return x, (new_ck, new_cv, new_cks, new_cvs)
         return x, (new_ck, new_cv)
 
     if remat:
         layer = jax.checkpoint(layer)
 
-    xs = (params["layers"], cache.k, cache.v) if cache is not None \
-        else params["layers"]
-    hidden, (new_k, new_v) = jax.lax.scan(layer, hidden, xs)
+    if cache is None:
+        xs = params["layers"]
+    elif kv_int8:
+        xs = (params["layers"], cache.k, cache.v, cache.k_scale,
+              cache.v_scale)
+    else:
+        xs = (params["layers"], cache.k, cache.v)
+    hidden, new_kv = jax.lax.scan(layer, hidden, xs)
 
     new_cache = None
     if cache is not None:
-        chunk = hidden.shape[1]
         # length grows by each row's number of valid new tokens =
         # kv_lens - old q_offsets; caller passes exact values.
-        new_cache = KVCache(k=new_k, v=new_v, length=kv_lens)
-        del chunk
+        if kv_int8:
+            new_cache = KVCache(k=new_kv[0], v=new_kv[1], length=kv_lens,
+                                k_scale=new_kv[2], v_scale=new_kv[3])
+        else:
+            new_cache = KVCache(k=new_kv[0], v=new_kv[1], length=kv_lens)
     hidden = rmsnorm(params["final_norm"], hidden, cfg.rms_norm_eps)
     return hidden, new_cache
 

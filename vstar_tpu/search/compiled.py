@@ -499,6 +499,107 @@ def context_push(state: PolicyState, heat_store: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Production fused mode: the whole detect-path search as ONE program
+# ---------------------------------------------------------------------------
+
+def fused_search(params, cfg, canvas: jnp.ndarray, state: PolicyState,
+                 text_ids, feat_idx, is_feat, lens, draft_ids,
+                 smallest_size, confidence_high, target_cue_threshold,
+                 target_cue_threshold_decay, target_cue_threshold_minimum,
+                 *, loc_token_id: int, max_new_tokens: int, eos_id: int,
+                 cache_len: int, compute_dtype, spec_chunk: int,
+                 max_steps, kv_int8: bool = False):
+    """Run detect-path search steps until an exit condition, entirely on
+    device: per iteration {pop tail -> extract both tower windows from the
+    canvas -> full VSM (towers + prefill + speculative decode + [LOC]
+    heads) -> accept test / stash / split / ancestor-weighted push / pop}.
+    The host re-enters only for NEED_CTX (text-dependent context cue),
+    ACCEPT, QUEUE_EMPTY or MAX_STEPS.
+
+    canvas: CLIP-normalized f32 [Hb, Wb, 3] (kernels/image_ops
+    normalize_canvas_device output); thresholds and smallest_size are
+    traced, so one program serves every search of a canvas bucket.
+    Returns (state', exit_code, det_logits, det_boxes) with the det
+    arrays from the LAST processed step (root multi-instance accept +
+    low-confidence fallback both read them host-side)."""
+    from ..kernels.image_ops import window_resize
+    from ..models.vsm import vsm_generate
+
+    Hc, Wc, _ = canvas.shape
+    clip_size = cfg.vision.image_size
+    owl_size = cfg.owl_vision.image_size
+    n_det = (owl_size // cfg.owl_vision.patch_size) ** 2
+
+    def body(carry):
+        state, _, _, _ = carry
+        idx = state.n_path - 1
+        bbox = state.p_bbox[idx]
+        x0, y0, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
+        side = jnp.maximum(w, h)
+        sq = jnp.stack([x0 - (side - w) // 2, y0 - (side - h) // 2,
+                        side, side]).astype(jnp.float32)
+        cr = bbox.astype(jnp.float32)
+        clip_img = window_resize(canvas, sq, clip_size, mask_bbox=cr)[None]
+        owl_img = window_resize(canvas, cr, owl_size, mask_bbox=cr)[None]
+        out = vsm_generate(params, cfg, clip_img, owl_img, text_ids,
+                           feat_idx, is_feat, lens,
+                           loc_token_id=loc_token_id,
+                           max_new_tokens=max_new_tokens, eos_id=eos_id,
+                           cache_len=cache_len,
+                           compute_dtype=compute_dtype,
+                           draft_ids=draft_ids, spec_chunk=spec_chunk,
+                           kv_int8=kv_int8)
+        det_valid = out.loc_valid[0]
+        st2, accept, _, _ = _detect_phase(
+            state, det_valid, out.det_logits[0], out.det_boxes[0],
+            confidence_high, apply_sigmoid=True)
+        heat = jnp.where(det_valid,
+                         resize_clip_padded(out.mask_logits[0], h, w,
+                                            Hc, Wc), 0.0)
+        st3, code, _ = _expand_phase(
+            st2, heat, out.mask_logits[0], jnp.zeros((), bool), Hc=Hc,
+            Wc=Wc, max_steps=max_steps, heat_store=None,
+            smallest_size=smallest_size,
+            target_cue_threshold=target_cue_threshold,
+            target_cue_threshold_decay=target_cue_threshold_decay,
+            target_cue_threshold_minimum=target_cue_threshold_minimum)
+        state_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), st2, st3)
+        code = jnp.where(accept, ACCEPT, code).astype(jnp.int32)
+        return (state_out, code, out.det_logits[0].astype(jnp.float32),
+                out.det_boxes[0].astype(jnp.float32))
+
+    carry = (state, jnp.int32(RUNNING),
+             jnp.zeros((n_det,), jnp.float32),
+             jnp.zeros((n_det, 4), jnp.float32))
+    return jax.lax.while_loop(lambda c: c[1] == RUNNING, body, carry)
+
+
+def context_push_low(state: PolicyState, ctx_low: jnp.ndarray, ctx_valid,
+                     smallest_size, target_cue_threshold,
+                     target_cue_threshold_decay,
+                     target_cue_threshold_minimum, *, Hc: int, Wc: int,
+                     max_steps):
+    """Production context-cue push: the host-served segment call's raw
+    low-res mask logits become the tail's final heatmap (stored low-res
+    for descendant scoring); children pushed + next step popped. Returns
+    (state', exit_code)."""
+    idx = state.n_path - 1
+    bbox = state.p_bbox[idx]
+    heat = jnp.where(ctx_valid,
+                     resize_clip_padded(ctx_low, bbox[3], bbox[2], Hc, Wc),
+                     0.0)
+    st, code, _ = _expand_phase(
+        state, heat, ctx_low, jnp.ones((), bool), Hc=Hc, Wc=Wc,
+        max_steps=max_steps, heat_store=None, smallest_size=smallest_size,
+        target_cue_threshold=target_cue_threshold,
+        target_cue_threshold_decay=target_cue_threshold_decay,
+        target_cue_threshold_minimum=target_cue_threshold_minimum,
+        skip_threshold=True)
+    return st, code
+
+
+# ---------------------------------------------------------------------------
 # Host driver, injected mode: device policy x any VSMClient
 # ---------------------------------------------------------------------------
 
@@ -643,3 +744,124 @@ def _finalize(state: PolicyState, code: int, accept_info,
     if final_step is not None:
         final_step.detection_result = final_step.temp_detection_result[1]
     return final_step, path_length, max_logit >= confidence_low, None
+
+
+# ---------------------------------------------------------------------------
+# Production engine: whole-search-on-device over a BatchedVSMEngine
+# ---------------------------------------------------------------------------
+
+class CompiledVSMSearch:
+    """Whole detect-path searches in ONE device dispatch.
+
+    Wraps a device-preprocessing BatchedVSMEngine: its canvas cache feeds
+    `fused_search` (window extraction + VSM + policy in a device loop),
+    and its batched vqa/segment waves serve the rare context-cue
+    fallback. Like `--device-preprocess`, patch pixels come from the
+    device canvas (jax cubic resampling), so this is the throughput/
+    latency mode; the host-PIL engines remain the exact-parity default.
+
+    P caps the visited path length (the device path record size); a
+    search that would exceed it ends in the low-confidence fallback, like
+    max_steps=P on the host policy."""
+
+    def __init__(self, engine, P: int = 32):
+        import functools
+
+        assert getattr(engine, "device_preprocess", False), \
+            "CompiledVSMSearch needs a device_preprocess BatchedVSMEngine"
+        self.engine = engine
+        self.P = P
+        ies = engine.cfg.sam.image_embedding_size
+        self.mask_res = (ies[0] * 4, ies[1] * 4)
+        self._jit_fused = jax.jit(
+            fused_search,
+            static_argnames=("cfg", "loc_token_id", "max_new_tokens",
+                             "eos_id", "cache_len", "compute_dtype",
+                             "spec_chunk", "max_steps", "kv_int8"))
+        self._jit_ctx = jax.jit(
+            context_push_low, static_argnames=("Hc", "Wc", "max_steps"))
+
+    def _detect_layout(self, name: str):
+        from ..multimodal.splicing import build_layout
+        from ..multimodal.tokenizer import tokenize_with_image
+        eng = self.engine
+        prompt = eng._build_prompt(f"Please locate the {name} in this "
+                                   f"image.")
+        ids = tokenize_with_image(prompt, eng.tokenizer)
+        n_img = eng.cfg.image_tokens
+        bucket = eng._bucket(len(ids) - 1 + n_img)
+        return build_layout(ids, bucket, n_long=n_img, n_short=0,
+                            image_long=True), bucket
+
+    def search(self, image, target_object_name: str,
+               smallest_size: int = 224, confidence_high: float = 0.5,
+               confidence_low: float = 0.3,
+               target_cue_threshold: float = 6.0,
+               target_cue_threshold_decay: float = 0.7,
+               target_cue_threshold_minimum: float = 3.0,
+               max_steps: Optional[int] = None,
+               path_out: Optional[list] = None):
+        """visual_search-compatible: returns (final_step, path_length,
+        success, all_valid_boxes)."""
+        import numpy as np
+
+        from .engine import _round128
+        from .policy import PatchRef, context_phrase, context_question
+
+        eng = self.engine
+        canvas = eng._canvas(image)
+        Hc, Wc = canvas.shape[:2]
+        lay, bucket = self._detect_layout(target_object_name)
+        cache_len = bucket + _round128(eng.max_new_tokens)
+        draft = None
+        if eng._draft_row is not None:
+            draft = jnp.asarray(eng._draft_row[None])
+
+        state = policy_state_init(image.width, image.height, self.P,
+                                  self.mask_res)
+        text_ids = jnp.asarray(lay.text_ids[None])
+        feat_idx = jnp.asarray(lay.feat_idx[None])
+        is_feat = jnp.asarray(lay.is_feat[None])
+        lens = jnp.asarray([lay.length], jnp.int32)
+
+        ctx_cues = {}
+        while True:
+            state, code, det_logits, det_boxes = self._jit_fused(
+                eng.params, eng.cfg, canvas, state, text_ids, feat_idx,
+                is_feat, lens, draft, smallest_size, confidence_high,
+                target_cue_threshold, target_cue_threshold_decay,
+                target_cue_threshold_minimum,
+                loc_token_id=eng.loc_token_id,
+                max_new_tokens=eng.max_new_tokens, eos_id=eng.eos_id,
+                cache_len=cache_len, compute_dtype=eng.compute_dtype,
+                spec_chunk=eng.spec_chunk, max_steps=max_steps,
+                kv_int8=getattr(eng, "kv_int8", False))
+            code = int(code)
+            if code == NEED_CTX:
+                idx = int(state.n_path) - 1
+                bbox = [int(v) for v in np.asarray(state.p_bbox[idx])]
+                patch = PatchRef(image, bbox)
+                p = patch if eng.wants_patch_refs else patch.pil()
+                answer = eng.vqa_many(
+                    [p], [context_question(target_object_name)])[0]
+                phrase = context_phrase(answer, target_object_name)
+                out, _ = eng._run_many(
+                    [p], [f"Please locate the {phrase} in this image."])
+                ctx_cues[idx] = answer + "#" + phrase
+                state, code = self._jit_ctx(
+                    state, out.mask_logits[0], out.loc_valid[0],
+                    smallest_size, target_cue_threshold,
+                    target_cue_threshold_decay,
+                    target_cue_threshold_minimum, Hc=Hc, Wc=Wc,
+                    max_steps=max_steps)
+                code = int(code)
+                if code == RUNNING:
+                    continue
+            break
+
+        n = int(state.n_path)
+        bbox = [int(v) for v in np.asarray(state.p_bbox[n - 1])]
+        logits = 1.0 / (1.0 + np.exp(-np.asarray(det_logits, np.float32)))
+        accept_info = (np.asarray(det_boxes, np.float32), logits, bbox)
+        return _finalize(state, code, accept_info, confidence_low,
+                         ctx_cues, path_out)

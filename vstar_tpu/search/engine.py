@@ -40,7 +40,7 @@ class VSMEngine:
                  prompt_buckets: Tuple[int, ...] = (384, 512),
                  compute_dtype=jnp.bfloat16,
                  speculative_template: Optional[str] = "Sure, [LOC].",
-                 mesh=None):
+                 mesh=None, kv_int8: bool = False):
         # mesh: shard the model over a jax.sharding.Mesh for multi-chip
         # serving (TP/FSDP per core/mesh.py rules); XLA inserts the ICI
         # collectives. The reference's multi-GPU story is HF device_map
@@ -59,6 +59,7 @@ class VSMEngine:
         self.max_new_tokens = max_new_tokens
         self.prompt_buckets = tuple(sorted(prompt_buckets))
         self.compute_dtype = compute_dtype
+        self.kv_int8 = kv_int8
         self.spec_chunk = 8
         self._draft_row = None
         if speculative_template:
@@ -72,10 +73,10 @@ class VSMEngine:
             self._draft_row = row
 
         self._jit_generate = jax.jit(
-            functools.partial(vsm_generate),
+            functools.partial(vsm_generate, kv_int8=kv_int8),
             static_argnames=("cfg", "loc_token_id", "max_new_tokens",
                              "eos_id", "cache_len", "compute_dtype",
-                             "spec_chunk"))
+                             "spec_chunk", "kv_int8"))
 
     # -- prompt/layout -----------------------------------------------------
 
