@@ -1,0 +1,132 @@
+"""Step-granular auto-resume (VERDICT r2 weak #6): a crash mid-epoch
+resumes from the rolling 'latest' checkpoint losing <= save_steps steps,
+and the resumed run is bit-identical to an uninterrupted one — the seeded
+samplers fast-forward deterministically (data/vsm_datasets.fast_forward)."""
+
+import json
+import os
+import random
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.test_data import WordTokenizer
+from tests.test_train_loop import _vsm_args
+from vstar_tpu.data.vsm_datasets import HybridDataset
+
+
+class FakeChild:
+    """Multi-row samples with rng-dependent row counts — exercises the
+    partial-sample boundary replay (a batch boundary rarely aligns with a
+    sample boundary)."""
+
+    def __init__(self, seed):
+        self.rng = random.Random(seed)
+        self.decodes = 0
+
+    def sample_rows(self):
+        from vstar_tpu.data import vsm_datasets as V
+        n = self.rng.randint(1, 3)
+        rows = []
+        for _ in range(n):
+            if not V._FAST_FORWARD:
+                self.decodes += 1     # stands in for the image decode
+            rows.append((self.rng.random(), self.rng.randint(0, 999)))
+        return rows
+
+
+def test_hybrid_skip_batches_exact():
+    def stream(skip):
+        ds = HybridDataset([FakeChild(3), FakeChild(4)], [2, 1],
+                           samples_per_epoch=40, seed=9)
+        return list(ds.batches(5, skip_batches=skip)), ds
+
+    full, _ = stream(0)
+    for k in (1, 3, 7):
+        got, ds = stream(k)
+        assert got == full[k:], f"skip={k} diverged"
+
+    # fast-forward must not pay the decode cost of the skipped prefix
+    _, ds = stream(7)
+    full_ds = HybridDataset([FakeChild(3), FakeChild(4)], [2, 1],
+                            samples_per_epoch=40, seed=9)
+    list(full_ds.batches(5))
+    skipped_decodes = sum(c.decodes for c in ds.children)
+    full_decodes = sum(c.decodes for c in full_ds.children)
+    assert skipped_decodes < full_decodes * 0.75
+
+
+def _vqa_dataset_dir(tmp_path, n_images=5):
+    os.makedirs(tmp_path / "vqa_data" / "coco_images")
+    rng = np.random.RandomState(1)
+    items = []
+    for i in range(n_images):
+        name = f"img{i}.jpg"
+        Image.fromarray((rng.rand(40, 52, 3) * 255).astype("uint8")).save(
+            tmp_path / "vqa_data" / "coco_images" / name)
+        items.append({"image": name, "conversations": [
+            {"from": "human", "value": f"<image>\nwhere is thing {i}?"},
+            {"from": "gpt", "value": f"at location {i}"}]})
+    json.dump(items, open(
+        tmp_path / "vqa_data" / "possible_locations_conv_86k.json", "w"))
+
+
+def test_mid_epoch_crash_resume_bitwise(tmp_path):
+    from vstar_tpu.core.config import vsm_tiny
+    from vstar_tpu.models.vsm import init_vsm_params
+    from vstar_tpu.train import train_vsm_main as T
+
+    cfg = vsm_tiny()
+    _vqa_dataset_dir(tmp_path)
+    tok = WordTokenizer()
+    loc_id = tok._word_id("[LOC]")
+
+    def fresh_params():
+        return init_vsm_params(jax.random.PRNGKey(0), cfg)
+
+    # uninterrupted reference: 6 steps
+    ref = T.run_vsm_training(
+        _vsm_args(tmp_path, epochs=1, steps_per_epoch=6, save_steps=2,
+                  exp_name="ref"), cfg, fresh_params(), tok, loc_id)
+
+    # crashed run: StepTimer raises after the 4th completed step
+    class Bomb(T.StepTimer):
+        calls = 0
+
+        def step_done(self):
+            super().step_done()
+            Bomb.calls += 1
+            if Bomb.calls == 4:
+                raise RuntimeError("simulated crash")
+
+    orig = T.StepTimer
+    T.StepTimer = Bomb
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            T.run_vsm_training(
+                _vsm_args(tmp_path, epochs=1, steps_per_epoch=6,
+                          save_steps=2, exp_name="crash"),
+                cfg, fresh_params(), tok, loc_id)
+    finally:
+        T.StepTimer = orig
+
+    # crash happened during step 3 (before its rolling save) -> last
+    # durable state is the step-1 save: exactly "loses <= save_steps"
+    latest = tmp_path / "runs" / "crash" / "ckpt_latest" / "meta.json"
+    meta = json.load(open(latest))
+    assert meta["epoch"] == 0 and meta["step"] == 1
+
+    # resume (different initial params — must come from the checkpoint)
+    res = T.run_vsm_training(
+        _vsm_args(tmp_path, epochs=1, steps_per_epoch=6, save_steps=2,
+                  exp_name="crash"),
+        cfg, init_vsm_params(jax.random.PRNGKey(5), cfg), tok, loc_id)
+
+    assert int(res.step) == int(ref.step) == 6
+    ref_leaves = jax.tree_util.tree_leaves(ref.params)
+    res_leaves = jax.tree_util.tree_leaves(res.params)
+    for a, b in zip(ref_leaves, res_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)

@@ -57,16 +57,17 @@ def test_run_training_pretrain_tiny(tmp_path):
     assert lines and np.isfinite(json.loads(lines[-1])["loss"])
 
 
-def _vsm_args(tmp_path, epochs):
+def _vsm_args(tmp_path, epochs, steps_per_epoch=1, save_steps=0,
+              exp_name="vsm_tiny"):
     return types.SimpleNamespace(
         dataset_dir=str(tmp_path), log_base_dir=str(tmp_path / "runs"),
-        exp_name="vsm_tiny", epochs=epochs, steps_per_epoch=1,
+        exp_name=exp_name, epochs=epochs, steps_per_epoch=steps_per_epoch,
         batch_size=1, grad_accumulation_steps=1, lr=1e-3,
         ce_loss_weight=1.0, dice_loss_weight=0.5, bce_loss_weight=2.0,
         det_loss_weight=0.1, warmup_steps=1, seq_bucket=64,
         prefetch_depth=2, mask_res=12, mesh="4x2x1", param_dtype="f32",
         hbm_gb=16.0, auto_resume=True, no_eval=True, dataset="vqa",
-        sample_rates="1")
+        sample_rates="1", save_steps=save_steps)
 
 
 def test_run_vsm_training_tiny_and_auto_resume(tmp_path):

@@ -39,7 +39,28 @@ SHORT_QUESTION_LIST = [
 ANSWER_LIST = ["Sure, [LOC]."]
 
 
+# Fast-forward mode for step-granular resume: sampling replays the exact
+# rng stream of a previous run (same code paths, same draws) while the
+# expensive IO — image decode, preprocessing, mask decode — returns cheap
+# stubs. HybridDataset.batches(skip_batches=...) uses it to reach the
+# crash step in seconds instead of replaying an epoch of decodes.
+_FAST_FORWARD = False
+
+
+class fast_forward:
+    def __enter__(self):
+        global _FAST_FORWARD
+        self._saved = _FAST_FORWARD
+        _FAST_FORWARD = True
+
+    def __exit__(self, *exc):
+        global _FAST_FORWARD
+        _FAST_FORWARD = self._saved
+
+
 def _load_image(path: str) -> Image.Image:
+    if _FAST_FORWARD:
+        return Image.new("RGB", (32, 32))
     return Image.open(path).convert("RGB")
 
 
@@ -48,6 +69,9 @@ def _preprocess_pair(img: Image.Image, clip_size: int = 224,
     """(clip on the top-left-squared image, owl on the raw image) — the
     VSM-side expand2square pastes top-left
     (VisualSearch/utils/utils.py:28-39)."""
+    if _FAST_FORWARD:
+        return (np.zeros((clip_size, clip_size, 3), np.float32),
+                np.zeros((owl_size, owl_size, 3), np.float32))
     sq, _, _ = expand2square(img, center=False)
     return clip_preprocess(sq, clip_size), owlvit_preprocess(img, owl_size)
 
@@ -104,6 +128,8 @@ class SegDetDataset:
                        ) -> Optional[np.ndarray]:
         if src != "cocostuff":
             return None
+        if _FAST_FORWARD:
+            return np.zeros((1, 1), np.float32)
         p = os.path.join(self.base, "cocostuff", "train2017",
                          image_id + ".png")
         if not os.path.exists(p):
@@ -158,6 +184,8 @@ class ReferSegDataset:
             raise FileNotFoundError("no refer_seg annotations")
 
     def _mask(self, item: Dict, h: int, w: int) -> np.ndarray:
+        if _FAST_FORWARD:
+            return np.zeros((1, 1), np.float32)
         seg = item["segmentation"]
         if isinstance(seg, dict):
             return rle_decode(seg).astype(np.float32)
@@ -294,10 +322,40 @@ class HybridDataset:
                       " resampling")
         raise RuntimeError("8 consecutive bad samples; check dataset_dir")
 
-    def batches(self, batch_size_rows: int):
-        """Yield lists of VSMRow of (at least) batch_size_rows, trimmed."""
+    def _rng_states(self):
+        return (self.rng.getstate(),
+                [c.rng.getstate() for c in self.children])
+
+    def _set_rng_states(self, st):
+        self.rng.setstate(st[0])
+        for c, s in zip(self.children, st[1]):
+            c.rng.setstate(s)
+
+    def batches(self, batch_size_rows: int, skip_batches: int = 0):
+        """Yield lists of VSMRow of (at least) batch_size_rows, trimmed.
+
+        skip_batches: deterministic fast-forward for step-granular resume
+        — replays the seeded sampling stream WITHOUT decoding (fast_
+        forward stubs), so the generator resumes exactly where a crashed
+        run stopped; the sample straddling the boundary is re-drawn for
+        real from an rng snapshot. Assumes the skipped prefix hit no
+        bad-sample retries (retries re-draw, shifting the stream)."""
         buf: List[VSMRow] = []
-        for _ in range(self.samples_per_epoch):
+        drawn = 0
+        to_skip = skip_batches * batch_size_rows
+        while to_skip > 0 and drawn < self.samples_per_epoch:
+            st = self._rng_states()
+            with fast_forward():
+                n = len(self.sample_rows())
+            drawn += 1
+            if n <= to_skip:
+                to_skip -= n
+                continue
+            # boundary sample: part of it belongs to the resumed stream
+            self._set_rng_states(st)
+            buf = self.sample_rows()[to_skip:]
+            to_skip = 0
+        for _ in range(drawn, self.samples_per_epoch):
             buf.extend(self.sample_rows())
             while len(buf) >= batch_size_rows:
                 yield buf[:batch_size_rows]

@@ -125,26 +125,30 @@ def resize_clip_padded(low: jnp.ndarray, h, w, Hc: int, Wc: int
                        ) -> jnp.ndarray:
     """clip(resize_bilinear_torch(low, h, w), 0) onto a static [Hc, Wc]
     grid; entries outside [0:h, 0:w] are 0. h/w are traced scalars, so one
-    program serves every patch size of a canvas bucket."""
+    program serves every patch size of a canvas bucket.
+
+    Separable bilinear as one-hot interpolation-weight MATMULS
+    (W_y @ low @ W_x^T) rather than gathers — TPU gathers serialize,
+    while two [out, in] matmuls ride the MXU (this was the difference
+    between the fused search losing and winning its A/B)."""
     in_h, in_w = low.shape
     low = low.astype(jnp.float32)
 
-    def axis(out_static: int, out_dyn, in_n: int):
+    def weights(out_static: int, out_dyn, in_n: int):
         c = ((jnp.arange(out_static, dtype=jnp.float32) + 0.5)
              * (in_n / out_dyn.astype(jnp.float32)) - 0.5)
         c0 = jnp.floor(c)
         frac = c - c0
-        c0c = jnp.clip(c0, 0, in_n - 1).astype(jnp.int32)
-        c1c = jnp.clip(c0 + 1, 0, in_n - 1).astype(jnp.int32)
-        return c0c, c1c, frac
+        c0c = jnp.clip(c0, 0, in_n - 1)
+        c1c = jnp.clip(c0 + 1, 0, in_n - 1)
+        j = jnp.arange(in_n, dtype=jnp.float32)[None, :]
+        return ((j == c0c[:, None]) * (1 - frac)[:, None]
+                + (j == c1c[:, None]) * frac[:, None])
 
-    y0, y1, fy = axis(Hc, h, in_h)
-    x0, x1, fx = axis(Wc, w, in_w)
-    top = (low[y0][:, x0] * (1 - fx)[None, :]
-           + low[y0][:, x1] * fx[None, :])
-    bot = (low[y1][:, x0] * (1 - fx)[None, :]
-           + low[y1][:, x1] * fx[None, :])
-    out = top * (1 - fy)[:, None] + bot * fy[:, None]
+    wy = weights(Hc, h, in_h)                    # [Hc, in_h]
+    wx = weights(Wc, w, in_w)                    # [Wc, in_w]
+    hi = jax.lax.Precision.HIGHEST               # true-f32 interp weights
+    out = jnp.dot(jnp.dot(wy, low, precision=hi), wx.T, precision=hi)
     valid = ((jnp.arange(Hc)[:, None] < h)
              & (jnp.arange(Wc)[None, :] < w))
     return jnp.where(valid, jnp.maximum(out, 0.0), 0.0)

@@ -64,6 +64,11 @@ def parse_args(argv=None):
     p.add_argument("--hbm_gb", default=16.0, type=float,
                    help="per-chip HBM for the startup memory check")
     p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--save_steps", default=500, type=int,
+                   help="rolling 'latest' TrainState checkpoint every N "
+                        "steps (0 disables); crash resume loses <= N "
+                        "steps, like the reference's DeepSpeed 'latest' "
+                        "global-step resume (train.py:333-350)")
     p.add_argument("--no_eval", action="store_true", default=False)
     p.add_argument("--dataset", default="general_segdet||refer_seg||"
                    "mixed_grounding||vqa")
@@ -155,15 +160,31 @@ def run_vsm_training(args, cfg, params, tokenizer, loc_token_id):
                                             jnp.zeros((), jnp.int32)))(params)
 
     ckpt_dir = os.path.join(log_dir, "ckpt_model")
+    latest_dir = os.path.join(log_dir, "ckpt_latest")
     start_epoch = 0
+    start_step = 0
     resumed_best = None
-    if args.auto_resume and os.path.exists(os.path.join(ckpt_dir, "meta.json")):
-        meta = json.load(open(os.path.join(ckpt_dir, "meta.json")))
-        state = VSMTrainState(*load_params(os.path.join(ckpt_dir, "state"),
-                                           like=tuple(state)))
-        start_epoch = meta["epoch"] + 1
-        resumed_best = meta.get("best_det_acc", meta.get("det_acc"))
-        print(f"[resume] from epoch {meta['epoch']}")
+    if args.auto_resume:
+        # prefer the rolling step-granular 'latest' over the epoch-gated
+        # best checkpoint — a crash mid-epoch loses <= save_steps steps
+        if os.path.exists(os.path.join(latest_dir, "meta.json")):
+            meta = json.load(open(os.path.join(latest_dir, "meta.json")))
+            state = VSMTrainState(*load_params(
+                os.path.join(latest_dir, "state"), like=tuple(state)))
+            start_epoch = meta["epoch"]
+            start_step = meta["step"] + 1
+            if start_step >= args.steps_per_epoch:
+                start_epoch, start_step = start_epoch + 1, 0
+            resumed_best = meta.get("best_det_acc")
+            print(f"[resume] from epoch {meta['epoch']} "
+                  f"step {meta['step']} (latest)")
+        elif os.path.exists(os.path.join(ckpt_dir, "meta.json")):
+            meta = json.load(open(os.path.join(ckpt_dir, "meta.json")))
+            state = VSMTrainState(*load_params(
+                os.path.join(ckpt_dir, "state"), like=tuple(state)))
+            start_epoch = meta["epoch"] + 1
+            resumed_best = meta.get("best_det_acc", meta.get("det_acc"))
+            print(f"[resume] from epoch {meta['epoch']}")
 
     weights = VSMLossWeights(ce=args.ce_loss_weight,
                              dice=args.dice_loss_weight,
@@ -194,8 +215,10 @@ def run_vsm_training(args, cfg, params, tokenizer, loc_token_id):
     best_det_acc = -1.0 if resumed_best is None else resumed_best
     with mesh:
         for epoch in range(start_epoch, args.epochs):
+            epoch_start_step = start_step if epoch == start_epoch else 0
             gen = hybrid.batches(args.batch_size
-                                 * args.grad_accumulation_steps)
+                                 * args.grad_accumulation_steps,
+                                 skip_batches=epoch_start_step)
 
             def _produce(g=gen):
                 # sampling is seeded and stateful, so it stays serial; the
@@ -213,13 +236,17 @@ def run_vsm_training(args, cfg, params, tokenizer, loc_token_id):
                                      list(meters.values()),
                                      prefix=f"epoch {epoch} ")
             try:
-                for step_i in range(args.steps_per_epoch):
+                for step_i in range(epoch_start_step, args.steps_per_epoch):
                     batch = next(loader)
                     timer.data_loaded()
                     state, m = step_fn(state, global_batch(batch, mesh))
                     timer.step_done()
                     for k in meters:
                         meters[k].update(float(m[k]))
+                    if args.save_steps and (step_i + 1) % args.save_steps \
+                            == 0 and step_i + 1 < args.steps_per_epoch:
+                        _save_latest(latest_dir, state, epoch, step_i,
+                                     best_det_acc)
                     if step_i % 50 == 0:
                         line = progress.display(step_i)
                         metrics_log.write(json.dumps(
@@ -273,7 +300,20 @@ def run_vsm_training(args, cfg, params, tokenizer, loc_token_id):
                 json.dump({"epoch": epoch, "det_acc": det_acc,
                            "best_det_acc": best_det_acc},
                           open(os.path.join(ckpt_dir, "meta.json"), "w"))
+            if args.save_steps:
+                # epoch-end rolling save regardless of best-gating, so a
+                # crash early next epoch never replays this epoch's tail
+                _save_latest(latest_dir, state, epoch,
+                             args.steps_per_epoch - 1, best_det_acc)
     return state
+
+
+def _save_latest(latest_dir: str, state, epoch: int, step: int,
+                 best_det_acc: float):
+    os.makedirs(latest_dir, exist_ok=True)
+    save_params(tuple(state), os.path.join(latest_dir, "state"))
+    json.dump({"epoch": epoch, "step": step, "best_det_acc": best_det_acc},
+              open(os.path.join(latest_dir, "meta.json"), "w"))
 
 
 if __name__ == "__main__":
