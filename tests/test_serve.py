@@ -153,3 +153,42 @@ def test_warmup_compiles_all_buckets():
                     compute_dtype=jnp.float32, speculative_template="")
     warmup_vqa_engine(vqa, image_size=28, batch_buckets=(1,),
                       max_new_tokens=4, log=None)
+
+
+def test_demo_four_outputs(tmp_path):
+    """serve/demo.py surfaces the reference demo's exact four outputs
+    (app.py:235-255): direct/trigger text, search outcome text, bbox
+    visualization, focused final answer — and the no-search case returns
+    (answer, None, None, None) like app.py:156."""
+    from vstar_tpu.serve.demo import demo_outputs, load_examples
+
+    svc = SealService(StubVQA(), StubVSM(), minimum_size=224)
+    img = Image.fromarray(np.zeros((80, 120, 3), np.uint8))
+    direct, outcome, vis, final = demo_outputs(
+        svc, img, "what color is the tiny cup?")
+    assert direct == ("Need to conduct visual search to search for: "
+                      "tiny cup.")
+    assert outcome == "Targets located after search: tiny cup."
+    assert vis.size == img.size and vis is not img
+    assert final == "it is red"
+
+    class DirectVQA(StubVQA):
+        def free_form(self, image, question, **kw):
+            return "a plain answer"
+
+    direct, outcome, vis, final = demo_outputs(
+        SealService(DirectVQA(), StubVSM()), img, "what is this?")
+    assert direct == "a plain answer"
+    assert outcome is None and vis is None and final is None
+
+    # examples gallery: manifest form and bare-images form
+    import json
+    (tmp_path / "a.jpg").write_bytes(b"")
+    json.dump([["what is on the flag?", "a.jpg"]],
+              open(tmp_path / "examples.json", "w"))
+    ex = load_examples(str(tmp_path))
+    assert ex == [["what is on the flag?", str(tmp_path / "a.jpg")]]
+    (tmp_path / "examples.json").unlink()
+    ex = load_examples(str(tmp_path))
+    assert ex and ex[0][1].endswith("a.jpg")
+    assert load_examples(None) is None
