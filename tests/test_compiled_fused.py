@@ -126,3 +126,19 @@ def test_fused_trajectory_and_dispatch_count(engines):
         assert all("Please locate the cat in this image." != q
                    for q in qs)
     assert len(path) == max(plen, 1) or not ok
+
+
+def test_canvas_prefetch_equivalence(engines):
+    """prefetch_canvas uploads on a background thread; _canvas must pick
+    up the in-flight result (no duplicate upload) and match a direct
+    build bit-for-bit."""
+    eng, _ = engines
+    img = _img(11)
+    eng.prefetch_canvas(img)
+    dev = eng._canvas(img)
+    direct = eng._canvas_build(img)
+    np.testing.assert_array_equal(np.asarray(dev), np.asarray(direct))
+    assert eng._canvas(img) is dev          # LRU hit
+    assert id(img) not in eng._canvas_inflight
+    eng.prefetch_canvas(img)                # cached -> no new inflight
+    assert id(img) not in eng._canvas_inflight

@@ -179,24 +179,46 @@ def eval_batch(vqa_engine, vsm_batched, samples: Sequence[Dict],
 
 
 def eval_model_batched(args, vqa_engine, vsm_batched, image_batch: int = 4):
-    """Batched counterpart of eval/vstar_bench.eval_model."""
+    """Batched counterpart of eval/vstar_bench.eval_model.
+
+    The NEXT chunk's images decode — and their device canvases upload
+    (BatchedVSMEngine.prefetch_canvas) — on a background thread while the
+    current chunk's waves run, so per-group canvas uploads amortize to
+    ~zero instead of serializing in front of each group's first wave."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_chunk(folder, chunk):
+        samples = []
+        for f in chunk:
+            path = os.path.join(folder, f)
+            ann = json.load(open(path.rsplit(".", 1)[0] + ".json"))
+            samples.append({"image": Image.open(path).convert("RGB"),
+                            "question": ann["question"],
+                            "options": ann["options"], "file": f})
+        prefetch = getattr(vsm_batched, "prefetch_canvas", None)
+        if prefetch is not None:
+            for s in samples:
+                prefetch(s["image"])
+        return samples
+
     results = {}
     per_type = defaultdict(list)
     all_acc = []
     latencies = []
+    loader = ThreadPoolExecutor(max_workers=1,
+                                thread_name_prefix="chunk-loader")
     for test_type in ["direct_attributes", "relative_position"]:
         results[test_type] = []
         folder = os.path.join(args.benchmark_folder, test_type)
         files = [f for f in sorted(os.listdir(folder)) if ".json" not in f]
-        for start in range(0, len(files), image_batch):
-            chunk = files[start:start + image_batch]
-            samples = []
-            for f in chunk:
-                path = os.path.join(folder, f)
-                ann = json.load(open(path.rsplit(".", 1)[0] + ".json"))
-                samples.append({"image": Image.open(path).convert("RGB"),
-                                "question": ann["question"],
-                                "options": ann["options"], "file": f})
+        chunks = [files[s:s + image_batch]
+                  for s in range(0, len(files), image_batch)]
+        pending = loader.submit(load_chunk, folder, chunks[0]) \
+            if chunks else None
+        for ci, chunk in enumerate(chunks):
+            samples = pending.result()
+            pending = loader.submit(load_chunk, folder, chunks[ci + 1]) \
+                if ci + 1 < len(chunks) else None
             t0 = time.perf_counter()
             recs = eval_batch(vqa_engine, vsm_batched, samples,
                               args.minimum_size_scale, args.minimum_size)

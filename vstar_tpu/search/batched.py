@@ -49,7 +49,9 @@ class BatchedVSMEngine(VSMEngine):
 
     def __init__(self, *args, device_preprocess: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
+        import threading
         from collections import OrderedDict
+        from concurrent.futures import ThreadPoolExecutor
         self.device_preprocess = device_preprocess
         # id(image) -> (device canvas, image ref), LRU. Capacity adapts
         # to the widest lockstep group seen (a >16-image group would
@@ -58,6 +60,9 @@ class BatchedVSMEngine(VSMEngine):
         # canvases ~ 1.8 GB f32).
         self._canvas_cache = OrderedDict()
         self._canvas_capacity = 16
+        self._canvas_lock = threading.Lock()
+        self._canvas_inflight = {}
+        self._canvas_pool = None
         if device_preprocess:
             import functools
             import jax
@@ -68,26 +73,70 @@ class BatchedVSMEngine(VSMEngine):
                 functools.partial(pair_windows),
                 static_argnames=("clip_size", "owl_size"))
             self._jit_norm = jax.jit(normalize_canvas_device)
+            self._canvas_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="canvas-prefetch")
 
     @property
     def wants_patch_refs(self) -> bool:
         return self.device_preprocess
 
-    def _canvas(self, image):
-        key = id(image)
-        hit = self._canvas_cache.get(key)
-        if hit is not None and hit[1] is image:
-            self._canvas_cache.move_to_end(key)
-            return hit[0]
+    def _canvas_insert(self, key, dev, image):
+        # caller holds _canvas_lock; entries hold the image ref, so
+        # cached ids stay valid
+        while len(self._canvas_cache) >= self._canvas_capacity:
+            self._canvas_cache.popitem(last=False)
+        self._canvas_cache[key] = (dev, image)
+
+    def _canvas_build(self, image):
         # uint8 upload (3x smaller than f32), normalized + mean-padded on
         # device
         from ..kernels.image_ops import u8_canvas
         arr, (h, w) = u8_canvas(image)
-        dev = self._jit_norm(jnp.asarray(arr), jnp.int32(h), jnp.int32(w))
-        # Entries hold the image ref, so cached ids stay valid.
-        while len(self._canvas_cache) >= self._canvas_capacity:
-            self._canvas_cache.popitem(last=False)
-        self._canvas_cache[key] = (dev, image)
+        return self._jit_norm(jnp.asarray(arr), jnp.int32(h),
+                              jnp.int32(w))
+
+    def prefetch_canvas(self, image):
+        """Start this image's canvas upload on a background thread —
+        overlap the 0.28 s 2K relay upload with whatever the caller does
+        next (group assembly, prompt builds, the PREVIOUS group's waves).
+        `_canvas` picks up the in-flight result instead of re-uploading."""
+        if not self.device_preprocess:
+            return
+        key = id(image)
+        with self._canvas_lock:
+            hit = self._canvas_cache.get(key)
+            if (hit is not None and hit[1] is image) \
+                    or key in self._canvas_inflight:
+                return
+
+            def build(image=image):
+                dev = self._canvas_build(image)
+                # force the transfer/normalize to finish ON THIS thread
+                # (relay block_until_ready returns early; a scalar fetch
+                # is the reliable sync)
+                float(dev[0, 0, 0])
+                return dev, image
+
+            self._canvas_inflight[key] = self._canvas_pool.submit(build)
+
+    def _canvas(self, image):
+        key = id(image)
+        with self._canvas_lock:
+            hit = self._canvas_cache.get(key)
+            if hit is not None and hit[1] is image:
+                self._canvas_cache.move_to_end(key)
+                return hit[0]
+            fut = self._canvas_inflight.get(key)
+        if fut is not None:
+            dev, ref = fut.result()
+            with self._canvas_lock:
+                self._canvas_inflight.pop(key, None)
+                if ref is image:
+                    self._canvas_insert(key, dev, image)
+                    return dev
+        dev = self._canvas_build(image)
+        with self._canvas_lock:
+            self._canvas_insert(key, dev, image)
         return dev
 
     def _run_many(self, images: Sequence, questions: Sequence[str]):

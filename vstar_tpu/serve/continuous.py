@@ -81,6 +81,13 @@ class ContinuousSealService:
         if options:
             options = [sanitize_text(o) for o in options]
         req = _Request(image, question, options or None)
+        # admission-time canvas prefetch: the device canvas upload (the
+        # dominant per-image cost on 2K relay traffic) overlaps with
+        # queue wait + the current wave instead of serializing in front
+        # of this request's first search wave
+        prefetch = getattr(self.vsm, "prefetch_canvas", None)
+        if prefetch is not None:
+            prefetch(image)
         self._q.put(req)
         if self._stop.is_set():  # closed between the check and the put
             self._fail_queued(RuntimeError("ContinuousSealService closed"))
