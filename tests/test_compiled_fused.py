@@ -142,3 +142,24 @@ def test_canvas_prefetch_equivalence(engines):
     assert id(img) not in eng._canvas_inflight
     eng.prefetch_canvas(img)                # cached -> no new inflight
     assert id(img) not in eng._canvas_inflight
+
+
+def test_grouped_dispatch_compiled(engines):
+    """run_grouped_searches routes a CompiledVSMSearch engine through the
+    fused path (with next-canvas prefetch) and matches the batched host
+    path task-for-task."""
+    from vstar_tpu.search.batched import run_grouped_searches
+
+    eng, comp = engines
+    imgs = [_img(21), _img(22)]
+    tasks = [{"image": imgs[0], "name": "cat", "smallest": 150},
+             {"image": imgs[1], "name": "dog", "smallest": 150}]
+    outs_c = run_grouped_searches(comp, tasks, max_steps=4)
+    outs_h = run_grouped_searches(eng, tasks, max_steps=4)
+    for (fc, pc, okc, vc), (fh, ph, okh, vh) in zip(outs_c, outs_h):
+        assert okc == okh and pc == ph
+        if fh is not None:
+            assert fc.bbox == fh.bbox
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="visualization"):
+        run_grouped_searches(comp, tasks, visualize=True)

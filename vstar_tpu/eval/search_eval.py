@@ -120,6 +120,10 @@ def main():
                    help="extract search patches on device (upload each "
                         "image once; throughput mode — resampler differs "
                         "slightly from the PIL-exact default)")
+    p.add_argument("--compiled", action="store_true", default=False,
+                   help="whole-search-on-device mode: each search runs "
+                        "as ONE fused device program (implies "
+                        "--device-preprocess; no --visualization)")
     p.add_argument("--mesh", default=None,
                    help="DxFxM device mesh to shard the VSM over "
                         "(multi-chip), e.g. 1x4x1")
@@ -133,9 +137,13 @@ def main():
     args = p.parse_args()
 
     from .vstar_bench import load_vsm_engine, resolve_mesh
-    vsm = load_vsm_engine(args.version,
-                          device_preprocess=args.device_preprocess,
-                          mesh=resolve_mesh(args.mesh), int8=args.int8)
+    vsm = load_vsm_engine(
+        args.version,
+        device_preprocess=args.device_preprocess or args.compiled,
+        mesh=resolve_mesh(args.mesh), int8=args.int8)
+    if args.compiled:
+        from ..search.compiled import CompiledVSMSearch
+        vsm = CompiledVSMSearch(vsm)
     evaluate_search(vsm, args.benchmark_folder,
                     minimum_size_scale=args.minimum_size_scale,
                     minimum_size=args.minimum_size,

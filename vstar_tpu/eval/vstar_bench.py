@@ -138,11 +138,16 @@ def resolve_mesh(mesh):
 
 def eval_model(args, vqa_engine=None, vsm_engine=None):
     if vqa_engine is None:
+        compiled = getattr(args, "compiled", False)
         vqa_engine, vsm_engine = load_engines(
             args.vqa_model_path, args.vsm_model_path, args.conv_type,
             mesh=getattr(args, "mesh", None),
             int8=getattr(args, "int8", None),
-            device_preprocess=getattr(args, "device_preprocess", False))
+            device_preprocess=getattr(args, "device_preprocess", False)
+            or compiled)
+        if compiled:
+            from ..search.compiled import CompiledVSMSearch
+            vsm_engine = CompiledVSMSearch(vsm_engine)
     if getattr(args, "image_batch", 1) > 1:
         # workload 4: batched lockstep searches (eval/batched_bench.py)
         from .batched_bench import eval_model_batched
@@ -216,6 +221,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1 runs all searches of an image group as one "
                         "lockstep device batch (requires a batched VSM "
                         "engine)")
+    p.add_argument("--compiled", action="store_true", default=False,
+                   help="whole-search-on-device: each guided search runs "
+                        "as ONE fused device program (implies "
+                        "--device-preprocess; serial searches)")
     return p
 
 

@@ -347,6 +347,31 @@ def run_grouped_searches(engine, tasks: Sequence[Dict], image_batch=None,
         return im() if callable(im) else im
 
     outs: List[Optional[Tuple]] = [None] * len(tasks)
+    # Whole-search-on-device engine (search/compiled.CompiledVSMSearch):
+    # each task is ONE fused dispatch; image_batch is irrelevant. The
+    # next task's canvas uploads in the background during the current
+    # search (only two decoded images are ever held).
+    if hasattr(engine, "search") and not hasattr(engine, "detect_many"):
+        if visualize:
+            raise ValueError(
+                "compiled search keeps heatmaps on device; use the host "
+                "or batched engine for --visualization")
+        nxt = img(tasks[0]) if tasks else None
+        for i, t in enumerate(tasks):
+            im = nxt
+            if i + 1 < len(tasks):
+                # tasks of one image share the factory object — reuse the
+                # decoded image so its canvas stays cached by id
+                nxt = im if tasks[i + 1]["image"] is t["image"] \
+                    else img(tasks[i + 1])
+                if nxt is not im:
+                    engine.engine.prefetch_canvas(nxt)
+            else:
+                nxt = None
+            outs[i] = engine.search(im, t["name"],
+                                    smallest_size=t["smallest"],
+                                    max_steps=max_steps, **policy_kw)
+        return outs
     # device-preprocess engines stay on the batched driver even at
     # image_batch == 1 (waves of one): the serial path unwraps PatchRefs
     # to PIL, which would silently disable on-device extraction

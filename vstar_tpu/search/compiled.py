@@ -53,6 +53,12 @@ NEED_CTX = 2        # heatmap weak -> host must run vqa + segment cue
 QUEUE_EMPTY = 3
 MAX_STEPS = 4       # path hit max_steps (or the P capacity)
 
+# Perf-bisection knobs (scripts/fused_ablate_bench.py): "heat" skips the
+# whole heatmap pipeline (zero scores), "ancestors" scores children from
+# the tail heat only. Diagnostics — NEVER set in production.
+import os as _os
+_ABLATE = _os.environ.get("VSTAR_COMPILED_ABLATE", "")
+
 _NEG = jnp.float32(-3.4e38)
 _BIGI = jnp.int32(2 ** 31 - 1)
 
@@ -394,7 +400,11 @@ def _expand_phase(state: PolicyState, heat: jnp.ndarray, heat_low,
     hp, wp = bbox[3], bbox[2]
 
     small = jnp.minimum(wp, hp) <= smallest_size
-    mn, mx, valid = _minmax_valid(heat, hp, wp)
+    if _ABLATE == "heat":   # bisection: no heat reductions at all
+        mn, mx = jnp.float32(0.0), jnp.float32(1e6)
+        valid = jnp.ones_like(heat, dtype=bool)
+    else:
+        mn, mx, valid = _minmax_valid(heat, hp, wp)
     threshold = jnp.maximum(
         jnp.float32(target_cue_threshold_minimum),
         target_cue_threshold
@@ -407,10 +417,19 @@ def _expand_phase(state: PolicyState, heat: jnp.ndarray, heat_low,
         need_ctx = jnp.logical_and(~small, weak)
         expand = jnp.logical_and(~small, ~weak)
 
-    heat_n = normalize_heat(heat, mn, mx, valid)
-    total = jnp.sum(heat_n)
     subs = child_rects(bbox)
-    if heat_store is None:
+    if _ABLATE == "heat":
+        heat_n, total = heat, jnp.float32(1.0)
+        scores = jnp.zeros((4,), jnp.float32)
+    else:
+        heat_n = normalize_heat(heat, mn, mx, valid)
+        total = jnp.sum(heat_n)
+    if _ABLATE == "ancestors":
+        local = subs.at[:, 0].add(-bbox[0]).at[:, 1].add(-bbox[1])
+        mass = rect_sums(heat_n, local)
+        scores = jnp.where(total > 0, mass / total, 0.0) \
+            / (4.0 ** level.astype(jnp.float32))
+    elif heat_store is None:
         scores = _ancestor_scores(state, idx, subs, heat_n, total, Hc, Wc)
     else:
         scores = _ancestor_scores_injected(state, idx, subs, heat_n, total,
@@ -557,9 +576,12 @@ def fused_search(params, cfg, canvas: jnp.ndarray, state: PolicyState,
         st2, accept, _, _ = _detect_phase(
             state, det_valid, out.det_logits[0], out.det_boxes[0],
             confidence_high, apply_sigmoid=True)
-        heat = jnp.where(det_valid,
-                         resize_clip_padded(out.mask_logits[0], h, w,
-                                            Hc, Wc), 0.0)
+        if _ABLATE == "heat":
+            heat = jnp.zeros((Hc, Wc), jnp.float32)
+        else:
+            heat = jnp.where(det_valid,
+                             resize_clip_padded(out.mask_logits[0], h, w,
+                                                Hc, Wc), 0.0)
         st3, code, _ = _expand_phase(
             st2, heat, out.mask_logits[0], jnp.zeros((), bool), Hc=Hc,
             Wc=Wc, max_steps=max_steps, heat_store=None,
