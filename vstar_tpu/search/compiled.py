@@ -712,24 +712,73 @@ def visual_search_device_policy(client, image, target_object_name: str,
                      path_out)
 
 
-def _finalize(state: PolicyState, code: int, accept_info,
+def pack_record(state: PolicyState) -> jnp.ndarray:
+    """Flatten the host-relevant path record into ONE f32 vector so the
+    driver fetches it in a single device->host transfer (each separate
+    np.asarray costs a 5-15 ms relay round trip)."""
+    P = state.p_bbox.shape[0]
+    f = jnp.float32
+    return jnp.concatenate([
+        state.n_path[None].astype(f),
+        state.p_bbox.astype(f).reshape(-1),       # P*4
+        state.p_level.astype(f),                  # P
+        state.p_parent.astype(f),                 # P
+        state.p_score.astype(f),                  # P
+        state.p_top_logit.astype(f),              # P
+        state.p_has_stash.astype(f),              # P
+        state.p_det_box.reshape(-1),              # P*4
+    ])
+
+
+def _unpack_record(flat, P: int):
+    import numpy as np
+    flat = np.asarray(flat, np.float32)
+    n = int(flat[0])
+    o = 1
+    out = {"n": n}
+    for name, width, dtype in (
+            ("p_bbox", 4 * P, None), ("p_level", P, np.int32),
+            ("p_parent", P, np.int32), ("p_score", P, None),
+            ("p_top_logit", P, None), ("p_has_stash", P, bool),
+            ("p_det_box", 4 * P, None)):
+        v = flat[o:o + width]
+        o += width
+        if width == 4 * P:
+            v = v.reshape(P, 4)
+        if dtype is not None:
+            v = np.round(v).astype(dtype) if dtype is np.int32 \
+                else v > 0.5
+        out[name] = v[:n]
+    return out
+
+
+def _finalize(state, code: int, accept_info,
               confidence_low: float, ctx_cues: dict,
               path_out: Optional[list]):
     """Fetch the path record once and apply the host policy's ending
     (policy.py:266-284): success bookkeeping, root multi-instance boxes,
-    low-confidence fallback over the stashed detections."""
+    low-confidence fallback over the stashed detections.
+
+    state: a PolicyState (fetched per-field) or an _unpack_record dict
+    (single-transfer path). accept_info may be a zero-arg callable so
+    the [2304]-sized det arrays transfer only when actually needed
+    (root multi-instance accept)."""
     import numpy as np
 
     from .policy import SearchStep
 
-    n = int(state.n_path)
-    p_bbox = np.asarray(state.p_bbox[:n])
-    p_level = np.asarray(state.p_level[:n])
-    p_parent = np.asarray(state.p_parent[:n])
-    p_score = np.asarray(state.p_score[:n])
-    p_stash_logit = np.asarray(state.p_top_logit[:n])
-    p_has_stash = np.asarray(state.p_has_stash[:n])
-    p_det_box = np.asarray(state.p_det_box[:n])
+    if isinstance(state, dict):
+        rec = state
+    else:
+        rec = _unpack_record(pack_record(state), state.p_bbox.shape[0])
+    n = rec["n"]
+    p_bbox = rec["p_bbox"]
+    p_level = rec["p_level"]
+    p_parent = rec["p_parent"]
+    p_score = rec["p_score"]
+    p_stash_logit = rec["p_top_logit"]
+    p_has_stash = rec["p_has_stash"]
+    p_det_box = rec["p_det_box"]
 
     steps = []
     for i in range(n):
@@ -751,7 +800,8 @@ def _finalize(state: PolicyState, code: int, accept_info,
         final_step = steps[-1]
         final_step.detection_result = p_det_box[n - 1].copy()
         if n == 1:
-            boxes, logits, bbox = accept_info
+            boxes, logits, bbox = accept_info() if callable(accept_info) \
+                else accept_info
             scale = np.asarray([bbox[2], bbox[3], bbox[2], bbox[3]],
                                np.float32)
             valid = boxes[logits > 0.5].reshape(-1, 4) * scale[None]
@@ -806,6 +856,7 @@ class CompiledVSMSearch:
                              "spec_chunk", "max_steps", "kv_int8"))
         self._jit_ctx = jax.jit(
             context_push_low, static_argnames=("Hc", "Wc", "max_steps"))
+        self._jit_pack = jax.jit(pack_record)
 
     def _detect_layout(self, name: str):
         from ..multimodal.splicing import build_layout
@@ -885,9 +936,15 @@ class CompiledVSMSearch:
                     continue
             break
 
-        n = int(state.n_path)
-        bbox = [int(v) for v in np.asarray(state.p_bbox[n - 1])]
-        logits = 1.0 / (1.0 + np.exp(-np.asarray(det_logits, np.float32)))
-        accept_info = (np.asarray(det_boxes, np.float32), logits, bbox)
-        return _finalize(state, code, accept_info, confidence_low,
+        # ONE packed transfer for the whole path record; the [2304]-wide
+        # det arrays transfer lazily (root multi-instance accept only)
+        rec = _unpack_record(self._jit_pack(state), self.P)
+
+        def accept_info():
+            logits = 1.0 / (1.0 + np.exp(-np.asarray(det_logits,
+                                                     np.float32)))
+            bbox = [int(v) for v in rec["p_bbox"][rec["n"] - 1]]
+            return np.asarray(det_boxes, np.float32), logits, bbox
+
+        return _finalize(rec, code, accept_info, confidence_low,
                          ctx_cues, path_out)
