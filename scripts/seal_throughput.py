@@ -1,5 +1,10 @@
 """End-to-end batched SEAL phases 1+3 (free-form trigger + option scoring)
-at 7B on TPU: images/s without search (search cost measured separately)."""
+at 7B on TPU: images/s without search (search cost measured separately).
+
+--kv-int8: int8 KV cache (per-token/head scales) — halves cache residency
+and decode-time KV reads; the r2 measurement put the B=8 knee on exactly
+those reads (32 option rows ~ 5.4 GB bf16 KV)."""
+import argparse
 import time, zlib, sys
 import numpy as np
 from PIL import Image
@@ -12,10 +17,15 @@ from vstar_tpu.nn.llama import init_llama_params
 from bench_common import Tok  # noqa: E402
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kv-int8", action="store_true", default=False)
+    args = ap.parse_args()
     cfg = vqa_llm_7b()
     params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
                                  quantize_llm=True)
-    eng = VQAEngine(params, cfg, Tok(), prompt_buckets=(512,), option_bucket=64)
+    eng = VQAEngine(params, cfg, Tok(), prompt_buckets=(512,),
+                    option_bucket=64, kv_int8=args.kv_int8)
+    print(f"kv_int8={args.kv_int8}")
 
     rng = np.random.RandomState(0)
     imgs = [Image.fromarray((rng.rand(500, 600, 3) * 255).astype("uint8"))

@@ -27,15 +27,23 @@ jittable transitions:
     context-cue fallback, which the host serves and pushes back with
     `context_push`.
 
-Heatmap semantics match the host path exactly: the 192^2 mask logits are
+Heatmap semantics match the host path exactly: mask logits are
 bilinear-resized (torch half-pixel convention, data/preprocess.py
-resize_bilinear_torch) to the patch size on a statically padded grid,
-clamped at 0, min-max normalized; sub-patch scores are heatmap-mass
-fractions accumulated over the ancestor chain weighted 1/4^level
-(visual_search.py:451-465). Ancestor heatmaps are stored at low-res
-(147 KB/step instead of a full-res store) and re-resized on demand —
-bit-identical each time, so descendant scoring sees exactly the values
-the expansion saw.
+resize_bilinear_torch) onto the patch's canvas window of a statically
+padded grid, clamped at 0, min-max normalized; sub-patch scores are
+heatmap-mass fractions accumulated over the ancestor chain weighted
+1/4^level (visual_search.py:451-465).
+
+Ancestor accumulation is a running CHAIN FIELD, not a chain walk: each
+expanded step i stores `chain_acc[i] = chain_acc[parent(i)] +
+norm_heat_i / (total_i * 4^level_i)` in canvas coordinates, so child
+scores are ONE rect-sum over `chain_acc` — identical by linearity to the
+reference's per-ancestor loop. (The first implementation reconstructed
+each ancestor's heat inside a nested `lax.while_loop`; measured on the
+v5e that cost ~110 ms/step — dynamic-trip-count loops with large bodies
+serialize badly — while the chain field costs one [Hc, Wc] add. The
+resize itself is one-hot-weight MATMULS, not gathers: TPU gathers
+serialize, W_y @ low @ W_x^T rides the MXU.)
 """
 
 from __future__ import annotations
@@ -52,12 +60,6 @@ ACCEPT = 1          # top detection sigmoid > confidence_high
 NEED_CTX = 2        # heatmap weak -> host must run vqa + segment cue
 QUEUE_EMPTY = 3
 MAX_STEPS = 4       # path hit max_steps (or the P capacity)
-
-# Perf-bisection knobs (scripts/fused_ablate_bench.py): "heat" skips the
-# whole heatmap pipeline (zero scores), "ancestors" scores children from
-# the tail heat only. Diagnostics — NEVER set in production.
-import os as _os
-_ABLATE = _os.environ.get("VSTAR_COMPILED_ABLATE", "")
 
 _NEG = jnp.float32(-3.4e38)
 _BIGI = jnp.int32(2 ** 31 - 1)
@@ -82,21 +84,13 @@ class PolicyState(NamedTuple):
     p_has_stash: jnp.ndarray  # [P] bool temp_detection_result present
     p_det_box: jnp.ndarray   # [P, 4] f32 patch-local [x, y, w, h] top box
     p_ctx: jnp.ndarray       # [P] bool step used the context cue
-    # per-step heatmap record for ancestor-weighted scoring
-    p_heat_low: jnp.ndarray  # [P, mh, mw] f32 raw low-res mask logits
-    p_heat_mn: jnp.ndarray   # [P] f32 min of clipped resized heat
-    p_heat_mx: jnp.ndarray   # [P] f32 max of clipped resized heat
-    p_heat_total: jnp.ndarray  # [P] f32 sum of the NORMALIZED heat
-    p_heat_valid: jnp.ndarray  # [P] bool final_heatmap computed
 
 
-def policy_state_init(root_w: int, root_h: int, P: int,
-                      mask_res: Tuple[int, int]) -> PolicyState:
+def policy_state_init(root_w: int, root_h: int, P: int) -> PolicyState:
     """Root patch [0, 0, W, H] at scale level 1, path pre-seeded with it
     (visual_search.py:487-494)."""
     K = 4 * P
-    mh, mw = mask_res
-    st = PolicyState(
+    return PolicyState(
         q_bbox=jnp.zeros((K, 4), jnp.int32),
         q_level=jnp.zeros((K,), jnp.int32),
         q_score=jnp.zeros((K,), jnp.float32),
@@ -114,34 +108,38 @@ def policy_state_init(root_w: int, root_h: int, P: int,
         p_has_stash=jnp.zeros((P,), bool),
         p_det_box=jnp.zeros((P, 4), jnp.float32),
         p_ctx=jnp.zeros((P,), bool),
-        p_heat_low=jnp.zeros((P, mh, mw), jnp.float32),
-        p_heat_mn=jnp.zeros((P,), jnp.float32),
-        p_heat_mx=jnp.zeros((P,), jnp.float32),
-        p_heat_total=jnp.zeros((P,), jnp.float32),
-        p_heat_valid=jnp.zeros((P,), bool),
     )
-    return st
+
+
+def chain_store_init(P: int, Hc: int, Wc: int) -> jnp.ndarray:
+    """Per-path-step accumulated score field (canvas coords):
+    chain_acc[i] = sum over (i + ancestors of i) of each step's
+    normalized heat / (total * 4^level). [P, Hc, Wc] f32."""
+    return jnp.zeros((P, Hc, Wc), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
 # Heatmap math (exact host-path semantics on a statically padded grid)
 # ---------------------------------------------------------------------------
 
-def resize_clip_padded(low: jnp.ndarray, h, w, Hc: int, Wc: int
+def resize_clip_canvas(low: jnp.ndarray, bbox, Hc: int, Wc: int
                        ) -> jnp.ndarray:
-    """clip(resize_bilinear_torch(low, h, w), 0) onto a static [Hc, Wc]
-    grid; entries outside [0:h, 0:w] are 0. h/w are traced scalars, so one
-    program serves every patch size of a canvas bucket.
+    """clip(resize_bilinear_torch(low, h, w), 0) placed at the patch's
+    canvas window [y0:y0+h, x0:x0+w] of a static [Hc, Wc] grid; zero
+    elsewhere. bbox traced, so one program serves every patch of a canvas
+    bucket.
 
     Separable bilinear as one-hot interpolation-weight MATMULS
     (W_y @ low @ W_x^T) rather than gathers — TPU gathers serialize,
-    while two [out, in] matmuls ride the MXU (this was the difference
-    between the fused search losing and winning its A/B)."""
+    two [out, in] matmuls ride the MXU."""
     in_h, in_w = low.shape
     low = low.astype(jnp.float32)
+    x0, y0 = bbox[0], bbox[1]
+    w, h = bbox[2], bbox[3]
 
-    def weights(out_static: int, out_dyn, in_n: int):
-        c = ((jnp.arange(out_static, dtype=jnp.float32) + 0.5)
+    def weights(out_static: int, off, out_dyn, in_n: int):
+        c = ((jnp.arange(out_static, dtype=jnp.float32)
+              - off.astype(jnp.float32) + 0.5)
              * (in_n / out_dyn.astype(jnp.float32)) - 0.5)
         c0 = jnp.floor(c)
         frac = c - c0
@@ -151,19 +149,22 @@ def resize_clip_padded(low: jnp.ndarray, h, w, Hc: int, Wc: int
         return ((j == c0c[:, None]) * (1 - frac)[:, None]
                 + (j == c1c[:, None]) * frac[:, None])
 
-    wy = weights(Hc, h, in_h)                    # [Hc, in_h]
-    wx = weights(Wc, w, in_w)                    # [Wc, in_w]
+    wy = weights(Hc, y0, h, in_h)                # [Hc, in_h]
+    wx = weights(Wc, x0, w, in_w)                # [Wc, in_w]
     hi = jax.lax.Precision.HIGHEST               # true-f32 interp weights
     out = jnp.dot(jnp.dot(wy, low, precision=hi), wx.T, precision=hi)
-    valid = ((jnp.arange(Hc)[:, None] < h)
-             & (jnp.arange(Wc)[None, :] < w))
-    return jnp.where(valid, jnp.maximum(out, 0.0), 0.0)
+    return jnp.where(_bbox_mask(bbox, Hc, Wc), jnp.maximum(out, 0.0), 0.0)
 
 
-def _minmax_valid(heat: jnp.ndarray, h, w):
-    Hc, Wc = heat.shape
-    valid = ((jnp.arange(Hc)[:, None] < h)
-             & (jnp.arange(Wc)[None, :] < w))
+def _bbox_mask(bbox, Hc: int, Wc: int) -> jnp.ndarray:
+    ys = jnp.arange(Hc)[:, None]
+    xs = jnp.arange(Wc)[None, :]
+    return ((ys >= bbox[1]) & (ys < bbox[1] + bbox[3])
+            & (xs >= bbox[0]) & (xs < bbox[0] + bbox[2]))
+
+
+def _minmax_bbox(heat: jnp.ndarray, bbox):
+    valid = _bbox_mask(bbox, *heat.shape)
     mx = jnp.max(jnp.where(valid, heat, _NEG))
     mn = jnp.min(jnp.where(valid, heat, -_NEG))
     return mn, mx, valid
@@ -177,8 +178,8 @@ def normalize_heat(heat: jnp.ndarray, mn, mx, valid) -> jnp.ndarray:
 
 
 def rect_sums(heat: jnp.ndarray, rects: jnp.ndarray) -> jnp.ndarray:
-    """Sums of `heat` over 4 patch-local integer rects [x, y, w, h]
-    (einsum of row/col indicators — no dynamic shapes)."""
+    """Sums of `heat` over 4 integer rects [x, y, w, h] (einsum of
+    row/col indicators — no dynamic shapes, no gathers)."""
     Hc, Wc = heat.shape
     ys = jnp.arange(Hc)[None, :]
     xs = jnp.arange(Wc)[None, :]
@@ -214,79 +215,6 @@ def child_rects(bbox: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Policy transition pieces
 # ---------------------------------------------------------------------------
-
-def _ancestor_scores(state: PolicyState, idx, subs: jnp.ndarray,
-                     tail_heat_norm: jnp.ndarray, tail_total,
-                     Hc: int, Wc: int) -> jnp.ndarray:
-    """Child priorities: heatmap-mass fraction of each child rect,
-    accumulated over the step and all its ancestors, each weighted
-    1/4^scale_level (visual_search.py:451-465).
-
-    The tail step's normalized heat is passed directly (it was just
-    computed); ancestors are reconstructed from their stored low-res
-    logits + normalize constants — identical values to what their own
-    expansion used."""
-    def contribution(heat_norm, total, bbox, level):
-        local = subs.at[:, 0].add(-bbox[0]).at[:, 1].add(-bbox[1])
-        mass = rect_sums(heat_norm, local)
-        frac = jnp.where(total > 0, mass / total, 0.0)
-        return frac / (4.0 ** level.astype(jnp.float32))
-
-    scores = contribution(tail_heat_norm, tail_total,
-                          state.p_bbox[idx], state.p_level[idx])
-
-    def cond(carry):
-        j, _ = carry
-        return j != -1
-
-    def body(carry):
-        j, acc = carry
-        bbox = state.p_bbox[j]
-        heat = resize_clip_padded(state.p_heat_low[j], bbox[3], bbox[2],
-                                  Hc, Wc)
-        mn, mx = state.p_heat_mn[j], state.p_heat_mx[j]
-        valid = ((jnp.arange(Hc)[:, None] < bbox[3])
-                 & (jnp.arange(Wc)[None, :] < bbox[2]))
-        heat_n = normalize_heat(heat, mn, mx, valid)
-        heat_n = jnp.where(state.p_heat_valid[j], heat_n, 0.0)
-        acc = acc + contribution(heat_n, state.p_heat_total[j], bbox,
-                                 state.p_level[j])
-        return state.p_parent[j], acc
-
-    parent = state.p_parent[idx]
-    _, scores = jax.lax.while_loop(cond, body, (parent, scores))
-    return scores
-
-
-def _ancestor_scores_injected(state: PolicyState, idx, subs: jnp.ndarray,
-                              tail_heat_norm: jnp.ndarray, tail_total,
-                              heat_store: jnp.ndarray) -> jnp.ndarray:
-    """Injected-mode variant: ancestors' normalized heats live in a
-    full-res store [P, Hc, Wc] (externally provided heatmaps have no
-    low-res representation to reconstruct from)."""
-    def contribution(heat_norm, total, bbox, level):
-        local = subs.at[:, 0].add(-bbox[0]).at[:, 1].add(-bbox[1])
-        mass = rect_sums(heat_norm, local)
-        frac = jnp.where(total > 0, mass / total, 0.0)
-        return frac / (4.0 ** level.astype(jnp.float32))
-
-    scores = contribution(tail_heat_norm, tail_total,
-                          state.p_bbox[idx], state.p_level[idx])
-
-    def cond(carry):
-        j, _ = carry
-        return j != -1
-
-    def body(carry):
-        j, acc = carry
-        acc = acc + contribution(heat_store[j], state.p_heat_total[j],
-                                 state.p_bbox[j], state.p_level[j])
-        return state.p_parent[j], acc
-
-    _, scores = jax.lax.while_loop(cond, body,
-                                   (state.p_parent[idx], scores))
-    return scores
-
 
 def _push_children(state: PolicyState, idx, subs: jnp.ndarray,
                    scores: jnp.ndarray, do_push) -> PolicyState:
@@ -380,33 +308,28 @@ def _detect_phase(state: PolicyState, det_valid, det_logits, det_boxes,
     return state, accept, top_sig, fb
 
 
-def _expand_phase(state: PolicyState, heat: jnp.ndarray, heat_low,
-                  is_ctx, *, Hc: int, Wc: int, max_steps,
-                  heat_store: Optional[jnp.ndarray],
-                  smallest_size, target_cue_threshold: float,
-                  target_cue_threshold_decay: float,
-                  target_cue_threshold_minimum: float,
+def _expand_phase(state: PolicyState, chain_store: jnp.ndarray,
+                  heat: jnp.ndarray, is_ctx, *, max_steps,
+                  smallest_size, target_cue_threshold,
+                  target_cue_threshold_decay,
+                  target_cue_threshold_minimum,
                   skip_threshold: bool = False):
-    """Threshold test + heat record + children push + pop for the path
-    tail. heat: clipped, patch-local, padded [Hc, Wc]. heat_low: raw
-    low-res logits (production) or None (injected, full-res store
-    maintained instead). skip_threshold: the context-cue path (the host
-    already decided; the ctx heat is final regardless of its max).
+    """Threshold test + chain-field update + children push + pop for the
+    path tail. heat: clipped heatmap in CANVAS coordinates (zero outside
+    the tail's bbox window). skip_threshold: the context-cue path (the
+    host already decided; the ctx heat is final regardless of its max).
 
-    Returns (state', exit_code, heat_store')."""
+    Returns (state', chain_store', exit_code)."""
+    P, Hc, Wc = chain_store.shape
     idx = state.n_path - 1
     bbox = state.p_bbox[idx]
     level = state.p_level[idx]
     hp, wp = bbox[3], bbox[2]
 
     small = jnp.minimum(wp, hp) <= smallest_size
-    if _ABLATE == "heat":   # bisection: no heat reductions at all
-        mn, mx = jnp.float32(0.0), jnp.float32(1e6)
-        valid = jnp.ones_like(heat, dtype=bool)
-    else:
-        mn, mx, valid = _minmax_valid(heat, hp, wp)
+    mn, mx, valid = _minmax_bbox(heat, bbox)
     threshold = jnp.maximum(
-        jnp.float32(target_cue_threshold_minimum),
+        jnp.asarray(target_cue_threshold_minimum, jnp.float32),
         target_cue_threshold
         * target_cue_threshold_decay ** (level.astype(jnp.float32) - 1.0))
     weak = mx <= threshold
@@ -417,46 +340,26 @@ def _expand_phase(state: PolicyState, heat: jnp.ndarray, heat_low,
         need_ctx = jnp.logical_and(~small, weak)
         expand = jnp.logical_and(~small, ~weak)
 
+    # chain field: parent's accumulated term stack + this step's term
+    heat_n = normalize_heat(heat, mn, mx, valid)
+    total = jnp.sum(heat_n)
+    term = jnp.where(total > 0, heat_n / total, 0.0) \
+        / (4.0 ** level.astype(jnp.float32))
+    parent = state.p_parent[idx]
+    parent_acc = jnp.where(parent >= 0,
+                           chain_store[jnp.clip(parent, 0, P - 1)], 0.0)
+    acc = parent_acc + term
+    new_store = chain_store.at[idx].set(
+        jnp.where(expand, acc, chain_store[idx]))
+
     subs = child_rects(bbox)
-    if _ABLATE == "heat":
-        heat_n, total = heat, jnp.float32(1.0)
-        scores = jnp.zeros((4,), jnp.float32)
-    else:
-        heat_n = normalize_heat(heat, mn, mx, valid)
-        total = jnp.sum(heat_n)
-    if _ABLATE == "ancestors":
-        local = subs.at[:, 0].add(-bbox[0]).at[:, 1].add(-bbox[1])
-        mass = rect_sums(heat_n, local)
-        scores = jnp.where(total > 0, mass / total, 0.0) \
-            / (4.0 ** level.astype(jnp.float32))
-    elif heat_store is None:
-        scores = _ancestor_scores(state, idx, subs, heat_n, total, Hc, Wc)
-    else:
-        scores = _ancestor_scores_injected(state, idx, subs, heat_n, total,
-                                           heat_store)
+    scores = rect_sums(acc, subs)   # == the reference's ancestor loop,
+    #                                 by linearity of rect sums
 
     rec = state._replace(
-        p_heat_mn=state.p_heat_mn.at[idx].set(
-            jnp.where(expand, mn, state.p_heat_mn[idx])),
-        p_heat_mx=state.p_heat_mx.at[idx].set(
-            jnp.where(expand, mx, state.p_heat_mx[idx])),
-        p_heat_total=state.p_heat_total.at[idx].set(
-            jnp.where(expand, total, state.p_heat_total[idx])),
-        p_heat_valid=state.p_heat_valid.at[idx].set(
-            jnp.where(expand, True, state.p_heat_valid[idx])),
         p_ctx=state.p_ctx.at[idx].set(
             jnp.where(jnp.logical_and(expand, is_ctx), True,
-                      state.p_ctx[idx])),
-    )
-    if heat_low is not None:
-        rec = rec._replace(p_heat_low=rec.p_heat_low.at[idx].set(
-            jnp.where(expand, heat_low.astype(jnp.float32),
-                      rec.p_heat_low[idx])))
-    new_store = heat_store
-    if heat_store is not None:
-        new_store = heat_store.at[idx].set(
-            jnp.where(expand, heat_n, heat_store[idx]))
-
+                      state.p_ctx[idx])))
     rec = _push_children(rec, idx, subs, scores, expand)
     popped, exit_code = _pop_append(rec, max_steps)
     exit_code = jnp.where(need_ctx, NEED_CTX, exit_code)
@@ -464,14 +367,15 @@ def _expand_phase(state: PolicyState, heat: jnp.ndarray, heat_low,
     # first), so keep the pre-pop state on that branch
     state_out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(need_ctx, a, b), rec, popped)
-    return state_out, exit_code, new_store
+    store_out = jnp.where(need_ctx, chain_store, new_store)
+    return state_out, store_out, exit_code
 
 
 # ---------------------------------------------------------------------------
 # Injected mode (one dispatch per step; any VSMClient or scripted oracle)
 # ---------------------------------------------------------------------------
 
-def injected_step(state: PolicyState, heat_store: jnp.ndarray,
+def injected_step(state: PolicyState, chain_store: jnp.ndarray,
                   det_valid, det_logits, det_boxes, heat: jnp.ndarray, *,
                   smallest_size: int, confidence_high: float,
                   target_cue_threshold: float,
@@ -479,40 +383,36 @@ def injected_step(state: PolicyState, heat_store: jnp.ndarray,
                   target_cue_threshold_minimum: float,
                   max_steps):
     """One full policy transition for the path tail given its VSM detect
-    outputs. heat: the patch's clipped heatmap padded to the store's
-    [Hc, Wc]. Returns (state', heat_store', exit_code, next_bbox)."""
-    Hc, Wc = heat_store.shape[1:]
+    outputs. heat: the patch's clipped heatmap placed at its canvas
+    window of [Hc, Wc]. Returns (state', store', exit_code, next_bbox)."""
     state, accept, _, _ = _detect_phase(state, det_valid, det_logits,
                                         det_boxes, confidence_high)
-    st2, exit_code, store2 = _expand_phase(
-        state, heat, None, jnp.zeros((), bool), Hc=Hc, Wc=Wc,
-        max_steps=max_steps, heat_store=heat_store,
-        smallest_size=smallest_size,
+    st2, store2, exit_code = _expand_phase(
+        state, chain_store, heat, jnp.zeros((), bool),
+        max_steps=max_steps, smallest_size=smallest_size,
         target_cue_threshold=target_cue_threshold,
         target_cue_threshold_decay=target_cue_threshold_decay,
         target_cue_threshold_minimum=target_cue_threshold_minimum)
     # accept preempts expansion entirely
     state_out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(accept, a, b), state, st2)
-    store_out = jnp.where(accept, heat_store, store2)
+    store_out = jnp.where(accept, chain_store, store2)
     exit_code = jnp.where(accept, ACCEPT, exit_code)
     nb = state_out.p_bbox[state_out.n_path - 1]
     return state_out, store_out, exit_code, nb
 
 
-def context_push(state: PolicyState, heat_store: jnp.ndarray,
+def context_push(state: PolicyState, chain_store: jnp.ndarray,
                  heat: jnp.ndarray, *, smallest_size: int,
                  target_cue_threshold: float,
                  target_cue_threshold_decay: float,
                  target_cue_threshold_minimum: float, max_steps):
-    """Host-computed context-cue heat for the path tail -> record + push
-    children + pop (the step's detect phase already ran). Returns
-    (state', heat_store', exit_code, next_bbox)."""
-    Hc, Wc = heat_store.shape[1:]
-    st, exit_code, store = _expand_phase(
-        state, heat, None, jnp.ones((), bool), Hc=Hc, Wc=Wc,
-        max_steps=max_steps, heat_store=heat_store,
-        smallest_size=smallest_size,
+    """Host-computed context-cue heat (canvas coords) for the path tail
+    -> chain-field update + push children + pop (the step's detect phase
+    already ran). Returns (state', store', exit_code, next_bbox)."""
+    st, store, exit_code = _expand_phase(
+        state, chain_store, heat, jnp.ones((), bool),
+        max_steps=max_steps, smallest_size=smallest_size,
         target_cue_threshold=target_cue_threshold,
         target_cue_threshold_decay=target_cue_threshold_decay,
         target_cue_threshold_minimum=target_cue_threshold_minimum,
@@ -526,6 +426,7 @@ def context_push(state: PolicyState, heat_store: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def fused_search(params, cfg, canvas: jnp.ndarray, state: PolicyState,
+                 chain_store: jnp.ndarray,
                  text_ids, feat_idx, is_feat, lens, draft_ids,
                  smallest_size, confidence_high, target_cue_threshold,
                  target_cue_threshold_decay, target_cue_threshold_minimum,
@@ -535,16 +436,16 @@ def fused_search(params, cfg, canvas: jnp.ndarray, state: PolicyState,
     """Run detect-path search steps until an exit condition, entirely on
     device: per iteration {pop tail -> extract both tower windows from the
     canvas -> full VSM (towers + prefill + speculative decode + [LOC]
-    heads) -> accept test / stash / split / ancestor-weighted push / pop}.
+    heads) -> accept test / stash / split / chain-field push / pop}.
     The host re-enters only for NEED_CTX (text-dependent context cue),
     ACCEPT, QUEUE_EMPTY or MAX_STEPS.
 
     canvas: CLIP-normalized f32 [Hb, Wb, 3] (kernels/image_ops
     normalize_canvas_device output); thresholds and smallest_size are
     traced, so one program serves every search of a canvas bucket.
-    Returns (state', exit_code, det_logits, det_boxes) with the det
-    arrays from the LAST processed step (root multi-instance accept +
-    low-confidence fallback both read them host-side)."""
+    Returns (state', store', exit_code, det_logits, det_boxes) with the
+    det arrays from the LAST processed step (root multi-instance accept
+    reads them host-side)."""
     from ..kernels.image_ops import window_resize
     from ..models.vsm import vsm_generate
 
@@ -554,7 +455,7 @@ def fused_search(params, cfg, canvas: jnp.ndarray, state: PolicyState,
     n_det = (owl_size // cfg.owl_vision.patch_size) ** 2
 
     def body(carry):
-        state, _, _, _ = carry
+        state, store, _, _, _ = carry
         idx = state.n_path - 1
         bbox = state.p_bbox[idx]
         x0, y0, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
@@ -576,53 +477,50 @@ def fused_search(params, cfg, canvas: jnp.ndarray, state: PolicyState,
         st2, accept, _, _ = _detect_phase(
             state, det_valid, out.det_logits[0], out.det_boxes[0],
             confidence_high, apply_sigmoid=True)
-        if _ABLATE == "heat":
-            heat = jnp.zeros((Hc, Wc), jnp.float32)
-        else:
-            heat = jnp.where(det_valid,
-                             resize_clip_padded(out.mask_logits[0], h, w,
-                                                Hc, Wc), 0.0)
-        st3, code, _ = _expand_phase(
-            st2, heat, out.mask_logits[0], jnp.zeros((), bool), Hc=Hc,
-            Wc=Wc, max_steps=max_steps, heat_store=None,
-            smallest_size=smallest_size,
+        heat = jnp.where(det_valid,
+                         resize_clip_canvas(out.mask_logits[0], bbox,
+                                            Hc, Wc), 0.0)
+        st3, store3, code = _expand_phase(
+            st2, store, heat, jnp.zeros((), bool),
+            max_steps=max_steps, smallest_size=smallest_size,
             target_cue_threshold=target_cue_threshold,
             target_cue_threshold_decay=target_cue_threshold_decay,
             target_cue_threshold_minimum=target_cue_threshold_minimum)
         state_out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), st2, st3)
+        store_out = jnp.where(accept, store, store3)
         code = jnp.where(accept, ACCEPT, code).astype(jnp.int32)
-        return (state_out, code, out.det_logits[0].astype(jnp.float32),
+        return (state_out, store_out, code,
+                out.det_logits[0].astype(jnp.float32),
                 out.det_boxes[0].astype(jnp.float32))
 
-    carry = (state, jnp.int32(RUNNING),
+    carry = (state, chain_store, jnp.int32(RUNNING),
              jnp.zeros((n_det,), jnp.float32),
              jnp.zeros((n_det, 4), jnp.float32))
-    return jax.lax.while_loop(lambda c: c[1] == RUNNING, body, carry)
+    return jax.lax.while_loop(lambda c: c[2] == RUNNING, body, carry)
 
 
-def context_push_low(state: PolicyState, ctx_low: jnp.ndarray, ctx_valid,
+def context_push_low(state: PolicyState, chain_store: jnp.ndarray,
+                     ctx_low: jnp.ndarray, ctx_valid,
                      smallest_size, target_cue_threshold,
                      target_cue_threshold_decay,
-                     target_cue_threshold_minimum, *, Hc: int, Wc: int,
-                     max_steps):
+                     target_cue_threshold_minimum, *, max_steps):
     """Production context-cue push: the host-served segment call's raw
-    low-res mask logits become the tail's final heatmap (stored low-res
-    for descendant scoring); children pushed + next step popped. Returns
-    (state', exit_code)."""
+    low-res mask logits become the tail's final heatmap. Returns
+    (state', store', exit_code)."""
+    Hc, Wc = chain_store.shape[1:]
     idx = state.n_path - 1
     bbox = state.p_bbox[idx]
     heat = jnp.where(ctx_valid,
-                     resize_clip_padded(ctx_low, bbox[3], bbox[2], Hc, Wc),
-                     0.0)
-    st, code, _ = _expand_phase(
-        state, heat, ctx_low, jnp.ones((), bool), Hc=Hc, Wc=Wc,
-        max_steps=max_steps, heat_store=None, smallest_size=smallest_size,
+                     resize_clip_canvas(ctx_low, bbox, Hc, Wc), 0.0)
+    st, store, code = _expand_phase(
+        state, chain_store, heat, jnp.ones((), bool),
+        max_steps=max_steps, smallest_size=smallest_size,
         target_cue_threshold=target_cue_threshold,
         target_cue_threshold_decay=target_cue_threshold_decay,
         target_cue_threshold_minimum=target_cue_threshold_minimum,
         skip_threshold=True)
-    return st, code
+    return st, store, code
 
 
 # ---------------------------------------------------------------------------
@@ -648,13 +546,13 @@ def visual_search_device_policy(client, image, target_object_name: str,
 
     import numpy as np
 
-    from .policy import (PatchRef, SearchStep, context_phrase,
-                         context_question, unwrap_patch)
+    from .policy import (PatchRef, context_phrase, context_question,
+                         unwrap_patch)
 
     W, H = image.width, image.height
     Hc, Wc = H, W          # padded heat grid: every patch fits the root
-    state = policy_state_init(W, H, P, (1, 1))
-    heat_store = jnp.zeros((P, Hc, Wc), jnp.float32)
+    state = policy_state_init(W, H, P)
+    store = chain_store_init(P, Hc, Wc)
 
     kw = dict(smallest_size=smallest_size,
               confidence_high=confidence_high,
@@ -667,10 +565,13 @@ def visual_search_device_policy(client, image, target_object_name: str,
     ckw.pop("confidence_high")
     ctx_fn = jax.jit(functools.partial(context_push, **ckw))
 
-    def pad_heat(h2d):
+    def pad_heat(h2d, bbox):
+        # the client's heatmap is patch-local; the device policy wants it
+        # at the patch's canvas window
         out = np.zeros((Hc, Wc), np.float32)
         a = np.asarray(h2d, np.float32)
-        out[:a.shape[0], :a.shape[1]] = a
+        x0, y0 = int(bbox[0]), int(bbox[1])
+        out[y0:y0 + a.shape[0], x0:x0 + a.shape[1]] = a
         return jnp.asarray(out)
 
     cur_bbox = [0, 0, W, H]
@@ -688,9 +589,9 @@ def visual_search_device_policy(client, image, target_object_name: str,
         if not det_valid:
             boxes = np.zeros((1, 4), np.float32)
             logits = np.zeros((1,), np.float32)
-        state, heat_store, code, nb = step_fn(
-            state, heat_store, det_valid, jnp.asarray(logits),
-            jnp.asarray(boxes), pad_heat(heat))
+        state, store, code, nb = step_fn(
+            state, store, det_valid, jnp.asarray(logits),
+            jnp.asarray(boxes), pad_heat(heat, cur_bbox))
         code = int(code)
         n_steps += 1
         if code == ACCEPT:
@@ -701,8 +602,8 @@ def visual_search_device_policy(client, image, target_object_name: str,
             phrase = context_phrase(answer, target_object_name)
             ctx = client.segment(pil, phrase)
             ctx_cues[n_steps - 1] = answer + "#" + phrase
-            state, heat_store, code, nb = ctx_fn(state, heat_store,
-                                                 pad_heat(ctx))
+            state, store, code, nb = ctx_fn(state, store,
+                                            pad_heat(ctx, cur_bbox))
             code = int(code)
         if code != RUNNING:
             break
@@ -716,7 +617,6 @@ def pack_record(state: PolicyState) -> jnp.ndarray:
     """Flatten the host-relevant path record into ONE f32 vector so the
     driver fetches it in a single device->host transfer (each separate
     np.asarray costs a 5-15 ms relay round trip)."""
-    P = state.p_bbox.shape[0]
     f = jnp.float32
     return jnp.concatenate([
         state.n_path[None].astype(f),
@@ -836,26 +736,25 @@ class CompiledVSMSearch:
     device canvas (jax cubic resampling), so this is the throughput/
     latency mode; the host-PIL engines remain the exact-parity default.
 
-    P caps the visited path length (the device path record size); a
+    P caps the visited path length (the device path record size and the
+    [P, Hc, Wc] chain-field store — 12.6 MB per step at a 2K canvas); a
     search that would exceed it ends in the low-confidence fallback, like
     max_steps=P on the host policy."""
 
-    def __init__(self, engine, P: int = 32):
-        import functools
-
+    def __init__(self, engine, P: int = 16):
         assert getattr(engine, "device_preprocess", False), \
             "CompiledVSMSearch needs a device_preprocess BatchedVSMEngine"
         self.engine = engine
         self.P = P
-        ies = engine.cfg.sam.image_embedding_size
-        self.mask_res = (ies[0] * 4, ies[1] * 4)
         self._jit_fused = jax.jit(
             fused_search,
             static_argnames=("cfg", "loc_token_id", "max_new_tokens",
                              "eos_id", "cache_len", "compute_dtype",
-                             "spec_chunk", "max_steps", "kv_int8"))
+                             "spec_chunk", "max_steps", "kv_int8"),
+            donate_argnums=(3, 4))     # state + chain store
         self._jit_ctx = jax.jit(
-            context_push_low, static_argnames=("Hc", "Wc", "max_steps"))
+            context_push_low, static_argnames=("max_steps",),
+            donate_argnums=(0, 1))
         self._jit_pack = jax.jit(pack_record)
 
     def _detect_layout(self, name: str):
@@ -894,8 +793,8 @@ class CompiledVSMSearch:
         if eng._draft_row is not None:
             draft = jnp.asarray(eng._draft_row[None])
 
-        state = policy_state_init(image.width, image.height, self.P,
-                                  self.mask_res)
+        state = policy_state_init(image.width, image.height, self.P)
+        store = chain_store_init(self.P, Hc, Wc)
         text_ids = jnp.asarray(lay.text_ids[None])
         feat_idx = jnp.asarray(lay.feat_idx[None])
         is_feat = jnp.asarray(lay.is_feat[None])
@@ -903,11 +802,11 @@ class CompiledVSMSearch:
 
         ctx_cues = {}
         while True:
-            state, code, det_logits, det_boxes = self._jit_fused(
-                eng.params, eng.cfg, canvas, state, text_ids, feat_idx,
-                is_feat, lens, draft, smallest_size, confidence_high,
-                target_cue_threshold, target_cue_threshold_decay,
-                target_cue_threshold_minimum,
+            state, store, code, det_logits, det_boxes = self._jit_fused(
+                eng.params, eng.cfg, canvas, state, store, text_ids,
+                feat_idx, is_feat, lens, draft, smallest_size,
+                confidence_high, target_cue_threshold,
+                target_cue_threshold_decay, target_cue_threshold_minimum,
                 loc_token_id=eng.loc_token_id,
                 max_new_tokens=eng.max_new_tokens, eos_id=eng.eos_id,
                 cache_len=cache_len, compute_dtype=eng.compute_dtype,
@@ -925,12 +824,11 @@ class CompiledVSMSearch:
                 out, _ = eng._run_many(
                     [p], [f"Please locate the {phrase} in this image."])
                 ctx_cues[idx] = answer + "#" + phrase
-                state, code = self._jit_ctx(
-                    state, out.mask_logits[0], out.loc_valid[0],
+                state, store, code = self._jit_ctx(
+                    state, store, out.mask_logits[0], out.loc_valid[0],
                     smallest_size, target_cue_threshold,
                     target_cue_threshold_decay,
-                    target_cue_threshold_minimum, Hc=Hc, Wc=Wc,
-                    max_steps=max_steps)
+                    target_cue_threshold_minimum, max_steps=max_steps)
                 code = int(code)
                 if code == RUNNING:
                     continue
