@@ -134,10 +134,14 @@ def main(argv=None):
 
     # deployment-shaped draft: the model's own greedy answer to the
     # search prompt on this content (templates match like this on real
-    # weights; random weights have no template to match)
+    # weights; random weights have no template to match). Probed through
+    # the SAME canvas-window extraction the fused search uses — the host
+    # PIL path resamples differently and its tokens would mismatch.
+    from vstar_tpu.search.policy import PatchRef
     probe = fresh_image()
-    out, _ = eng._run_many([probe], ["Please locate the red mug in this "
-                                     "image."])
+    ref = PatchRef(probe, [0, 0, probe.width, probe.height])
+    out, _ = eng._run_many([ref], ["Please locate the red mug in this "
+                                   "image."])
     ng = int(out.num_generated[0])
     toks = [int(t) for t in np.asarray(out.tokens[0, :ng])]
     row = np.full(MAX_NEW_TOKENS + eng.spec_chunk, eng.eos_id, np.int32)
