@@ -19,16 +19,23 @@ public checkpoints cannot be downloaded here): the thresholds are search
 *parameters*, so confidence_high=2 / target-cue thresholds < 0 pin every
 step to the detect+target-cue regime for exactly max_steps=3 steps — the
 control-flow path real checkpoints take (they additionally accept early,
-which only shortens the search). The image is uniform so every step's
-window content matches and the template speculative draft behaves as in
-deployment (the VSM's answers are templated "Sure, [LOC]."); the draft is
-the model's own greedy output, timing-equivalent to a matching template.
+which only shortens the search). The image is NOISE (incompressible, so
+the relay's transport compression cannot shrink the 2K canvas upload the
+way a synthetic flat image would). The speculative draft is the model's
+own greedy answer probed on the image's root window (deployment's
+template matches every step by training; random weights guarantee a
+match only at the root — deeper steps that diverge pay the greedy rate,
+making `value` conservative vs real checkpoints).
 
 Reported alongside (honesty knobs):
+  * uniform_scene_search_s — the same search on a uniform image: every
+    window matches the draft, timing the full-acceptance path real
+    checkpoints take (its upload compresses, so it also bounds the
+    PCIe-local upload story)
   * pipelined_search_s — per-search time when the next image's canvas
     prefetches during the current search (serving shape; upload overlap)
   * greedy_floor_search_s — same measured search with speculation off
-  * step/extract/upload component p50s and the synthetic path-length
+  * step/upload component p50s and the synthetic path-length
     distribution backing the 3-step choice
 """
 
@@ -126,35 +133,51 @@ def main(argv=None):
                            speculative_template=None)
     comp = CompiledVSMSearch(eng, P=16)
 
-    def fresh_image():
-        # uniform content: every step's windows match, so the greedy
-        # self-draft accepts like the deployment template; a NEW object
-        # per rep so the canvas upload is counted
+    _seed = [0]
+
+    def fresh_noise():
+        # incompressible content + a NEW object per rep: the full 2K
+        # canvas upload is counted every search
+        _seed[0] += 1
+        r = np.random.RandomState(_seed[0])
+        return Image.fromarray(r.randint(0, 255, (*img_hw, 3),
+                                         dtype=np.uint8))
+
+    def fresh_uniform():
         return Image.fromarray(np.full((*img_hw, 3), 128, np.uint8))
 
-    # deployment-shaped draft: the model's own greedy answer to the
-    # search prompt on this content (templates match like this on real
-    # weights; random weights have no template to match). Probed through
-    # the SAME canvas-window extraction the fused search uses — the host
-    # PIL path resamples differently and its tokens would mismatch.
     from vstar_tpu.search.policy import PatchRef
-    probe = fresh_image()
-    ref = PatchRef(probe, [0, 0, probe.width, probe.height])
-    out, _ = eng._run_many([ref], ["Please locate the red mug in this "
-                                   "image."])
-    ng = int(out.num_generated[0])
-    toks = [int(t) for t in np.asarray(out.tokens[0, :ng])]
-    row = np.full(MAX_NEW_TOKENS + eng.spec_chunk, eng.eos_id, np.int32)
-    row[:min(len(toks), len(row))] = toks[:len(row)]
-    eng._draft_row = row
 
-    def timed_searches(n, pipelined=False):
-        imgs = [fresh_image() for _ in range(n)]
+    def probe_draft(img):
+        # deployment-shaped draft: the model's own greedy answer on the
+        # image's root window, probed through the SAME canvas-window
+        # extraction the fused search uses (the host PIL path resamples
+        # differently and its tokens would mismatch)
+        ref = PatchRef(img, [0, 0, img.width, img.height])
+        out, _ = eng._run_many(
+            [ref], ["Please locate the red mug in this image."])
+        ng = int(out.num_generated[0])
+        toks = [int(t) for t in np.asarray(out.tokens[0, :ng])]
+        row = np.full(MAX_NEW_TOKENS + eng.spec_chunk, eng.eos_id,
+                      np.int32)
+        row[:min(len(toks), len(row))] = toks[:len(row)]
+        return row
+
+    def timed_searches(n, make_image, pipelined=False, draft=True):
+        imgs = [make_image() for _ in range(n)]
+        if draft:
+            rows = [probe_draft(im) for im in imgs]  # outside the timer:
+            # deployment's draft is a fixed training template
+            # probing uploaded the canvases — evict so the timed search
+            # pays its own upload
+            with eng._canvas_lock:
+                eng._canvas_cache.clear()
         ts = []
         if pipelined:
             eng.prefetch_canvas(imgs[0])
             t_all = time.perf_counter()
         for i, im in enumerate(imgs):
+            eng._draft_row = rows[i] if draft else None
             if pipelined and i + 1 < n:
                 eng.prefetch_canvas(imgs[i + 1])
             t0 = time.perf_counter()
@@ -167,15 +190,16 @@ def main(argv=None):
             return (time.perf_counter() - t_all) / n
         return float(np.percentile(ts, 50))
 
-    comp.search(fresh_image(), "red mug", **forced)   # compile + warm
-    search_p50 = timed_searches(args.repeats)
-    pipelined = timed_searches(4, pipelined=True)
+    eng._draft_row = probe_draft(fresh_noise())
+    comp.search(fresh_noise(), "red mug", **forced)   # compile + warm
+    search_p50 = timed_searches(args.repeats, fresh_noise)
+    uniform_p50 = timed_searches(3, fresh_uniform)
+    pipelined = timed_searches(4, fresh_noise, pipelined=True)
 
     # greedy floor: speculation off (draft=None is a separate program)
     eng._draft_row = None
-    comp.search(fresh_image(), "red mug", **forced)   # compile greedy form
-    greedy_search_p50 = timed_searches(3)
-    eng._draft_row = row
+    comp.search(fresh_noise(), "red mug", **forced)   # compile greedy form
+    greedy_search_p50 = timed_searches(3, fresh_noise, draft=False)
 
     # --- component probes (context for the headline) -------------------
     checksum = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
@@ -191,9 +215,9 @@ def main(argv=None):
     def step_probe():
         """One VSM search step (windows already on device), matched
         draft — the r1/r2 'step_p50_s' unit, for continuity."""
-        img = fresh_image()
-        from vstar_tpu.search.policy import PatchRef
+        img = fresh_noise()
         patch = PatchRef(img, [0, 0, img.width, img.height])
+        eng._draft_row = probe_draft(img)   # matched (template-hit) draft
         eng.detect_many([patch], ["red mug"])          # warm + canvas
         ts = []
         for _ in range(args.repeats):
@@ -204,14 +228,14 @@ def main(argv=None):
 
     step_p50 = step_probe()
 
-    # canvas upload (uint8 2K through the relay + on-device normalize)
-    rng = np.random.RandomState(0)
+    # canvas upload (uint8 2K through the relay + on-device normalize;
+    # scalar-fetch synced — the dispatch alone returns early)
     ups = []
-    for _ in range(3):
-        im = Image.fromarray(rng.randint(0, 255, (*img_hw, 3),
-                                         dtype=np.uint8))
+    for _ in range(4):
+        im = fresh_noise()
         t0 = time.perf_counter()
-        eng._canvas(im)
+        dev = eng._canvas(im)
+        float(np.asarray(dev[0, 0, 0]))
         ups.append(time.perf_counter() - t0)
     canvas_upload = float(np.percentile(ups[1:], 50))  # first may compile
 
@@ -223,6 +247,7 @@ def main(argv=None):
         "unit": "s",
         "vs_baseline": round(2.0 / search_p50, 3),
         "search_steps": SEARCH_STEPS,
+        "uniform_scene_search_s": round(uniform_p50, 4),
         "pipelined_search_s": round(pipelined, 4),
         "greedy_floor_search_s": round(greedy_search_p50, 4),
         "step_p50_s": round(step_p50, 4),

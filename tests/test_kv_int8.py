@@ -117,3 +117,43 @@ def test_vsm_engine_kv_int8_runs():
     assert h0.shape == h1.shape
     if h0.max() > 0:
         assert np.abs(h1 - h0).max() / (np.abs(h0).max() + 1e-9) < 0.05
+
+
+def test_vqa_engine_kv_int8_runs():
+    """The VQA engine's free-form + prefix-cache option scoring (the B=8
+    KV-bandwidth bottleneck) must run with the int8 cache and agree with
+    the f32-cache engine on the chosen option."""
+    from vstar_tpu.core.config import vqa_llm_tiny
+    from vstar_tpu.eval.vqa_engine import VQAEngine
+    from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+
+    cfg = vqa_llm_tiny()
+
+    class Tok:
+        bos_token_id = 1
+        eos_token_id = 2
+
+        class _O:
+            def __init__(s, i):
+                s.input_ids = i
+
+        def __call__(self, text):
+            return self._O([1] + [3 + zlib.crc32(w.encode()) % 200
+                                  for w in text.split()])
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"t{i}" for i in ids if i > 2)
+
+    params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg)
+    img = Image.fromarray((np.random.RandomState(0)
+                           .rand(64, 64, 3) * 255).astype("uint8"))
+    picks = {}
+    for kv_int8 in (False, True):
+        eng = VQAEngine(params, cfg, Tok(), prompt_buckets=(64,),
+                        option_bucket=16, compute_dtype=jnp.float32,
+                        kv_int8=kv_int8)
+        txt = eng.free_form(img, "what is this ?", max_new_tokens=4)
+        assert isinstance(txt, str)
+        picks[kv_int8] = eng.multiple_choice(
+            img, "what is this ?", ["a red cup", "a blue dog"])
+    assert picks[False] == picks[True]
