@@ -32,11 +32,16 @@ Reported alongside (honesty knobs):
     window matches the draft, timing the full-acceptance path real
     checkpoints take (its upload compresses, so it also bounds the
     PCIe-local upload story)
-  * pipelined_search_s — per-search time when the next image's canvas
-    prefetches during the current search (serving shape; upload overlap)
   * greedy_floor_search_s — same measured search with speculation off
   * step/upload component p50s and the synthetic path-length
     distribution backing the 3-step choice
+
+Canvas-prefetch overlap (BatchedVSMEngine.prefetch_canvas) is NOT timed
+here: the axon relay serializes transfers FIFO, so a concurrent prefetch
+upload queues AHEAD of the search's own dispatches instead of
+overlapping (measured 3.2 s/search pipelined vs 0.72 serial, r3). The
+feature targets PCIe-local deployments where transfers and compute
+genuinely overlap; on the relay the engines simply upload on first use.
 """
 
 import argparse
@@ -163,7 +168,7 @@ def main(argv=None):
         row[:min(len(toks), len(row))] = toks[:len(row)]
         return row
 
-    def timed_searches(n, make_image, pipelined=False, draft=True):
+    def timed_searches(n, make_image, draft=True):
         imgs = [make_image() for _ in range(n)]
         if draft:
             rows = [probe_draft(im) for im in imgs]  # outside the timer:
@@ -173,28 +178,20 @@ def main(argv=None):
             with eng._canvas_lock:
                 eng._canvas_cache.clear()
         ts = []
-        if pipelined:
-            eng.prefetch_canvas(imgs[0])
-            t_all = time.perf_counter()
         for i, im in enumerate(imgs):
             eng._draft_row = rows[i] if draft else None
-            if pipelined and i + 1 < n:
-                eng.prefetch_canvas(imgs[i + 1])
             t0 = time.perf_counter()
             _, plen, _, _ = comp.search(im, "red mug", **forced)
             # SEARCH_STEPS steps always execute; plen is the fallback
             # step's index (the search never accepts at conf_high=2)
             assert 0 <= plen <= SEARCH_STEPS, plen
             ts.append(time.perf_counter() - t0)
-        if pipelined:
-            return (time.perf_counter() - t_all) / n
         return float(np.percentile(ts, 50))
 
     eng._draft_row = probe_draft(fresh_noise())
     comp.search(fresh_noise(), "red mug", **forced)   # compile + warm
     search_p50 = timed_searches(args.repeats, fresh_noise)
     uniform_p50 = timed_searches(3, fresh_uniform)
-    pipelined = timed_searches(4, fresh_noise, pipelined=True)
 
     # greedy floor: speculation off (draft=None is a separate program)
     eng._draft_row = None
@@ -248,7 +245,6 @@ def main(argv=None):
         "vs_baseline": round(2.0 / search_p50, 3),
         "search_steps": SEARCH_STEPS,
         "uniform_scene_search_s": round(uniform_p50, 4),
-        "pipelined_search_s": round(pipelined, 4),
         "greedy_floor_search_s": round(greedy_search_p50, 4),
         "step_p50_s": round(step_p50, 4),
         "canvas_upload_2k_s": round(canvas_upload, 4),

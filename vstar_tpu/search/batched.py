@@ -97,10 +97,19 @@ class BatchedVSMEngine(VSMEngine):
 
     def prefetch_canvas(self, image):
         """Start this image's canvas upload on a background thread —
-        overlap the 0.28 s 2K relay upload with whatever the caller does
-        next (group assembly, prompt builds, the PREVIOUS group's waves).
-        `_canvas` picks up the in-flight result instead of re-uploading."""
+        overlap the 2K upload with whatever the caller does next (group
+        assembly, prompt builds, the PREVIOUS group's waves). `_canvas`
+        picks up the in-flight result instead of re-uploading.
+
+        No-op on the axon relay: it serializes transfers FIFO, so a
+        background upload queues AHEAD of the foreground dispatches
+        instead of overlapping (measured 4.5x slower pipelined searches,
+        r3 bench.py note). Overlap needs PCIe-local transfer/compute
+        concurrency."""
         if not self.device_preprocess:
+            return
+        import jax
+        if jax.devices()[0].platform == "axon":
             return
         key = id(image)
         with self._canvas_lock:
