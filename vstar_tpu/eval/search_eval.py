@@ -124,6 +124,10 @@ def main():
                    help="whole-search-on-device mode: each search runs "
                         "as ONE fused device program (implies "
                         "--device-preprocess; no --visualization)")
+    p.add_argument("--kv-int8", dest="kv_int8", action="store_true",
+                   default=False,
+                   help="int8 KV cache (halves residency + decode KV "
+                        "reads; accuracy unvalidated on real weights)")
     p.add_argument("--mesh", default=None,
                    help="DxFxM device mesh to shard the VSM over "
                         "(multi-chip), e.g. 1x4x1")
@@ -140,7 +144,8 @@ def main():
     vsm = load_vsm_engine(
         args.version,
         device_preprocess=args.device_preprocess or args.compiled,
-        mesh=resolve_mesh(args.mesh), int8=args.int8)
+        mesh=resolve_mesh(args.mesh), int8=args.int8,
+        kv_int8=args.kv_int8)
     if args.compiled:
         from ..search.compiled import CompiledVSMSearch
         vsm = CompiledVSMSearch(vsm)

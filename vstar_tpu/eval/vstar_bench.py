@@ -36,7 +36,7 @@ def _auto_int8(int8, mesh) -> bool:
 
 
 def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
-                    int8=None, device=None):
+                    int8=None, device=None, kv_int8: bool = False):
     """Load the VQA LLM from an HF-format checkpoint directory. Model
     shape follows the checkpoint's config.json (any Vicuna size / tower),
     like the reference's from_pretrained path (builder.py:26-151)."""
@@ -61,11 +61,12 @@ def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
         import jax
         vqa_params = jax.device_put(vqa_params, device)
     return VQAEngine(vqa_params, vqa_cfg, vqa_tok, conv_type=conv_type,
-                     mesh=mesh)
+                     mesh=mesh, kv_int8=kv_int8)
 
 
 def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
-                    mesh=None, int8=None, device=None):
+                    mesh=None, int8=None, device=None,
+                    kv_int8: bool = False):
     """Load the VSM from an HF-format checkpoint directory (the
     search-mechanism eval needs only this half, visual_search.py:142).
     device_preprocess opts the batched search path into on-device patch
@@ -93,12 +94,14 @@ def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
         import jax
         vsm_params = jax.device_put(vsm_params, device)
     return VSMEngine(vsm_params, vsm_cfg, vsm_tok, loc_token_id=loc_id,
-                     device_preprocess=device_preprocess, mesh=mesh)
+                     device_preprocess=device_preprocess, mesh=mesh,
+                     kv_int8=kv_int8)
 
 
 def load_engines(vqa_model_path: str, vsm_model_path: str,
                  conv_type: str = "v1", mesh=None, int8=None,
-                 device_preprocess: bool = False, split_models=None):
+                 device_preprocess: bool = False, split_models=None,
+                 kv_int8: bool = False):
     """Load both models from HF-format checkpoint directories. mesh:
     optional jax.sharding.Mesh (or 'DxFxM' string) to shard both models
     over for multi-chip serving. int8: None = auto (weight-only int8 on
@@ -119,10 +122,10 @@ def load_engines(vqa_model_path: str, vsm_model_path: str,
     d_vqa = devs[0] if split_models else None
     d_vsm = devs[1] if split_models else None
     return (load_vqa_engine(vqa_model_path, conv_type, mesh=mesh,
-                            int8=int8, device=d_vqa),
+                            int8=int8, device=d_vqa, kv_int8=kv_int8),
             load_vsm_engine(vsm_model_path, mesh=mesh, int8=int8,
                             device_preprocess=device_preprocess,
-                            device=d_vsm))
+                            device=d_vsm, kv_int8=kv_int8))
 
 
 def resolve_mesh(mesh):
@@ -144,7 +147,8 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
             mesh=getattr(args, "mesh", None),
             int8=getattr(args, "int8", None),
             device_preprocess=getattr(args, "device_preprocess", False)
-            or compiled)
+            or compiled,
+            kv_int8=getattr(args, "kv_int8", False))
         if compiled:
             from ..search.compiled import CompiledVSMSearch
             vsm_engine = CompiledVSMSearch(vsm_engine)
@@ -225,6 +229,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="whole-search-on-device: each guided search runs "
                         "as ONE fused device program (implies "
                         "--device-preprocess; serial searches)")
+    p.add_argument("--kv-int8", dest="kv_int8", action="store_true",
+                   default=False,
+                   help="int8 KV cache (halves residency + decode KV "
+                        "reads; 1.2x no-search throughput measured — "
+                        "accuracy unvalidated on real weights)")
     return p
 
 

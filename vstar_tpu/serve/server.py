@@ -159,6 +159,11 @@ def main():
                    help="keep bf16 decoder weights (default: weight-only "
                         "int8 on a single TPU chip — the 7B pair does "
                         "not fit 16 GB in bf16)")
+    p.add_argument("--kv-int8", dest="kv_int8", action="store_true",
+                   default=False,
+                   help="int8 KV cache: halves cache residency + decode "
+                        "KV reads (1.2x no-search throughput measured); "
+                        "accuracy unvalidated on real weights")
     p.add_argument("--warmup", action="store_true", default=False,
                    help="pre-compile every (mode x batch-bucket) program "
                         "before accepting traffic — no live request ever "
@@ -167,10 +172,12 @@ def main():
     from ..eval.vstar_bench import (load_vqa_engine, load_vsm_engine,
                                     resolve_mesh)
     mesh = resolve_mesh(args.mesh)
-    vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh, int8=args.int8)
+    vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh, int8=args.int8,
+                          kv_int8=args.kv_int8)
     vsm = load_vsm_engine(args.vsm_model_path,
                           device_preprocess=args.device_preprocess,
-                          mesh=mesh, int8=args.int8)
+                          mesh=mesh, int8=args.int8,
+                          kv_int8=args.kv_int8)
     if args.warmup:
         from ..eval.vqa_engine import warmup_vqa_engine
         from ..search.batched import warmup_vsm_engine
