@@ -163,3 +163,34 @@ def test_grouped_dispatch_compiled(engines):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="visualization"):
         run_grouped_searches(comp, tasks, visualize=True)
+
+
+def test_search_many_matches_serial(engines):
+    """Batched fused searches are independent: results must match the
+    per-search compiled path (same policy, same windows; the VSM batch
+    only shares weight reads)."""
+    eng, comp = engines
+    imgs = [_img(31), _img(32), _img(33)]
+    names = ["cat", "dog", "cup"]
+    smalls = [120, 150, 120]
+    outs_b = comp.search_many(imgs, names, smalls, max_steps=6)
+    assert len(outs_b) == 3
+    for i in range(3):
+        fs, ps, oks, vs = comp.search(imgs[i], names[i],
+                                      smallest_size=smalls[i],
+                                      max_steps=6)
+        fb, pb, okb, vb = outs_b[i]
+        assert okb == oks and pb == ps, (i, pb, ps)
+        if fs is None:
+            assert fb is None
+            continue
+        assert fb.bbox == fs.bbox and fb.scale_level == fs.scale_level
+        if fs.detection_result is not None:
+            np.testing.assert_allclose(np.asarray(fb.detection_result),
+                                       np.asarray(fs.detection_result),
+                                       rtol=1e-4, atol=1e-4)
+        if vs is not None:
+            np.testing.assert_allclose(np.asarray(vb), np.asarray(vs),
+                                       rtol=1e-4, atol=1e-4)
+        else:
+            assert vb is None

@@ -357,29 +357,52 @@ def run_grouped_searches(engine, tasks: Sequence[Dict], image_batch=None,
 
     outs: List[Optional[Tuple]] = [None] * len(tasks)
     # Whole-search-on-device engine (search/compiled.CompiledVSMSearch):
-    # each task is ONE fused dispatch; image_batch is irrelevant. The
-    # next task's canvas uploads in the background during the current
-    # search (only two decoded images are ever held).
+    # consecutive tasks whose images land in the same canvas bucket run
+    # as ONE batched fused program (search_many — the 7B weight reads
+    # shared across concurrent searches); image_batch is capped by the
+    # engine's batch buckets. Shared-image tasks reuse the decoded object
+    # so the canvas cache hits by id.
     if hasattr(engine, "search") and not hasattr(engine, "detect_many"):
         if visualize:
             raise ValueError(
                 "compiled search keeps heatmaps on device; use the host "
                 "or batched engine for --visualization")
-        nxt = img(tasks[0]) if tasks else None
+        max_b = engine.BATCH_BUCKETS[-1]
+        if image_batch:
+            max_b = min(max_b, image_batch)
+
+        def bucket_of(im):
+            return (-(-im.height // 512) * 512,
+                    -(-im.width // 512) * 512)
+
+        chunk_idx: List[int] = []
+        chunk_imgs: List = []
+        cur_bucket = None
+
+        def flush():
+            if not chunk_idx:
+                return
+            res = engine.search_many(
+                chunk_imgs, [tasks[j]["name"] for j in chunk_idx],
+                [tasks[j]["smallest"] for j in chunk_idx],
+                max_steps=max_steps, **policy_kw)
+            for j, r in zip(chunk_idx, res):
+                outs[j] = r
+            chunk_idx.clear()
+            chunk_imgs.clear()
+
+        prev_factory, prev_img = None, None
         for i, t in enumerate(tasks):
-            im = nxt
-            if i + 1 < len(tasks):
-                # tasks of one image share the factory object — reuse the
-                # decoded image so its canvas stays cached by id
-                nxt = im if tasks[i + 1]["image"] is t["image"] \
-                    else img(tasks[i + 1])
-                if nxt is not im:
-                    engine.engine.prefetch_canvas(nxt)
-            else:
-                nxt = None
-            outs[i] = engine.search(im, t["name"],
-                                    smallest_size=t["smallest"],
-                                    max_steps=max_steps, **policy_kw)
+            im = prev_img if t["image"] is prev_factory else img(t)
+            prev_factory, prev_img = t["image"], im
+            bk = bucket_of(im)
+            if chunk_idx and (bk != cur_bucket
+                              or len(chunk_idx) >= max_b):
+                flush()
+            cur_bucket = bk
+            chunk_idx.append(i)
+            chunk_imgs.append(im)
+        flush()
         return outs
     # device-preprocess engines stay on the batched driver even at
     # image_batch == 1 (waves of one): the serial path unwraps PatchRefs

@@ -524,6 +524,157 @@ def context_push_low(state: PolicyState, chain_store: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Batched fused mode: B concurrent searches in ONE program
+# ---------------------------------------------------------------------------
+
+def fused_search_batched(params, cfg, canvases: jnp.ndarray, states,
+                         stores: jnp.ndarray, codes: jnp.ndarray,
+                         text_ids, feat_idx, is_feat, lens, draft_ids,
+                         smallest_sizes, confidence_high,
+                         target_cue_threshold, target_cue_threshold_decay,
+                         target_cue_threshold_minimum,
+                         *, loc_token_id: int, max_new_tokens: int,
+                         eos_id: int, cache_len: int, compute_dtype,
+                         spec_chunk: int, max_steps,
+                         kv_int8: bool = False):
+    """B concurrent searches advance in lockstep inside one while_loop:
+    every iteration extracts each ACTIVE search's tower windows from its
+    canvas, runs ONE batched VSM generate (the 7B weight reads shared
+    across searches), and applies the vmapped policy transition. The loop
+    exits when no search is RUNNING; finished / context-cue searches ride
+    along masked. Searches are independent, so results are identical to
+    B separate `fused_search` runs.
+
+    canvases [B, Hc, Wc, 3]; states: PolicyState stacked on a leading B;
+    stores [B, P, Hc, Wc]; codes [B] i32 (RUNNING entries advance);
+    smallest_sizes [B]. Returns (states, stores, codes, det_logits
+    [B, N], det_boxes [B, N, 4])."""
+    from ..kernels.image_ops import window_resize
+    from ..models.vsm import vsm_generate
+
+    B, Hc, Wc, _ = canvases.shape
+    clip_size = cfg.vision.image_size
+    owl_size = cfg.owl_vision.image_size
+    n_det = (owl_size // cfg.owl_vision.patch_size) ** 2
+
+    def extract_one(canvas, bbox):
+        x0, y0, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
+        side = jnp.maximum(w, h)
+        sq = jnp.stack([x0 - (side - w) // 2, y0 - (side - h) // 2,
+                        side, side]).astype(jnp.float32)
+        cr = bbox.astype(jnp.float32)
+        return (window_resize(canvas, sq, clip_size, mask_bbox=cr),
+                window_resize(canvas, cr, owl_size, mask_bbox=cr))
+
+    def policy_one(state, store, det_valid, det_logits, det_boxes, heat,
+                   smallest):
+        st2, accept, _, _ = _detect_phase(
+            state, det_valid, det_logits, det_boxes, confidence_high,
+            apply_sigmoid=True)
+        st3, store3, code = _expand_phase(
+            st2, store, heat, jnp.zeros((), bool),
+            max_steps=max_steps, smallest_size=smallest,
+            target_cue_threshold=target_cue_threshold,
+            target_cue_threshold_decay=target_cue_threshold_decay,
+            target_cue_threshold_minimum=target_cue_threshold_minimum)
+        state_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), st2, st3)
+        store_out = jnp.where(accept, store, store3)
+        code = jnp.where(accept, ACCEPT, code).astype(jnp.int32)
+        return state_out, store_out, code
+
+    def _mask_tree(active, new, old):
+        def w(a, b):
+            m = active.reshape((B,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, a, b)
+        return jax.tree_util.tree_map(w, new, old)
+
+    def body(carry):
+        states, stores, codes, _, _ = carry
+        active = codes == RUNNING
+        idx = states.n_path - 1                      # [B]
+        bboxes = jnp.take_along_axis(
+            states.p_bbox, idx[:, None, None], axis=1)[:, 0]   # [B, 4]
+        clip_imgs, owl_imgs = jax.vmap(extract_one)(canvases, bboxes)
+        out = vsm_generate(params, cfg, clip_imgs, owl_imgs, text_ids,
+                           feat_idx, is_feat, lens,
+                           loc_token_id=loc_token_id,
+                           max_new_tokens=max_new_tokens, eos_id=eos_id,
+                           cache_len=cache_len,
+                           compute_dtype=compute_dtype,
+                           draft_ids=draft_ids, spec_chunk=spec_chunk,
+                           kv_int8=kv_int8)
+        heat = jax.vmap(
+            lambda low, bbox, dv: jnp.where(
+                dv, resize_clip_canvas(low, bbox, Hc, Wc), 0.0)
+        )(out.mask_logits, bboxes, out.loc_valid)
+        n_states, n_stores, n_codes = jax.vmap(policy_one)(
+            states, stores, out.loc_valid, out.det_logits, out.det_boxes,
+            heat, smallest_sizes)
+        states = _mask_tree(active, n_states, states)
+        stores = jnp.where(active[:, None, None, None], n_stores, stores)
+        codes = jnp.where(active, n_codes, codes)
+        det_l = jnp.where(active[:, None],
+                          out.det_logits.astype(jnp.float32), carry[3])
+        det_b = jnp.where(active[:, None, None],
+                          out.det_boxes.astype(jnp.float32), carry[4])
+        return (states, stores, codes, det_l, det_b)
+
+    carry = (states, stores, codes.astype(jnp.int32),
+             jnp.zeros((B, n_det), jnp.float32),
+             jnp.zeros((B, n_det, 4), jnp.float32))
+    return jax.lax.while_loop(lambda c: jnp.any(c[2] == RUNNING), body,
+                              carry)
+
+
+def context_push_low_batched(states, stores: jnp.ndarray,
+                             codes: jnp.ndarray, ctx_low: jnp.ndarray,
+                             ctx_valid, ctx_mask,
+                             smallest_sizes, target_cue_threshold,
+                             target_cue_threshold_decay,
+                             target_cue_threshold_minimum, *, max_steps):
+    """Batched production context-cue push: rows with ctx_mask get their
+    host-served segment logits recorded + children pushed + next step
+    popped (code RUNNING again unless the queue/cap ended them); other
+    rows pass through untouched."""
+    B = ctx_mask.shape[0]
+    Hc, Wc = stores.shape[2:]
+
+    def one_s(state, store, low, valid, smallest):
+        idx = state.n_path - 1
+        bbox = state.p_bbox[idx]
+        heat = jnp.where(valid, resize_clip_canvas(low, bbox, Hc, Wc),
+                         0.0)
+        st, s2, code = _expand_phase(
+            state, store, heat, jnp.ones((), bool),
+            max_steps=max_steps, smallest_size=smallest,
+            target_cue_threshold=target_cue_threshold,
+            target_cue_threshold_decay=target_cue_threshold_decay,
+            target_cue_threshold_minimum=target_cue_threshold_minimum,
+            skip_threshold=True)
+        return st, s2, code
+
+    n_states, n_stores, n_codes = jax.vmap(one_s)(
+        states, stores, ctx_low, ctx_valid, smallest_sizes)
+
+    def w(a, b):
+        m = ctx_mask.reshape((B,) + (1,) * (a.ndim - 1))
+        return jnp.where(m, a, b)
+
+    states = jax.tree_util.tree_map(w, n_states, states)
+    stores = jnp.where(ctx_mask[:, None, None, None], n_stores, stores)
+    codes = jnp.where(ctx_mask, n_codes, codes).astype(jnp.int32)
+    return states, stores, codes
+
+
+def tail_bboxes(states) -> jnp.ndarray:
+    """[B, 4] bbox of each search's path tail (one small fetch)."""
+    idx = states.n_path - 1
+    return jnp.take_along_axis(states.p_bbox, idx[:, None, None],
+                               axis=1)[:, 0]
+
+
+# ---------------------------------------------------------------------------
 # Host driver, injected mode: device policy x any VSMClient
 # ---------------------------------------------------------------------------
 
@@ -741,6 +892,8 @@ class CompiledVSMSearch:
     search that would exceed it ends in the low-confidence fallback, like
     max_steps=P on the host policy."""
 
+    BATCH_BUCKETS = (1, 2, 4)
+
     def __init__(self, engine, P: int = 16):
         assert getattr(engine, "device_preprocess", False), \
             "CompiledVSMSearch needs a device_preprocess BatchedVSMEngine"
@@ -756,6 +909,20 @@ class CompiledVSMSearch:
             context_push_low, static_argnames=("max_steps",),
             donate_argnums=(0, 1))
         self._jit_pack = jax.jit(pack_record)
+        self._jit_fused_b = jax.jit(
+            fused_search_batched,
+            static_argnames=("cfg", "loc_token_id", "max_new_tokens",
+                             "eos_id", "cache_len", "compute_dtype",
+                             "spec_chunk", "max_steps", "kv_int8"),
+            donate_argnums=(3, 4, 5))  # states + stores + codes
+        self._jit_ctx_b = jax.jit(
+            context_push_low_batched, static_argnames=("max_steps",),
+            donate_argnums=(0, 1))
+        self._jit_tails = jax.jit(
+            lambda st: jnp.concatenate(
+                [st.n_path[:, None].astype(jnp.int32), tail_bboxes(st)],
+                axis=1))
+        self._jit_pack_b = jax.jit(jax.vmap(pack_record))
 
     def _detect_layout(self, name: str):
         from ..multimodal.splicing import build_layout
@@ -846,3 +1013,167 @@ class CompiledVSMSearch:
 
         return _finalize(rec, code, accept_info, confidence_low,
                          ctx_cues, path_out)
+
+    # -- batched fused searches -------------------------------------------
+
+    def _bucket_b(self, n: int) -> int:
+        for b in self.BATCH_BUCKETS:
+            if n <= b:
+                return b
+        return self.BATCH_BUCKETS[-1]
+
+    def search_many(self, images, names, smallest_sizes,
+                    confidence_high: float = 0.5,
+                    confidence_low: float = 0.3,
+                    target_cue_threshold: float = 6.0,
+                    target_cue_threshold_decay: float = 0.7,
+                    target_cue_threshold_minimum: float = 3.0,
+                    max_steps: Optional[int] = None):
+        """B searches concurrently, each whole-search-on-device, the VSM
+        weight reads shared across them (fused_search_batched). Searches
+        are independent — results match per-search `search` exactly.
+        All images must land in the SAME canvas bucket (the grouped
+        dispatcher chunks by bucket); batch sizes pad up to BATCH_BUCKETS
+        with a repeated row. Returns a list of visual_search tuples."""
+        import numpy as np
+
+        from .engine import _round128
+        from .policy import PatchRef, context_phrase, context_question
+
+        n = len(images)
+        if n > self.BATCH_BUCKETS[-1]:
+            out = []
+            for a in range(0, n, self.BATCH_BUCKETS[-1]):
+                b = a + self.BATCH_BUCKETS[-1]
+                out.extend(self.search_many(
+                    images[a:b], names[a:b], smallest_sizes[a:b],
+                    confidence_high, confidence_low,
+                    target_cue_threshold, target_cue_threshold_decay,
+                    target_cue_threshold_minimum, max_steps))
+            return out
+        if n == 1:
+            return [self.search(
+                images[0], names[0], smallest_size=smallest_sizes[0],
+                confidence_high=confidence_high,
+                confidence_low=confidence_low,
+                target_cue_threshold=target_cue_threshold,
+                target_cue_threshold_decay=target_cue_threshold_decay,
+                target_cue_threshold_minimum=target_cue_threshold_minimum,
+                max_steps=max_steps)]
+        eng = self.engine
+        B = self._bucket_b(n)
+        pad = B - n
+        images = list(images) + [images[0]] * pad
+        names = list(names) + [names[0]] * pad
+        smallest = list(smallest_sizes) + [smallest_sizes[0]] * pad
+
+        canvases = [eng._canvas(im) for im in images]
+        shapes = {c.shape for c in canvases}
+        assert len(shapes) == 1, \
+            f"search_many needs one canvas bucket, got {shapes}"
+        canvases = jnp.stack(canvases)
+        Hc, Wc = canvases.shape[1:3]
+
+        lays, buckets = zip(*[self._detect_layout(nm) for nm in names])
+        bucket = max(buckets)
+        if len(set(buckets)) > 1:   # re-pad every layout to one bucket
+            from ..multimodal.splicing import build_layout
+            from ..multimodal.tokenizer import tokenize_with_image
+            lays = []
+            for nm in names:
+                prompt = eng._build_prompt(
+                    f"Please locate the {nm} in this image.")
+                ids = tokenize_with_image(prompt, eng.tokenizer)
+                lays.append(build_layout(ids, bucket,
+                                         n_long=eng.cfg.image_tokens,
+                                         n_short=0, image_long=True))
+        cache_len = bucket + _round128(eng.max_new_tokens)
+        draft = None
+        if eng._draft_row is not None:
+            draft = jnp.asarray(np.tile(eng._draft_row[None], (B, 1)))
+
+        state_list = [policy_state_init(im.width, im.height, self.P)
+                      for im in images]
+        states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *state_list)
+        stores = jnp.zeros((B, self.P, Hc, Wc), jnp.float32)
+        codes = jnp.zeros((B,), jnp.int32)
+        text_ids = jnp.asarray(np.stack([l.text_ids for l in lays]))
+        feat_idx = jnp.asarray(np.stack([l.feat_idx for l in lays]))
+        is_feat = jnp.asarray(np.stack([l.is_feat for l in lays]))
+        lens = jnp.asarray([l.length for l in lays], jnp.int32)
+        smallest_v = jnp.asarray(smallest, jnp.int32)
+        ies = eng.cfg.sam.image_embedding_size
+        mh, mw = ies[0] * 4, ies[1] * 4
+
+        ctx_cues = [dict() for _ in range(B)]
+        det_stash = []   # (active-rows mask, det_logits dev, det_boxes
+        #                  dev) per fused call: a row's det outputs come
+        #                  from the LAST call it was active in
+        while True:
+            was_running = np.asarray(codes) == RUNNING
+            states, stores, codes_d, det_l, det_b = self._jit_fused_b(
+                eng.params, eng.cfg, canvases, states, stores, codes,
+                text_ids, feat_idx, is_feat, lens, draft, smallest_v,
+                confidence_high, target_cue_threshold,
+                target_cue_threshold_decay, target_cue_threshold_minimum,
+                loc_token_id=eng.loc_token_id,
+                max_new_tokens=eng.max_new_tokens, eos_id=eng.eos_id,
+                cache_len=cache_len, compute_dtype=eng.compute_dtype,
+                spec_chunk=eng.spec_chunk, max_steps=max_steps,
+                kv_int8=getattr(eng, "kv_int8", False))
+            det_stash.append((was_running, det_l, det_b))
+            codes_np = np.asarray(codes_d)
+            ctx_rows = np.where(codes_np == NEED_CTX)[0]
+            if len(ctx_rows) == 0:
+                codes = codes_d
+                break
+            tails = np.asarray(self._jit_tails(states))   # [B, 1+4]
+            patches = []
+            for i in ctx_rows:
+                bbox = [int(v) for v in tails[i, 1:]]
+                p = PatchRef(images[i], bbox)
+                patches.append(p if eng.wants_patch_refs else p.pil())
+            answers = eng.vqa_many(
+                patches, [context_question(names[i]) for i in ctx_rows])
+            phrases = [context_phrase(a, names[i])
+                       for a, i in zip(answers, ctx_rows)]
+            out, _ = eng._run_many(
+                patches,
+                [f"Please locate the {ph} in this image."
+                 for ph in phrases])
+            ctx_low = np.zeros((B, mh, mw), np.float32)
+            ctx_valid = np.zeros((B,), bool)
+            for j, i in enumerate(ctx_rows):
+                ctx_low[i] = np.asarray(out.mask_logits[j], np.float32)
+                ctx_valid[i] = bool(out.loc_valid[j])
+                ctx_cues[i][int(tails[i, 0]) - 1] = \
+                    answers[j] + "#" + phrases[j]
+            states, stores, codes = self._jit_ctx_b(
+                states, stores, jnp.asarray(codes_np),
+                jnp.asarray(ctx_low), jnp.asarray(ctx_valid),
+                jnp.asarray(codes_np == NEED_CTX), smallest_v,
+                target_cue_threshold, target_cue_threshold_decay,
+                target_cue_threshold_minimum, max_steps=max_steps)
+            if not bool(np.any(np.asarray(codes) == RUNNING)):
+                break
+
+        codes_np = np.asarray(codes)
+        packed = np.asarray(self._jit_pack_b(states))
+        results = []
+        for b in range(n):
+            rec = _unpack_record(packed[b], self.P)
+
+            def accept_info(b=b, rec=rec):
+                for mask, dl, db in reversed(det_stash):
+                    if mask[b]:
+                        logits = 1.0 / (1.0 + np.exp(
+                            -np.asarray(dl[b], np.float32)))
+                        bbox = [int(v)
+                                for v in rec["p_bbox"][rec["n"] - 1]]
+                        return np.asarray(db[b], np.float32), logits, bbox
+                raise AssertionError("accept without an active fused call")
+
+            results.append(_finalize(rec, int(codes_np[b]), accept_info,
+                                     confidence_low, ctx_cues[b], None))
+        return results
