@@ -1,0 +1,69 @@
+"""Batched fused searches vs host lockstep waves at 7B on 2K images.
+
+Both sides run B=4 concurrent guided searches in the forced target-cue
+regime (3 steps each, no context cue). The host side batches per-wave VSM
+calls but round-trips the policy every step; the fused side runs all four
+whole searches inside one device program (fused_search_batched).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/compiled_batched_bench.py
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from vstar_tpu.core.config import vsm_7b
+from vstar_tpu.models.vsm import init_vsm_params
+from vstar_tpu.search.batched import BatchedVSMEngine, run_grouped_searches
+from vstar_tpu.search.compiled import CompiledVSMSearch
+
+import sys
+sys.path.insert(0, "/root/repo/scripts")
+from bench_common import Tok
+
+STEPS = 3
+FORCED = dict(confidence_high=2.0, target_cue_threshold=-1.0,
+              target_cue_threshold_decay=0.7,
+              target_cue_threshold_minimum=-1.0)
+
+
+def main():
+    print("devices:", jax.devices())
+    cfg = vsm_7b()
+    params = init_vsm_params(jax.random.PRNGKey(0), cfg,
+                             dtype=jnp.bfloat16, quantize_llm=True)
+    eng = BatchedVSMEngine(params, cfg, Tok(), loc_token_id=3,
+                           max_new_tokens=16, prompt_buckets=(384,),
+                           device_preprocess=True)
+    comp = CompiledVSMSearch(eng, P=8)
+    rng = np.random.RandomState(0)
+    imgs = [Image.fromarray(rng.randint(0, 255, (1536, 2048, 3),
+                                        dtype=np.uint8))
+            for _ in range(4)]
+    names = ["red mug", "clock", "street sign", "umbrella"]
+    for im in imgs:
+        eng._canvas(im)   # uploads outside both timed regions
+
+    def tasks(k):
+        return [{"image": imgs[i], "name": names[i], "smallest": 512}
+                for i in range(k)]
+
+    for label, engine, B in (("host-waves  B=4", eng, 4),
+                             ("fused       B=1", comp, 1),
+                             ("fused-batch B=4", comp, 4)):
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            run_grouped_searches(engine, tasks(B), image_batch=B,
+                                 max_steps=STEPS, **FORCED)
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        print(f"{label}: reps {[f'{t:.2f}' for t in ts]} s; steady "
+              f"{dt:.3f} s -> {B / dt:5.2f} searches/s "
+              f"({B * STEPS / dt:5.2f} steps/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -194,3 +194,26 @@ def test_search_many_matches_serial(engines):
                                        rtol=1e-4, atol=1e-4)
         else:
             assert vb is None
+
+
+def test_grouped_dispatch_mixed_buckets(engines):
+    """Tasks whose images land in different canvas buckets must chunk
+    correctly (one search_many call per bucket run) and still produce
+    per-task results."""
+    from vstar_tpu.search.batched import run_grouped_searches
+
+    eng, comp = engines
+    tasks = [
+        {"image": _img(41, 360, 460), "name": "cat", "smallest": 150},
+        {"image": _img(42, 360, 460), "name": "dog", "smallest": 150},
+        {"image": _img(43, 600, 700), "name": "cup", "smallest": 200},
+        {"image": _img(44, 360, 460), "name": "hat", "smallest": 150},
+    ]
+    outs = run_grouped_searches(comp, tasks, max_steps=4)
+    assert all(o is not None for o in outs)
+    for t, (f, plen, ok, _) in zip(tasks, outs):
+        ref = comp.search(t["image"], t["name"],
+                          smallest_size=t["smallest"], max_steps=4)
+        assert (ref[2], ref[1]) == (ok, plen)
+        if ref[0] is not None:
+            assert f.bbox == ref[0].bbox
