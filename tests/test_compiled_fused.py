@@ -217,3 +217,37 @@ def test_grouped_dispatch_mixed_buckets(engines):
         assert (ref[2], ref[1]) == (ok, plen)
         if ref[0] is not None:
             assert f.bbox == ref[0].bbox
+
+
+def test_seal_service_with_compiled_vsm(engines):
+    """serve --compiled: the SEAL service's search phase routes through
+    the fused engine (seal_answer -> run_grouped_searches -> compiled)."""
+    from vstar_tpu.serve.server import SealService
+
+    eng, comp = engines
+
+    class TriggerVQA:
+        def free_form(self, image, question, **kw):
+            if "Additional visual" in question:
+                return "it is red"
+            return ("Sorry, I can not answer the question. Some visual "
+                    "information about the following objects is missing "
+                    "or unclear: tiny cup.")
+
+        def get_object_crop(self, image, bbox, patch_scale):
+            return np.zeros((28, 28, 3), np.float32)
+
+    svc = SealService(TriggerVQA(), comp, minimum_size=150)
+    rec = svc.answer(_img(51), "what color is the tiny cup?")
+    assert rec["missing_objects"] == ["tiny cup"]
+    assert "search_result" in rec and "answer" in rec
+
+
+def test_warmup_compiled_smoke(engines):
+    from vstar_tpu.search.compiled import warmup_compiled
+
+    eng, comp = engines
+    logs = []
+    warmup_compiled(comp, canvas_sizes=((96, 128),),
+                    batch_buckets=(1, 2), log=logs.append)
+    assert len(logs) == 2

@@ -1177,3 +1177,28 @@ class CompiledVSMSearch:
             results.append(_finalize(rec, int(codes_np[b]), accept_info,
                                      confidence_low, ctx_cues[b], None))
         return results
+
+
+def warmup_compiled(comp: CompiledVSMSearch,
+                    canvas_sizes=((512, 512),),
+                    batch_buckets=(1, 2, 4), log=print):
+    """Pre-compile the fused whole-search programs per (canvas bucket x
+    batch bucket) so no live search stalls on a 30-70 s remote compile
+    (serve.server --warmup --compiled). Warm searches use
+    smallest_size >= the image side, so each exits after ONE step
+    (root too small to split -> queue empty). The rare context-cue push
+    programs still compile lazily (policy-only graphs, small)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for h, w in canvas_sizes:
+        imgs = [Image.fromarray(rng.randint(0, 255, (h, w, 3),
+                                            dtype=np.uint8))
+                for _ in range(max(batch_buckets))]
+        for b in batch_buckets:
+            comp.search_many(imgs[:b], ["warm object"] * b,
+                             [max(h, w)] * b)
+            if log:
+                log(f"[warmup] compiled search canvas {h}x{w} B={b} "
+                    f"compiled")

@@ -148,6 +148,12 @@ def main():
                    default=False,
                    help="extract search patches on device (one canvas "
                         "upload per image; 1.9x faster 2K search waves)")
+    p.add_argument("--compiled", action="store_true", default=False,
+                   help="whole-search-on-device: guided searches run as "
+                        "fused device programs, batched across a "
+                        "request's missing objects (1.38x search "
+                        "throughput measured; implies "
+                        "--device-preprocess)")
     p.add_argument("--mesh", default=None,
                    help="DxFxM device mesh to shard both models over "
                         "(multi-chip serving), e.g. 1x4x1")
@@ -175,7 +181,8 @@ def main():
     vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh, int8=args.int8,
                           kv_int8=args.kv_int8)
     vsm = load_vsm_engine(args.vsm_model_path,
-                          device_preprocess=args.device_preprocess,
+                          device_preprocess=args.device_preprocess
+                          or args.compiled,
                           mesh=mesh, int8=args.int8,
                           kv_int8=args.kv_int8)
     if args.warmup:
@@ -196,6 +203,12 @@ def main():
                 sizes.append((w, h))
         warmup_vsm_engine(vsm, batch_buckets=bbs,
                           canvas_sizes=tuple(sizes))
+    if args.compiled:
+        from ..search.compiled import CompiledVSMSearch, warmup_compiled
+        comp = CompiledVSMSearch(vsm)
+        if args.warmup:
+            warmup_compiled(comp, canvas_sizes=tuple(sizes))
+        vsm = comp
     if args.continuous:
         from .continuous import ContinuousSealService
         service = ContinuousSealService(vqa, vsm, max_batch=args.max_batch,
