@@ -116,6 +116,22 @@ def main():
         step, n, found, bboxes = visual_search(vsm, img, "red rectangle")
         print(f"[search] found={found} path_len={n} "
               f"bbox={None if step is None else step.bbox}")
+        # the compiled whole-search-on-device form must agree on the
+        # accept/fallback verdict (resampler-level pixel differences are
+        # expected; see PARITY.md deviations). Params are SHARED with the
+        # loaded engine — no second copy of the 7B weights.
+        from vstar_tpu.search.batched import BatchedVSMEngine
+        from vstar_tpu.search.compiled import CompiledVSMSearch
+        vsm_dp = BatchedVSMEngine(
+            vsm.params, vsm.cfg, vsm.tokenizer,
+            loc_token_id=vsm.loc_token_id, eos_id=vsm.eos_id,
+            max_new_tokens=vsm.max_new_tokens,
+            prompt_buckets=vsm.prompt_buckets,
+            compute_dtype=vsm.compute_dtype, device_preprocess=True)
+        cstep, cn, cfound, _ = CompiledVSMSearch(vsm_dp).search(
+            img, "red rectangle")
+        print(f"[search/compiled] found={cfound} path_len={cn} "
+              f"bbox={None if cstep is None else cstep.bbox}")
 
     if args.benchmark_folder and vqa is not None and vsm is not None:
         from vstar_tpu.eval.vstar_bench import eval_model
