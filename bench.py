@@ -69,27 +69,16 @@ def measured_path_steps(n_per_task: int = 3):
     return float(np.mean(plens)), plens
 
 
-class _Tok:
-    """Deterministic hash tokenizer (scripts/bench_common.py) — the real
-    vocab files are checkpoint-gated."""
-    bos_token_id = 1
-    eos_token_id = 2
-
-    class _O:
-        def __init__(s, i):
-            s.input_ids = i
-
-    def __call__(self, text, add_special_tokens=True):
-        import zlib
-        text = text.replace("</s>", " </s> ").replace("[LOC]", " [LOC] ")
-        ids = [1] if add_special_tokens else []
-        for w in text.split():
-            ids.append(2 if w == "</s>" else 3 if w == "[LOC]"
-                       else 4 + zlib.crc32(w.encode()) % 31000)
-        return self._O(ids)
-
-    def decode(self, ids, skip_special_tokens=True):
-        return " ".join(f"t{i}" for i in ids if i > 3)
+def _tok():
+    """Deterministic hash tokenizer (the real vocab files are
+    checkpoint-gated) — the single shared implementation lives in
+    scripts/bench_common.py."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from bench_common import Tok
+    return Tok()
 
 
 FORCED = dict(smallest_size=512, confidence_high=2.0,
@@ -132,7 +121,7 @@ def main(argv=None):
     params = init_vsm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
                              quantize_llm=(platform == "tpu"))
     jax.block_until_ready(params["llama"]["embed_tokens"])
-    eng = BatchedVSMEngine(params, cfg, _Tok(), loc_token_id=3,
+    eng = BatchedVSMEngine(params, cfg, _tok(), loc_token_id=3,
                            max_new_tokens=MAX_NEW_TOKENS,
                            prompt_buckets=(384,), device_preprocess=True,
                            speculative_template=None)

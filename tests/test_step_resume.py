@@ -44,7 +44,10 @@ def test_hybrid_skip_batches_exact():
         return list(ds.batches(5, skip_batches=skip)), ds
 
     full, _ = stream(0)
-    for k in (1, 3, 7):
+    # every offset, incl. boundaries inside the epoch's LAST sample (the
+    # tail batches used to be dropped when the skip loop consumed all
+    # samples_per_epoch draws before flushing the boundary buffer)
+    for k in range(1, len(full) + 1):
         got, ds = stream(k)
         assert got == full[k:], f"skip={k} diverged"
 
@@ -56,6 +59,28 @@ def test_hybrid_skip_batches_exact():
     skipped_decodes = sum(c.decodes for c in ds.children)
     full_decodes = sum(c.decodes for c in full_ds.children)
     assert skipped_decodes < full_decodes * 0.75
+
+
+def test_hybrid_skip_inside_last_sample():
+    """Boundary inside the epoch's LAST sample: the remaining rows must
+    still be yielded (they used to be silently dropped, breaking the
+    resumed stream at the epoch tail with a StopIteration upstream)."""
+
+    class Fixed5:
+        def __init__(self):
+            self.rng = random.Random(0)
+
+        def sample_rows(self):
+            return [self.rng.randint(0, 999) for _ in range(5)]
+
+    def stream(skip):
+        ds = HybridDataset([Fixed5()], [1], samples_per_epoch=3, seed=1)
+        return list(ds.batches(2, skip_batches=skip))
+
+    full = stream(0)
+    assert len(full) == 7  # 15 rows -> 7 full pairs
+    # skip=6: the boundary lands 2 rows into the 3rd (last) sample
+    assert stream(6) == full[6:]
 
 
 def _vqa_dataset_dir(tmp_path, n_images=5):

@@ -355,6 +355,13 @@ class HybridDataset:
             self._set_rng_states(st)
             buf = self.sample_rows()[to_skip:]
             to_skip = 0
+        # flush batches already complete inside the boundary sample — when
+        # the boundary lands inside the epoch's LAST sample the loop below
+        # runs zero iterations and these rows would otherwise be dropped
+        # (an uninterrupted run yields them)
+        while len(buf) >= batch_size_rows:
+            yield buf[:batch_size_rows]
+            buf = buf[batch_size_rows:]
         for _ in range(drawn, self.samples_per_epoch):
             buf.extend(self.sample_rows())
             while len(buf) >= batch_size_rows:

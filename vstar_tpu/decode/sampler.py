@@ -39,7 +39,12 @@ def sample_token(logits: jnp.ndarray, key, temperature=0.0,
         return greedy
     temp = jnp.asarray(temperature, jnp.float32)
     scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)
-    if top_p is not None:
+    # a STATIC top_p >= 1 skips the full-vocab sort/softmax/cumsum filter
+    # entirely (it keeps everything — and exactly, where the cum-mass
+    # comparison could round a tail token away); only a traced top_p pays
+    # the filter unconditionally
+    if top_p is not None and not (isinstance(top_p, (int, float))
+                                  and top_p >= 1.0):
         sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)

@@ -119,7 +119,17 @@ def square_window(bbox) -> list:
     return [x0 - (side - w) // 2, y0 - (side - h) // 2, side, side]
 
 
-def u8_canvas(image, bucket: int = 512):
+CANVAS_BUCKET = 512
+
+
+def canvas_bucket_hw(h: int, w: int, bucket: int = CANVAS_BUCKET):
+    """Bucketed canvas shape (bH, bW) for an HxW image — the single
+    source of truth for canvas-shape grouping (u8_canvas padding and the
+    grouped search dispatcher must agree, or same-bucket asserts fire)."""
+    return (-(-h // bucket) * bucket, -(-w // bucket) * bucket)
+
+
+def u8_canvas(image, bucket: int = CANVAS_BUCKET):
     """PIL image -> (uint8 canvas [bH, bW, 3] zero-padded, (H, W)).
     Upload this (3x smaller than f32) and finish with
     `normalize_canvas_device` on device."""
@@ -127,8 +137,7 @@ def u8_canvas(image, bucket: int = 512):
 
     arr = np.asarray(image.convert("RGB"), np.uint8)
     H, W = arr.shape[:2]
-    bh = -(-H // bucket) * bucket
-    bw = -(-W // bucket) * bucket
+    bh, bw = canvas_bucket_hw(H, W, bucket)
     canvas = np.zeros((bh, bw, 3), np.uint8)
     canvas[:H, :W] = arr
     return canvas, (H, W)

@@ -119,12 +119,24 @@ class BatchedVSMEngine(VSMEngine):
                 return
 
             def build(image=image):
-                dev = self._canvas_build(image)
-                # force the transfer/normalize to finish ON THIS thread
-                # (relay block_until_ready returns early; a scalar fetch
-                # is the reliable sync)
-                float(dev[0, 0, 0])
-                return dev, image
+                # On completion the result moves into the bounded LRU
+                # cache and the inflight marker is dropped — never-consumed
+                # prefetches (direct-answer requests trigger no search) are
+                # evicted like any cache entry instead of pinning canvases
+                # in _canvas_inflight forever; a failed build clears the
+                # marker so _canvas() retries synchronously.
+                try:
+                    dev = self._canvas_build(image)
+                    # force the transfer/normalize to finish ON THIS
+                    # thread (relay block_until_ready returns early; a
+                    # scalar fetch is the reliable sync)
+                    float(dev[0, 0, 0])
+                    with self._canvas_lock:
+                        self._canvas_insert(key, dev, image)
+                    return dev, image
+                finally:
+                    with self._canvas_lock:
+                        self._canvas_inflight.pop(key, None)
 
             self._canvas_inflight[key] = self._canvas_pool.submit(build)
 
@@ -137,12 +149,12 @@ class BatchedVSMEngine(VSMEngine):
                 return hit[0]
             fut = self._canvas_inflight.get(key)
         if fut is not None:
-            dev, ref = fut.result()
-            with self._canvas_lock:
-                self._canvas_inflight.pop(key, None)
-                if ref is image:
-                    self._canvas_insert(key, dev, image)
-                    return dev
+            try:
+                dev, ref = fut.result()
+            except Exception:
+                dev, ref = None, None  # fall through to a sync rebuild
+            if ref is image:
+                return dev
         dev = self._canvas_build(image)
         with self._canvas_lock:
             self._canvas_insert(key, dev, image)
@@ -372,8 +384,8 @@ def run_grouped_searches(engine, tasks: Sequence[Dict], image_batch=None,
             max_b = min(max_b, image_batch)
 
         def bucket_of(im):
-            return (-(-im.height // 512) * 512,
-                    -(-im.width // 512) * 512)
+            from ..kernels.image_ops import canvas_bucket_hw
+            return canvas_bucket_hw(im.height, im.width)
 
         chunk_idx: List[int] = []
         chunk_imgs: List = []

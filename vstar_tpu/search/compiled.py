@@ -83,7 +83,8 @@ class PolicyState(NamedTuple):
     p_top_logit: jnp.ndarray  # [P] f32 stashed low-confidence top sigmoid
     p_has_stash: jnp.ndarray  # [P] bool temp_detection_result present
     p_det_box: jnp.ndarray   # [P, 4] f32 patch-local [x, y, w, h] top box
-    p_ctx: jnp.ndarray       # [P] bool step used the context cue
+    # NOTE: which steps used the context cue is host knowledge (the host
+    # runs that text step and records it in ctx_cues) — no device field.
 
 
 def policy_state_init(root_w: int, root_h: int, P: int) -> PolicyState:
@@ -107,7 +108,6 @@ def policy_state_init(root_w: int, root_h: int, P: int) -> PolicyState:
         p_top_logit=jnp.zeros((P,), jnp.float32),
         p_has_stash=jnp.zeros((P,), bool),
         p_det_box=jnp.zeros((P, 4), jnp.float32),
-        p_ctx=jnp.zeros((P,), bool),
     )
 
 
@@ -309,7 +309,7 @@ def _detect_phase(state: PolicyState, det_valid, det_logits, det_boxes,
 
 
 def _expand_phase(state: PolicyState, chain_store: jnp.ndarray,
-                  heat: jnp.ndarray, is_ctx, *, max_steps,
+                  heat: jnp.ndarray, *, max_steps,
                   smallest_size, target_cue_threshold,
                   target_cue_threshold_decay,
                   target_cue_threshold_minimum,
@@ -356,11 +356,7 @@ def _expand_phase(state: PolicyState, chain_store: jnp.ndarray,
     scores = rect_sums(acc, subs)   # == the reference's ancestor loop,
     #                                 by linearity of rect sums
 
-    rec = state._replace(
-        p_ctx=state.p_ctx.at[idx].set(
-            jnp.where(jnp.logical_and(expand, is_ctx), True,
-                      state.p_ctx[idx])))
-    rec = _push_children(rec, idx, subs, scores, expand)
+    rec = _push_children(state, idx, subs, scores, expand)
     popped, exit_code = _pop_append(rec, max_steps)
     exit_code = jnp.where(need_ctx, NEED_CTX, exit_code)
     # the NEED_CTX exit must not pop (the host pushes the ctx children
@@ -388,7 +384,7 @@ def injected_step(state: PolicyState, chain_store: jnp.ndarray,
     state, accept, _, _ = _detect_phase(state, det_valid, det_logits,
                                         det_boxes, confidence_high)
     st2, store2, exit_code = _expand_phase(
-        state, chain_store, heat, jnp.zeros((), bool),
+        state, chain_store, heat,
         max_steps=max_steps, smallest_size=smallest_size,
         target_cue_threshold=target_cue_threshold,
         target_cue_threshold_decay=target_cue_threshold_decay,
@@ -411,7 +407,7 @@ def context_push(state: PolicyState, chain_store: jnp.ndarray,
     -> chain-field update + push children + pop (the step's detect phase
     already ran). Returns (state', store', exit_code, next_bbox)."""
     st, store, exit_code = _expand_phase(
-        state, chain_store, heat, jnp.ones((), bool),
+        state, chain_store, heat,
         max_steps=max_steps, smallest_size=smallest_size,
         target_cue_threshold=target_cue_threshold,
         target_cue_threshold_decay=target_cue_threshold_decay,
@@ -481,7 +477,7 @@ def fused_search(params, cfg, canvas: jnp.ndarray, state: PolicyState,
                          resize_clip_canvas(out.mask_logits[0], bbox,
                                             Hc, Wc), 0.0)
         st3, store3, code = _expand_phase(
-            st2, store, heat, jnp.zeros((), bool),
+            st2, store, heat,
             max_steps=max_steps, smallest_size=smallest_size,
             target_cue_threshold=target_cue_threshold,
             target_cue_threshold_decay=target_cue_threshold_decay,
@@ -514,7 +510,7 @@ def context_push_low(state: PolicyState, chain_store: jnp.ndarray,
     heat = jnp.where(ctx_valid,
                      resize_clip_canvas(ctx_low, bbox, Hc, Wc), 0.0)
     st, store, code = _expand_phase(
-        state, chain_store, heat, jnp.ones((), bool),
+        state, chain_store, heat,
         max_steps=max_steps, smallest_size=smallest_size,
         target_cue_threshold=target_cue_threshold,
         target_cue_threshold_decay=target_cue_threshold_decay,
@@ -572,7 +568,7 @@ def fused_search_batched(params, cfg, canvases: jnp.ndarray, states,
             state, det_valid, det_logits, det_boxes, confidence_high,
             apply_sigmoid=True)
         st3, store3, code = _expand_phase(
-            st2, store, heat, jnp.zeros((), bool),
+            st2, store, heat,
             max_steps=max_steps, smallest_size=smallest,
             target_cue_threshold=target_cue_threshold,
             target_cue_threshold_decay=target_cue_threshold_decay,
@@ -646,7 +642,7 @@ def context_push_low_batched(states, stores: jnp.ndarray,
         heat = jnp.where(valid, resize_clip_canvas(low, bbox, Hc, Wc),
                          0.0)
         st, s2, code = _expand_phase(
-            state, store, heat, jnp.ones((), bool),
+            state, store, heat,
             max_steps=max_steps, smallest_size=smallest,
             target_cue_threshold=target_cue_threshold,
             target_cue_threshold_decay=target_cue_threshold_decay,
@@ -1142,16 +1138,21 @@ class CompiledVSMSearch:
                 patches,
                 [f"Please locate the {ph} in this image."
                  for ph in phrases])
-            ctx_low = np.zeros((B, mh, mw), np.float32)
+            # scatter the [mh,mw] ctx masks on DEVICE — fetching each
+            # 192x192 f32 row through the relay (~70 KB/s) would cost
+            # ~2 s/row; loc_valid is a tiny fetch
+            idx = jnp.asarray(np.asarray(ctx_rows, np.int32))
+            ctx_low = jnp.zeros((B, mh, mw), jnp.float32).at[idx].set(
+                out.mask_logits[:len(ctx_rows)].astype(jnp.float32))
+            valid_np = np.asarray(out.loc_valid[:len(ctx_rows)])
             ctx_valid = np.zeros((B,), bool)
             for j, i in enumerate(ctx_rows):
-                ctx_low[i] = np.asarray(out.mask_logits[j], np.float32)
-                ctx_valid[i] = bool(out.loc_valid[j])
+                ctx_valid[i] = bool(valid_np[j])
                 ctx_cues[i][int(tails[i, 0]) - 1] = \
                     answers[j] + "#" + phrases[j]
             states, stores, codes = self._jit_ctx_b(
                 states, stores, jnp.asarray(codes_np),
-                jnp.asarray(ctx_low), jnp.asarray(ctx_valid),
+                ctx_low, jnp.asarray(ctx_valid),
                 jnp.asarray(codes_np == NEED_CTX), smallest_v,
                 target_cue_threshold, target_cue_threshold_decay,
                 target_cue_threshold_minimum, max_steps=max_steps)
@@ -1183,13 +1184,39 @@ def warmup_compiled(comp: CompiledVSMSearch,
                     canvas_sizes=((512, 512),),
                     batch_buckets=(1, 2, 4), log=print):
     """Pre-compile the fused whole-search programs per (canvas bucket x
-    batch bucket) so no live search stalls on a 30-70 s remote compile
-    (serve.server --warmup --compiled). Warm searches use
-    smallest_size >= the image side, so each exits after ONE step
-    (root too small to split -> queue empty). The rare context-cue push
-    programs still compile lazily (policy-only graphs, small)."""
+    batch bucket x PROMPT bucket) so no live search stalls on a 30-70 s
+    remote compile (serve.server --warmup --compiled). The fused program
+    is additionally keyed by the detect prompt's token bucket (text_ids
+    shape + cache_len), so each prompt bucket gets a filler object name
+    long enough to land in it — a long live object name must not compile
+    mid-request. Warm searches use smallest_size >= the image side, so
+    each exits after ONE step (root too small to split -> queue empty).
+    The rare context-cue push programs still compile lazily (policy-only
+    graphs, small)."""
     import numpy as np
     from PIL import Image
+
+    from ..multimodal.tokenizer import tokenize_with_image
+    from .batched import _filler_for_bucket
+
+    eng = comp.engine
+
+    def _detect_len(name):
+        prompt = eng._build_prompt(
+            f"Please locate the {name} in this image.")
+        return len(tokenize_with_image(prompt, eng.tokenizer)) - 1 \
+            + eng.cfg.image_tokens
+
+    names = ["warm object"]
+    bks = list(eng.prompt_buckets)
+    for lo, hi in zip(bks[:-1], bks[1:]):
+        filler = _filler_for_bucket(_detect_len, lo, hi)
+        if filler is None:
+            if log:
+                log(f"[warmup] compiled: no filler name reaches prompt "
+                    f"bucket {hi}; that bucket will compile lazily")
+        else:
+            names.append(filler)
 
     rng = np.random.RandomState(0)
     for h, w in canvas_sizes:
@@ -1197,8 +1224,8 @@ def warmup_compiled(comp: CompiledVSMSearch,
                                             dtype=np.uint8))
                 for _ in range(max(batch_buckets))]
         for b in batch_buckets:
-            comp.search_many(imgs[:b], ["warm object"] * b,
-                             [max(h, w)] * b)
+            for name in names:
+                comp.search_many(imgs[:b], [name] * b, [max(h, w)] * b)
             if log:
                 log(f"[warmup] compiled search canvas {h}x{w} B={b} "
-                    f"compiled")
+                    f"({len(names)} prompt buckets) compiled")
