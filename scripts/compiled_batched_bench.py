@@ -30,19 +30,31 @@ FORCED = dict(confidence_high=2.0, target_cue_threshold=-1.0,
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 KV cache in every engine/fused program")
+    ap.add_argument("--max-b", type=int, default=4,
+                    help="largest fused batch bucket to measure (4 or 8)")
+    ap.add_argument("--skip-host", action="store_true",
+                    help="skip the host-waves baseline row")
+    args = ap.parse_args()
+
     print("devices:", jax.devices())
     cfg = vsm_7b()
     params = init_vsm_params(jax.random.PRNGKey(0), cfg,
                              dtype=jnp.bfloat16, quantize_llm=True)
     eng = BatchedVSMEngine(params, cfg, Tok(), loc_token_id=3,
                            max_new_tokens=16, prompt_buckets=(384,),
-                           device_preprocess=True)
-    comp = CompiledVSMSearch(eng, P=8)
+                           device_preprocess=True, kv_int8=args.kv_int8)
+    buckets = tuple(b for b in (1, 2, 4, 8) if b <= args.max_b)
+    comp = CompiledVSMSearch(eng, P=8, batch_buckets=buckets)
     rng = np.random.RandomState(0)
     imgs = [Image.fromarray(rng.randint(0, 255, (1536, 2048, 3),
                                         dtype=np.uint8))
-            for _ in range(4)]
-    names = ["red mug", "clock", "street sign", "umbrella"]
+            for _ in range(args.max_b)]
+    names = ["red mug", "clock", "street sign", "umbrella",
+             "bicycle", "stop light", "backpack", "fire hydrant"]
     for im in imgs:
         eng._canvas(im)   # uploads outside both timed regions
 
@@ -50,9 +62,14 @@ def main():
         return [{"image": imgs[i], "name": names[i], "smallest": 512}
                 for i in range(k)]
 
-    for label, engine, B in (("host-waves  B=4", eng, 4),
-                             ("fused       B=1", comp, 1),
-                             ("fused-batch B=4", comp, 4)):
+    rows = [("host-waves  B=4", eng, 4),
+            ("fused       B=1", comp, 1),
+            ("fused-batch B=4", comp, 4)]
+    if args.skip_host:
+        rows = rows[1:]
+    if args.max_b >= 8:
+        rows.append(("fused-batch B=8", comp, 8))
+    for label, engine, B in rows:
         ts = []
         for _ in range(4):
             t0 = time.perf_counter()

@@ -196,6 +196,29 @@ def test_search_many_matches_serial(engines):
             assert vb is None
 
 
+def test_search_many_custom_batch_buckets(engines):
+    """batch_buckets=(...,8): five searches pad to one B=8 fused program
+    and still match the per-search compiled path row for row."""
+    eng, _ = engines
+    comp8 = CompiledVSMSearch(eng, P=16, batch_buckets=(1, 2, 4, 8))
+    assert comp8.BATCH_BUCKETS == (1, 2, 4, 8)
+    imgs = [_img(50 + i) for i in range(5)]
+    names = ["cat", "dog", "cup", "hat", "box"]
+    smalls = [120, 150, 120, 200, 150]
+    outs = comp8.search_many(imgs, names, smalls, max_steps=5)
+    assert len(outs) == 5
+    for i in range(5):
+        fs, ps, oks, _ = comp8.search(imgs[i], names[i],
+                                      smallest_size=smalls[i],
+                                      max_steps=5)
+        fb, pb, okb, _ = outs[i]
+        assert okb == oks and pb == ps, (i, pb, ps)
+        if fs is None:
+            assert fb is None
+        else:
+            assert fb.bbox == fs.bbox
+
+
 def test_grouped_dispatch_mixed_buckets(engines):
     """Tasks whose images land in different canvas buckets must chunk
     correctly (one search_many call per bucket run) and still produce

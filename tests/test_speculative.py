@@ -91,3 +91,125 @@ def test_forced_stop_equivalent():
                                   np.asarray(ref.tokens))
     np.testing.assert_array_equal(np.asarray(spec.num_generated),
                                   np.asarray(ref.num_generated))
+
+
+# -- prompt-lookup drafts ----------------------------------------------------
+
+from vstar_tpu.decode.speculative import lookup_decode  # noqa: E402
+
+
+def _check_lookup_equiv(prompt, ctx=None, ctx_len=None, chunk=4):
+    logits, hidden, cache = _prefill(prompt)
+    ref = greedy_decode(PARAMS, CFG, cache, logits, hidden, MAX_NEW, [EOS],
+                        compute_dtype=jnp.float32)
+    logits, hidden, cache = _prefill(prompt)
+    if ctx is None:
+        ctx = prompt
+    if ctx_len is None:
+        ctx_len = np.full((prompt.shape[0],), ctx.shape[1], np.int32)
+    spec = lookup_decode(PARAMS, CFG, cache, logits, hidden,
+                         jnp.asarray(ctx, jnp.int32),
+                         jnp.asarray(ctx_len, jnp.int32), MAX_NEW, [EOS],
+                         chunk=chunk, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(spec.num_generated),
+                                  np.asarray(ref.num_generated))
+    np.testing.assert_array_equal(np.asarray(spec.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(spec.cache.length),
+                                  np.asarray(ref.cache.length))
+    for b in range(spec.tokens.shape[0]):
+        n = int(spec.num_generated[b])
+        np.testing.assert_allclose(np.asarray(spec.hiddens[b, :n]),
+                                   np.asarray(ref.hiddens[b, :n]),
+                                   rtol=3e-5, atol=3e-5)
+    return ref, spec
+
+
+def test_lookup_equivalent_random_prompts():
+    """Bit-equality with greedy for arbitrary contexts (matches are
+    essentially spurious on a random model -> mostly rejections)."""
+    rng = np.random.RandomState(3)
+    for trial in range(3):
+        prompt = rng.randint(3, CFG.vocab_size, (2, 5 + trial))
+        _check_lookup_equiv(prompt, chunk=3 + trial)
+
+
+def test_lookup_equivalent_answer_in_context():
+    """The greedy continuation placed INSIDE the context (the prompt-echo
+    case lookup is built for): still bit-identical — and the bigram
+    retrieval actually proposes it (high acceptance exercised, not just
+    the all-reject path)."""
+    rng = np.random.RandomState(4)
+    prompt = rng.randint(3, CFG.vocab_size, (2, 6))
+    logits, hidden, cache = _prefill(prompt)
+    ref = greedy_decode(PARAMS, CFG, cache, logits, hidden, MAX_NEW, [EOS],
+                        compute_dtype=jnp.float32)
+    toks = np.asarray(ref.tokens)
+    # context = [prompt tail token, full greedy answer, padding]
+    C = prompt.shape[1] + MAX_NEW + 2
+    ctx = np.full((2, C), -1, np.int32)
+    lens = np.zeros((2,), np.int32)
+    for b in range(2):
+        row = list(prompt[b]) + [int(t) for t in
+                                 toks[b, :int(ref.num_generated[b])]]
+        ctx[b, :len(row)] = row
+        lens[b] = len(row)
+    _check_lookup_equiv(prompt, ctx=ctx, ctx_len=lens)
+
+
+def test_lookup_equivalent_repetitive_prompt():
+    """Repeating-token prompts create many bigram matches incl. ties —
+    the most-recent-match rule must stay greedy-equivalent."""
+    rng = np.random.RandomState(5)
+    base = rng.randint(3, CFG.vocab_size, (1, 3))
+    prompt = np.concatenate([base, base, base], axis=1)
+    prompt = np.concatenate([prompt, prompt], axis=0)
+    _check_lookup_equiv(prompt, chunk=4)
+
+
+def test_lookup_masked_context_slots():
+    """-1 (masked non-text) context slots must never be proposed as
+    drafts — equivalence with a context that is mostly mask."""
+    rng = np.random.RandomState(6)
+    prompt = rng.randint(3, CFG.vocab_size, (2, 6))
+    C = 24
+    ctx = np.full((2, C), -1, np.int32)
+    ctx[:, 4:10] = prompt
+    lens = np.full((2,), 10, np.int32)
+    _check_lookup_equiv(prompt, ctx=ctx, ctx_len=lens)
+
+
+def test_engine_prompt_lookup_matches_greedy():
+    """VQAEngine(prompt_lookup=True): free_form and free_form_many return
+    exactly the default greedy text (lookup only changes speed)."""
+    from PIL import Image
+
+    from vstar_tpu.core.config import vqa_llm_tiny
+    from vstar_tpu.eval.vqa_engine import VQAEngine
+    from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+    from tests.test_data import WordTokenizer
+
+    cfg = vqa_llm_tiny()
+    params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg)
+    tok = WordTokenizer()
+
+    def make(**kw):
+        return VQAEngine(params, cfg, tok, prompt_buckets=(64, 128),
+                         option_bucket=16, compute_dtype=jnp.float32,
+                         **kw)
+
+    plain = make()
+    plain._spec_template = None          # pure greedy baseline
+    #          (the constructor swaps None for the default template)
+    lk = make(prompt_lookup=True)
+
+    rng = np.random.RandomState(0)
+    imgs = [Image.fromarray((rng.rand(64, 80, 3) * 255).astype("uint8"))
+            for _ in range(2)]
+    qs = ["what color is the cup ?", "where is the dog ?"]
+    for im, q in zip(imgs, qs):
+        a = plain.free_form(im, q, max_new_tokens=6)
+        b = lk.free_form(im, q, max_new_tokens=6)
+        assert a == b, (q, a, b)
+    assert (lk.free_form_many(imgs, qs, max_new_tokens=6)
+            == plain.free_form_many(imgs, qs, max_new_tokens=6))

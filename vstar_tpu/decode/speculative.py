@@ -1,15 +1,30 @@
-"""Template speculative decoding (greedy-equivalent).
+"""Speculative decoding (greedy-equivalent): template drafts and
+prompt-lookup drafts.
 
-The VSM's search-mode answers are nearly deterministic templates
-("Sure, [LOC].</s>"), and decode is weight-bandwidth-bound — each greedy
-step re-reads the whole decoder. Draft-and-verify turns K decode steps into
-one chunked forward: feed the last emitted token plus K-1 draft tokens at
-the cache frontier (per-row q_offsets), take argmax at every position, and
-accept the longest prefix where the draft matched. Every emitted token is
-exactly what greedy decoding would have produced (the first mismatching
-position still yields one valid token), so outputs are bit-identical to
-`greedy_decode` for any draft; a good draft just gets there in fewer
-forwards.
+Decode is weight-bandwidth-bound — each greedy step re-reads the whole
+decoder. Draft-and-verify turns K decode steps into one chunked forward:
+feed the last emitted token plus K-1 draft tokens at the cache frontier
+(per-row q_offsets), take argmax at every position, and accept the longest
+prefix where the draft matched. Every emitted token is exactly what greedy
+decoding would have produced (the first mismatching position still yields
+one valid token), so outputs are bit-identical to `greedy_decode` for ANY
+draft; a good draft just gets there in fewer forwards.
+
+Two draft sources share one verify loop (`_spec_loop`):
+
+  * `speculative_decode` — a STATIC per-row draft sequence, supplied at
+    dispatch. Used on the VSM search path, whose answers are nearly
+    deterministic templates ("Sure, [LOC].</s>").
+  * `lookup_decode` — PROMPT-LOOKUP drafts retrieved in-graph each
+    chunk: the last bigram (fallback: unigram) of the running sequence
+    is matched against a context buffer holding the prompt tokens plus
+    everything generated so far, and the continuation after the most
+    recent match becomes the draft (the n-gram "prompt lookup decoding"
+    technique; the reference has no speculation at all —
+    vstar_bench_eval.py:78-114 decodes greedily). No template needed, so
+    it covers free-form VQA answers, which often echo question spans.
+    The lookup is O(C) elementwise work per chunk — noise next to a 7B
+    forward.
 
 Per-step hidden states are captured like greedy_decode: hiddens[i] is the
 state that produced tokens[i] (what the [LOC] heads consume).
@@ -27,23 +42,21 @@ from ..nn.llama import KVCache, embed_tokens, llama_forward, lm_logits
 from .sampler import DecodeResult
 
 
-def speculative_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
-                       first_logits: jnp.ndarray, first_hidden: jnp.ndarray,
-                       draft: jnp.ndarray, max_new_tokens: int,
-                       stop_ids: Sequence[int], chunk: int = 8,
-                       compute_dtype=jnp.bfloat16) -> DecodeResult:
-    """Greedy-equivalent decode with a per-row draft sequence.
+def _spec_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
+               first_logits: jnp.ndarray, first_hidden: jnp.ndarray,
+               max_new_tokens: int, stop_ids: Sequence[int], chunk: int,
+               compute_dtype, draft_fn, aux0, aux_update):
+    """The shared draft-and-verify loop.
 
-    draft: int32 [B, max_new_tokens + chunk] proposed continuations
-    (draft[b, i] is the proposal for the (i+1)-th generated token; the
-    first generated token comes straight from first_logits, as in
-    greedy_decode). Pad arbitrarily — padding just means rejections.
-    """
+    draft_fn(aux, ngen, feed) -> [B, chunk-1] lookahead proposals.
+    aux_update(aux, g, ngen, emit, done) -> aux' runs after each verify
+    (e.g. append the emitted tokens to a lookup buffer); `g` is the
+    [B, chunk] verified greedy tokens, `emit` how many of them each row
+    emitted this iteration (0 for frozen rows)."""
     B = first_logits.shape[0]
     D = first_hidden.shape[-1]
     K = chunk
     stop_arr = jnp.asarray(list(stop_ids), jnp.int32)
-    draft = draft.astype(jnp.int32)
 
     tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
     hiddens0 = jnp.zeros((B, max_new_tokens, D), first_hidden.dtype)
@@ -52,6 +65,9 @@ def speculative_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
     hiddens0 = hiddens0.at[:, 0].set(first_hidden)
     done0 = jnp.isin(tok0, stop_arr)
     ngen0 = jnp.ones((B,), jnp.int32)
+    aux0 = aux_update(aux0, jnp.zeros((B, K), jnp.int32).at[:, 0].set(tok0),
+                      jnp.zeros((B,), jnp.int32),
+                      jnp.ones((B,), jnp.int32), done0)
 
     def cond(state):
         ngen, done = state[3], state[4]
@@ -59,13 +75,9 @@ def speculative_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
                                jnp.any(ngen < max_new_tokens))
 
     def body(state):
-        cache, tokens, hiddens, ngen, done, feed = state
+        cache, tokens, hiddens, ngen, done, feed, aux = state
 
-        # per-row chunk: [feed, draft[ngen-1], ..., draft[ngen+K-3]]
-        def row_chunk(dr, n):
-            lookahead = jax.lax.dynamic_slice(dr, (n - 1,), (K - 1,))
-            return lookahead
-        lookahead = jax.vmap(row_chunk)(draft, ngen)        # [B, K-1]
+        lookahead = draft_fn(aux, ngen, feed)               # [B, K-1]
         chunk_ids = jnp.concatenate([feed[:, None], lookahead], axis=1)
 
         h = embed_tokens(params, chunk_ids, compute_dtype)
@@ -123,11 +135,12 @@ def speculative_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
             feed)
         stopped = jnp.any(is_stop & (idx < emit[:, None]), axis=1)
         new_done = done | stopped | (ngen + emit >= max_new_tokens)
+        aux = aux_update(aux, g, ngen, emit, done)
         ngen = ngen + emit
-        return (new_cache, tokens, hiddens, ngen, new_done, new_feed)
+        return (new_cache, tokens, hiddens, ngen, new_done, new_feed, aux)
 
-    state = (cache, tokens0, hiddens0, ngen0, done0, tok0)
-    cache, tokens, hiddens, ngen, done, _ = jax.lax.while_loop(
+    state = (cache, tokens0, hiddens0, ngen0, done0, tok0, aux0)
+    cache, tokens, hiddens, ngen, done, _, _ = jax.lax.while_loop(
         cond, body, state)
 
     # pad beyond each row's generation with the stop token (greedy_decode
@@ -135,4 +148,101 @@ def speculative_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
     pos_ids = jnp.arange(max_new_tokens)[None]
     tokens = jnp.where(pos_ids < ngen[:, None], tokens, stop_arr[0])
     return DecodeResult(tokens=tokens, hiddens=hiddens, num_generated=ngen,
-                        cache=cache)
+                       cache=cache)
+
+
+def speculative_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
+                       first_logits: jnp.ndarray, first_hidden: jnp.ndarray,
+                       draft: jnp.ndarray, max_new_tokens: int,
+                       stop_ids: Sequence[int], chunk: int = 8,
+                       compute_dtype=jnp.bfloat16) -> DecodeResult:
+    """Greedy-equivalent decode with a STATIC per-row draft sequence.
+
+    draft: int32 [B, max_new_tokens + chunk] proposed continuations
+    (draft[b, i] is the proposal for the (i+1)-th generated token; the
+    first generated token comes straight from first_logits, as in
+    greedy_decode). Pad arbitrarily — padding just means rejections.
+    """
+    K = chunk
+    draft = draft.astype(jnp.int32)
+
+    def draft_fn(aux, ngen, feed):
+        def row_chunk(dr, n):
+            return jax.lax.dynamic_slice(dr, (n - 1,), (K - 1,))
+        return jax.vmap(row_chunk)(draft, ngen)
+
+    return _spec_loop(params, cfg, cache, first_logits, first_hidden,
+                      max_new_tokens, stop_ids, K, compute_dtype,
+                      draft_fn, (), lambda aux, g, n, e, d: aux)
+
+
+def lookup_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
+                  first_logits: jnp.ndarray, first_hidden: jnp.ndarray,
+                  ctx_ids: jnp.ndarray, ctx_len: jnp.ndarray,
+                  max_new_tokens: int, stop_ids: Sequence[int],
+                  chunk: int = 8,
+                  compute_dtype=jnp.bfloat16) -> DecodeResult:
+    """Greedy-equivalent decode with PROMPT-LOOKUP drafts.
+
+    Each chunk, the draft for a row is retrieved from a context buffer
+    holding `ctx_ids[:ctx_len]` (the prompt's text tokens; mask non-text
+    slots to -1 so image-feature placeholders never match) followed by
+    every token generated so far: find the most recent position whose
+    (previous, current) bigram equals the row's last two tokens —
+    falling back to a unigram match on the last token, then to no match
+    (which just means K-1 rejected proposals, i.e. greedy pace) — and
+    propose the K-1 tokens that followed it. Self-matches against the
+    still-growing tail are excluded.
+
+    ctx_ids: int32 [B, C]; ctx_len: int32 [B]. Output is bit-identical
+    to greedy_decode; acceptance (and therefore speed) depends on how
+    much of the answer echoes the prompt or repeats itself.
+    """
+    B, C = ctx_ids.shape
+    K = chunk
+    # buffer: prompt tokens then generated tokens, padded so a
+    # dynamic_slice of K-1 starting anywhere below blen stays in-bounds
+    W = C + max_new_tokens + K
+    buf0 = jnp.full((B, W), -1, jnp.int32)
+    buf0 = jax.lax.dynamic_update_slice(buf0, ctx_ids.astype(jnp.int32),
+                                        (0, 0))
+    blen0 = ctx_len.astype(jnp.int32)
+
+    def draft_fn(aux, ngen, feed):
+        buf, blen = aux
+
+        def row(buf_row, bl, fd):
+            j = jnp.arange(W)
+            prev = buf_row[jnp.clip(bl - 2, 0, W - 1)]
+            shifted = jnp.roll(buf_row, 1)          # shifted[j] = buf[j-1]
+            # match ending at j: continuation starts at j+1, and must be
+            # strictly before the sequence tail (j < bl-1) so we never
+            # propose the feed token to itself
+            ok = (j >= 1) & (j < bl - 1) & (buf_row == fd)
+            m2 = ok & (shifted == prev) & (bl >= 2)
+            j2 = jnp.max(jnp.where(m2, j, -1))
+            j1 = jnp.max(jnp.where(ok, j, -1))
+            start = jnp.where(j2 >= 0, j2, j1) + 1   # 0 when no match
+            hit = (j2 >= 0) | (j1 >= 0)
+            cont = jax.lax.dynamic_slice(buf_row, (start,), (K - 1,))
+            # no match -> -1 proposals (guaranteed rejections)
+            return jnp.where(hit, cont, -1)
+
+        return jax.vmap(row)(buf, blen, feed)
+
+    def aux_update(aux, g, ngen, emit, done):
+        buf, blen = aux
+
+        def row(buf_row, bl, g_row, e):
+            width = jnp.arange(K)
+            sel = width < e
+            pos_ids = bl + width
+            return buf_row.at[jnp.where(sel, pos_ids, W)].set(
+                jnp.where(sel, g_row, 0), mode="drop")
+
+        buf = jax.vmap(row)(buf, blen, g, emit)
+        return buf, blen + emit
+
+    return _spec_loop(params, cfg, cache, first_logits, first_hidden,
+                      max_new_tokens, stop_ids, K, compute_dtype,
+                      draft_fn, (buf0, blen0), aux_update)

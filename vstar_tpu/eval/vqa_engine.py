@@ -22,7 +22,7 @@ from PIL import Image
 from ..core.config import VQALLMConfig
 from ..data.preprocess import clip_preprocess
 from ..decode.sampler import greedy_decode
-from ..decode.speculative import speculative_decode
+from ..decode.speculative import lookup_decode, speculative_decode
 from ..decode.scorer import option_ce
 from ..models.vqa_llm import encode_feature_bank, prefill
 from ..multimodal.constants import DEFAULT_IMAGE_TOKEN
@@ -65,11 +65,19 @@ class VQAEngine:
                  option_bucket: int = 64,
                  compute_dtype=jnp.bfloat16,
                  speculative_template: Optional[str] = None,
-                 mesh=None, kv_int8: bool = False):
+                 mesh=None, kv_int8: bool = False,
+                 prompt_lookup: bool = False):
         if speculative_template is None:
             speculative_template = self.SPEC_TEMPLATE
         self._spec_template = speculative_template
         self.spec_chunk = 8
+        # prompt-lookup speculative decoding for greedy free-form answers
+        # (decode/speculative.lookup_decode): drafts retrieved in-graph by
+        # n-gram match over prompt + generated tokens. Bit-identical to
+        # greedy for any input; opt-in pending a measured win on real
+        # checkpoints (acceptance is content-dependent). Overrides the
+        # static template draft when enabled.
+        self.prompt_lookup = prompt_lookup
         if mesh is not None:   # multi-chip serving (see search/engine.py)
             from ..core.mesh import shard_params
             params = shard_params(params, mesh)
@@ -94,7 +102,7 @@ class VQAEngine:
         self._jit_free_form = jax.jit(
             self._free_form_device,
             static_argnames=("bucket", "max_new_tokens", "sampling",
-                             "use_speculative"))
+                             "use_speculative", "use_lookup"))
         self._rng = jax.random.PRNGKey(0)
         self._jit_prefill = jax.jit(
             self._prefill_device, static_argnames=("bucket", "opt_room"))
@@ -176,7 +184,7 @@ class VQAEngine:
                           is_feat, lens, rng_key, draft=None,
                           temperature=0.0, top_p=1.0, *, bucket,
                           max_new_tokens, sampling=False,
-                          use_speculative=False):
+                          use_speculative=False, use_lookup=False):
         bank = encode_feature_bank(params, self.cfg, image, objects)
         bank = bank.astype(self.compute_dtype)
         cache_len = bucket + ((max_new_tokens + 127) // 128) * 128
@@ -187,7 +195,17 @@ class VQAEngine:
                                         self.compute_dtype)
         last_idx = (lens - 1)[:, None, None].astype(jnp.int32)
         last_hidden = jnp.take_along_axis(hidden, last_idx, axis=1)[:, 0]
-        if use_speculative:
+        if use_lookup:
+            # context = the prompt's TEXT tokens (image-feature slots
+            # masked to -1 so they can never match a real token) + the
+            # generated tokens, maintained inside lookup_decode
+            ctx = jnp.where(is_feat, -1, text_ids).astype(jnp.int32)
+            res = lookup_decode(params["llama"], self.cfg.llama, cache,
+                                logits, last_hidden, ctx,
+                                lens.astype(jnp.int32), max_new_tokens,
+                                [self.eos_id], self.spec_chunk,
+                                self.compute_dtype)
+        elif use_speculative:
             res = speculative_decode(params["llama"], self.cfg.llama, cache,
                                      logits, last_hidden, draft,
                                      max_new_tokens, [self.eos_id],
@@ -298,7 +316,9 @@ class VQAEngine:
         objs = jnp.asarray(self._object_stack(object_crops)[None])
         self._rng, sub = jax.random.split(self._rng)
         draft = None
-        use_spec = (temperature <= 0.0 and self._spec_template is not None)
+        use_lookup = temperature <= 0.0 and self.prompt_lookup
+        use_spec = (not use_lookup and temperature <= 0.0
+                    and self._spec_template is not None)
         if use_spec:
             t_ids = self.tokenizer(self._spec_template).input_ids
             if t_ids and t_ids[0] == self.tokenizer.bos_token_id:
@@ -313,7 +333,8 @@ class VQAEngine:
             jnp.asarray([lay.length], jnp.int32), sub, draft,
             float(temperature), 1.0 if top_p is None else float(top_p),
             bucket=bucket, max_new_tokens=max_new_tokens,
-            sampling=temperature > 0.0, use_speculative=use_spec)
+            sampling=temperature > 0.0, use_speculative=use_spec,
+            use_lookup=use_lookup)
         n_out = int(ngen[0])
         toks = [int(t) for t in np.asarray(tokens[0, :n_out])]
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
@@ -374,7 +395,8 @@ class VQAEngine:
 
         self._rng, sub = jax.random.split(self._rng)
         draft = None
-        use_spec = self._spec_template is not None
+        use_lookup = self.prompt_lookup
+        use_spec = not use_lookup and self._spec_template is not None
         if use_spec:
             t_ids = self.tokenizer(self._spec_template).input_ids
             if t_ids and t_ids[0] == self.tokenizer.bos_token_id:
@@ -391,7 +413,7 @@ class VQAEngine:
             jnp.asarray(np.stack([l.is_feat for l in built])),
             jnp.asarray([l.length for l in built], jnp.int32), sub, draft,
             bucket=bucket, max_new_tokens=max_new_tokens,
-            use_speculative=use_spec)
+            use_speculative=use_spec, use_lookup=use_lookup)
         out = []
         for b in range(n):
             n_out = int(ngen[b])

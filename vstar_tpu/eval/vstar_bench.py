@@ -36,7 +36,8 @@ def _auto_int8(int8, mesh) -> bool:
 
 
 def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
-                    int8=None, device=None, kv_int8: bool = False):
+                    int8=None, device=None, kv_int8: bool = False,
+                    prompt_lookup: bool = False):
     """Load the VQA LLM from an HF-format checkpoint directory. Model
     shape follows the checkpoint's config.json (any Vicuna size / tower),
     like the reference's from_pretrained path (builder.py:26-151)."""
@@ -61,7 +62,7 @@ def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
         import jax
         vqa_params = jax.device_put(vqa_params, device)
     return VQAEngine(vqa_params, vqa_cfg, vqa_tok, conv_type=conv_type,
-                     mesh=mesh, kv_int8=kv_int8)
+                     mesh=mesh, kv_int8=kv_int8, prompt_lookup=prompt_lookup)
 
 
 def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
@@ -101,7 +102,7 @@ def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
 def load_engines(vqa_model_path: str, vsm_model_path: str,
                  conv_type: str = "v1", mesh=None, int8=None,
                  device_preprocess: bool = False, split_models=None,
-                 kv_int8: bool = False):
+                 kv_int8: bool = False, prompt_lookup: bool = False):
     """Load both models from HF-format checkpoint directories. mesh:
     optional jax.sharding.Mesh (or 'DxFxM' string) to shard both models
     over for multi-chip serving. int8: None = auto (weight-only int8 on
@@ -122,7 +123,8 @@ def load_engines(vqa_model_path: str, vsm_model_path: str,
     d_vqa = devs[0] if split_models else None
     d_vsm = devs[1] if split_models else None
     return (load_vqa_engine(vqa_model_path, conv_type, mesh=mesh,
-                            int8=int8, device=d_vqa, kv_int8=kv_int8),
+                            int8=int8, device=d_vqa, kv_int8=kv_int8,
+                            prompt_lookup=prompt_lookup),
             load_vsm_engine(vsm_model_path, mesh=mesh, int8=int8,
                             device_preprocess=device_preprocess,
                             device=d_vsm, kv_int8=kv_int8))
@@ -148,7 +150,8 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
             int8=getattr(args, "int8", None),
             device_preprocess=getattr(args, "device_preprocess", False)
             or compiled,
-            kv_int8=getattr(args, "kv_int8", False))
+            kv_int8=getattr(args, "kv_int8", False),
+            prompt_lookup=getattr(args, "prompt_lookup", False))
         if compiled:
             from ..search.compiled import CompiledVSMSearch
             vsm_engine = CompiledVSMSearch(vsm_engine)
@@ -234,6 +237,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 KV cache (halves residency + decode KV "
                         "reads; 1.2x no-search throughput measured — "
                         "accuracy unvalidated on real weights)")
+    p.add_argument("--prompt-lookup", dest="prompt_lookup",
+                   action="store_true", default=False,
+                   help="prompt-lookup speculative decoding for the "
+                        "free-form phase (greedy-equivalent; speedup "
+                        "depends on how much answers echo the prompt)")
     return p
 
 

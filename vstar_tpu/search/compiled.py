@@ -890,11 +890,13 @@ class CompiledVSMSearch:
 
     BATCH_BUCKETS = (1, 2, 4)
 
-    def __init__(self, engine, P: int = 16):
+    def __init__(self, engine, P: int = 16, batch_buckets=None):
         assert getattr(engine, "device_preprocess", False), \
             "CompiledVSMSearch needs a device_preprocess BatchedVSMEngine"
         self.engine = engine
         self.P = P
+        if batch_buckets is not None:
+            self.BATCH_BUCKETS = tuple(sorted(batch_buckets))
         self._jit_fused = jax.jit(
             fused_search,
             static_argnames=("cfg", "loc_token_id", "max_new_tokens",

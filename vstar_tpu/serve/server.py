@@ -170,6 +170,11 @@ def main():
                    help="int8 KV cache: halves cache residency + decode "
                         "KV reads (1.2x no-search throughput measured); "
                         "accuracy unvalidated on real weights")
+    p.add_argument("--prompt-lookup", dest="prompt_lookup",
+                   action="store_true", default=False,
+                   help="prompt-lookup speculative decoding for free-form "
+                        "answers (greedy-equivalent draft-and-verify; "
+                        "speedup is content-dependent)")
     p.add_argument("--warmup", action="store_true", default=False,
                    help="pre-compile every (mode x batch-bucket) program "
                         "before accepting traffic — no live request ever "
@@ -179,7 +184,8 @@ def main():
                                     resolve_mesh)
     mesh = resolve_mesh(args.mesh)
     vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh, int8=args.int8,
-                          kv_int8=args.kv_int8)
+                          kv_int8=args.kv_int8,
+                          prompt_lookup=args.prompt_lookup)
     vsm = load_vsm_engine(args.vsm_model_path,
                           device_preprocess=args.device_preprocess
                           or args.compiled,
