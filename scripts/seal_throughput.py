@@ -19,13 +19,15 @@ from bench_common import Tok  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kv-int8", action="store_true", default=False)
+    ap.add_argument("--prompt-lookup", action="store_true", default=False)
     args = ap.parse_args()
     cfg = vqa_llm_7b()
     params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
                                  quantize_llm=True)
     eng = VQAEngine(params, cfg, Tok(), prompt_buckets=(512,),
-                    option_bucket=64, kv_int8=args.kv_int8)
-    print(f"kv_int8={args.kv_int8}")
+                    option_bucket=64, kv_int8=args.kv_int8,
+                    prompt_lookup=args.prompt_lookup)
+    print(f"kv_int8={args.kv_int8} prompt_lookup={args.prompt_lookup}")
 
     rng = np.random.RandomState(0)
     imgs = [Image.fromarray((rng.rand(500, 600, 3) * 255).astype("uint8"))
