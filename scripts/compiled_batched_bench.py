@@ -38,7 +38,13 @@ def main():
                     help="largest fused batch bucket to measure (4 or 8)")
     ap.add_argument("--skip-host", action="store_true",
                     help="skip the host-waves baseline row")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="per-token dynamic int8 activations on the MXU "
+                         "(opt-in, like bench.py --w8a8)")
     args = ap.parse_args()
+    if args.w8a8:
+        from vstar_tpu.nn.quant import set_act_int8
+        set_act_int8(True)
 
     print("devices:", jax.devices())
     cfg = vsm_7b()

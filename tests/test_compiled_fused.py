@@ -144,6 +144,28 @@ def test_canvas_prefetch_equivalence(engines):
     assert id(img) not in eng._canvas_inflight
 
 
+def test_canvas_prefetch_failure_falls_back(engines, monkeypatch):
+    """A failed background build must clear its inflight marker and the
+    consumer must fall back to a synchronous rebuild (not raise)."""
+    eng, _ = engines
+    img = _img(12)
+    orig = eng._canvas_build
+    calls = {"n": 0}
+
+    def flaky(image):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transfer died")
+        return orig(image)
+
+    monkeypatch.setattr(eng, "_canvas_build", flaky)
+    eng.prefetch_canvas(img)
+    dev = eng._canvas(img)                  # sync rebuild succeeds
+    np.testing.assert_array_equal(np.asarray(dev), np.asarray(orig(img)))
+    assert id(img) not in eng._canvas_inflight
+    assert calls["n"] >= 2
+
+
 def test_grouped_dispatch_compiled(engines):
     """run_grouped_searches routes a CompiledVSMSearch engine through the
     fused path (with next-canvas prefetch) and matches the batched host
