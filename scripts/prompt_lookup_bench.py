@@ -78,36 +78,40 @@ def main():
                      first_hidden=hidden, *a, **kw)
             n = int(res.num_generated[0])   # sync
             ts.append((time.perf_counter() - t0) / max(n, 1))
-        return min(ts) * 1e3, res
+        fwd = int(res.n_forwards)
+        tpf = (n - 1) / max(fwd, 1)         # tokens per decoder forward
+        return min(ts) * 1e3, res, tpf
 
-    ms, ref = run(jit_greedy)
-    print(f"greedy          : {ms:6.2f} ms/token")
+    ms, ref, tpf = run(jit_greedy)
+    print(f"greedy          : {ms:6.2f} ms/token ({tpf:.2f} tok/forward)")
 
     from vstar_tpu.decode.speculative import speculative_decode
     jit_reject = jax.jit(partial(
         speculative_decode, cfg=cfg, max_new_tokens=MAX_NEW,
         stop_ids=[EOS], chunk=8, compute_dtype=jnp.bfloat16))
     never = jnp.full((1, MAX_NEW + 8), -1, jnp.int32)
-    ms_n, rej = run(jit_reject, draft=never)
+    ms_n, rej, tpf = run(jit_reject, draft=never)
     print(f"all-reject      : {ms_n:6.2f} ms/token  "
-          f"(true worst-case overhead {ms_n / ms:.2f}x)")
+          f"(true worst-case overhead {ms_n / ms:.2f}x, "
+          f"{tpf:.2f} tok/forward)")
 
     ctx_rand = jnp.asarray(rng.randint(10, 31000,
                                        (1, PROMPT)), jnp.int32)
     clen = jnp.asarray([PROMPT], jnp.int32)
-    ms_r, worst = run(jit_lookup, ctx_ids=ctx_rand, ctx_len=clen)
+    ms_r, worst, tpf = run(jit_lookup, ctx_ids=ctx_rand, ctx_len=clen)
     print(f"lookup (random) : {ms_r:6.2f} ms/token  "
-          f"(worst-case overhead {ms_r / ms:.2f}x)")
+          f"({ms / ms_r:.2f}x, {tpf:.2f} tok/forward — self-repetition "
+          f"acceptance, see docstring)")
 
     n = int(ref.num_generated[0])
     oracle = np.full((1, PROMPT), -1, np.int32)
     body = [int(ids[0, -1])] + [int(t) for t in
                                 np.asarray(ref.tokens[0, :n])]
     oracle[0, :len(body)] = body
-    ms_o, best = run(jit_lookup, ctx_ids=jnp.asarray(oracle),
-                     ctx_len=jnp.asarray([len(body)], jnp.int32))
+    ms_o, best, tpf = run(jit_lookup, ctx_ids=jnp.asarray(oracle),
+                          ctx_len=jnp.asarray([len(body)], jnp.int32))
     print(f"lookup (oracle) : {ms_o:6.2f} ms/token  "
-          f"(best-case speedup {ms / ms_o:.2f}x)")
+          f"(best-case speedup {ms / ms_o:.2f}x, {tpf:.2f} tok/forward)")
     for r in (best, worst, rej):
         np.testing.assert_array_equal(np.asarray(r.tokens),
                                       np.asarray(ref.tokens))

@@ -158,8 +158,8 @@ def test_lookup_equivalent_answer_in_context():
 
 
 def test_lookup_equivalent_repetitive_prompt():
-    """Repeating-token prompts create many bigram matches incl. ties —
-    the most-recent-match rule must stay greedy-equivalent."""
+    """Repeating-token prompts create many n-gram matches incl. ties —
+    the earliest-longest-match rule must stay greedy-equivalent."""
     rng = np.random.RandomState(5)
     base = rng.randint(3, CFG.vocab_size, (1, 3))
     prompt = np.concatenate([base, base, base], axis=1)
@@ -213,3 +213,41 @@ def test_engine_prompt_lookup_matches_greedy():
         assert a == b, (q, a, b)
     assert (lk.free_form_many(imgs, qs, max_new_tokens=6)
             == plain.free_form_many(imgs, qs, max_new_tokens=6))
+
+
+def test_n_forwards_counts_acceptance():
+    """DecodeResult.n_forwards: greedy takes one forward per token after
+    the first; an oracle-context lookup takes far fewer (accepted
+    proposals); an impossible static draft takes exactly as many chunk
+    forwards as greedy takes steps."""
+    rng = np.random.RandomState(7)
+    prompt = rng.randint(3, CFG.vocab_size, (2, 6))
+
+    logits, hidden, cache = _prefill(prompt)
+    ref = greedy_decode(PARAMS, CFG, cache, logits, hidden, MAX_NEW, [EOS],
+                        compute_dtype=jnp.float32)
+    g_fwd = int(ref.n_forwards)
+    assert g_fwd == int(np.asarray(ref.num_generated).max()) - 1
+
+    never = jnp.full((2, MAX_NEW + 4), -1, jnp.int32)
+    logits, hidden, cache = _prefill(prompt)
+    rej = speculative_decode(PARAMS, CFG, cache, logits, hidden, never,
+                             MAX_NEW, [EOS], chunk=4,
+                             compute_dtype=jnp.float32)
+    assert int(rej.n_forwards) == g_fwd   # zero acceptance = greedy pace
+
+    toks = np.asarray(ref.tokens)
+    C = prompt.shape[1] + MAX_NEW + 2
+    ctx = np.full((2, C), -1, np.int32)
+    lens = np.zeros((2,), np.int32)
+    for b in range(2):
+        row = list(prompt[b]) + [int(t) for t in
+                                 toks[b, :int(ref.num_generated[b])]]
+        ctx[b, :len(row)] = row
+        lens[b] = len(row)
+    logits, hidden, cache = _prefill(prompt)
+    spec = lookup_decode(PARAMS, CFG, cache, logits, hidden,
+                         jnp.asarray(ctx), jnp.asarray(lens), MAX_NEW,
+                         [EOS], chunk=4, compute_dtype=jnp.float32)
+    assert int(spec.n_forwards) < g_fwd / 2, (
+        int(spec.n_forwards), g_fwd)

@@ -64,6 +64,11 @@ class DecodeResult(NamedTuple):
     hiddens: jnp.ndarray     # [B, max_new, D] state that produced tokens[i]
     num_generated: jnp.ndarray  # int32 [B] tokens generated incl. stop token
     cache: KVCache
+    # scalar int32: decoder forwards taken by the lockstep loop (greedy:
+    # one per token after the first; speculative: one per verify chunk).
+    # Speculative acceptance = (sum(num_generated) - B) / (B * n_forwards)
+    # proposals accepted per forward — the day-one real-weight metric.
+    n_forwards: Optional[jnp.ndarray] = None
 
 
 def greedy_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
@@ -125,4 +130,4 @@ def greedy_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
     t, cache, tokens, hiddens, done, ngen, _ = jax.lax.while_loop(
         cond, body, state)
     return DecodeResult(tokens=tokens, hiddens=hiddens, num_generated=ngen,
-                        cache=cache)
+                        cache=cache, n_forwards=t - 1)

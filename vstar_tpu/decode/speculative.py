@@ -75,7 +75,7 @@ def _spec_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
                                jnp.any(ngen < max_new_tokens))
 
     def body(state):
-        cache, tokens, hiddens, ngen, done, feed, aux = state
+        cache, tokens, hiddens, ngen, done, feed, nfwd, aux = state
 
         lookahead = draft_fn(aux, ngen, feed)               # [B, K-1]
         chunk_ids = jnp.concatenate([feed[:, None], lookahead], axis=1)
@@ -137,10 +137,12 @@ def _spec_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
         new_done = done | stopped | (ngen + emit >= max_new_tokens)
         aux = aux_update(aux, g, ngen, emit, done)
         ngen = ngen + emit
-        return (new_cache, tokens, hiddens, ngen, new_done, new_feed, aux)
+        return (new_cache, tokens, hiddens, ngen, new_done, new_feed,
+                nfwd + 1, aux)
 
-    state = (cache, tokens0, hiddens0, ngen0, done0, tok0, aux0)
-    cache, tokens, hiddens, ngen, done, _, _ = jax.lax.while_loop(
+    state = (cache, tokens0, hiddens0, ngen0, done0, tok0,
+             jnp.int32(0), aux0)
+    cache, tokens, hiddens, ngen, done, _, nfwd, _ = jax.lax.while_loop(
         cond, body, state)
 
     # pad beyond each row's generation with the stop token (greedy_decode
@@ -148,7 +150,7 @@ def _spec_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
     pos_ids = jnp.arange(max_new_tokens)[None]
     tokens = jnp.where(pos_ids < ngen[:, None], tokens, stop_arr[0])
     return DecodeResult(tokens=tokens, hiddens=hiddens, num_generated=ngen,
-                       cache=cache)
+                        cache=cache, n_forwards=nfwd)
 
 
 def speculative_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
