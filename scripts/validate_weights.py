@@ -102,6 +102,17 @@ def main():
             img, "What color is the rectangle?",
             ["(A) red", "(B) blue", "(C) green", "(D) yellow"])
         print(f"[vqa] multiple_choice -> option {opt}")
+        # real-weight speculation acceptance (tok/forward; >1.3 or so
+        # and the opt-in is worth flipping on — see BASELINE.md envelope)
+        vqa.prompt_lookup = True
+        ans2 = vqa.free_form(img, "What is in this image?")
+        assert ans2 == ans, "prompt-lookup must be greedy-equivalent"
+        acc = vqa.last_decode_stats
+        if acc is not None:
+            print(f"[vqa] prompt-lookup acceptance: "
+                  f"{acc['tokens_per_forward']:.2f} tok/forward over "
+                  f"{acc['tokens']} tokens (greedy = 1.0)")
+        vqa.prompt_lookup = False
     if args.vsm_model_path:
         vsm = load_vsm_engine(args.vsm_model_path, int8=args.int8)
         boxes, logits, heat = vsm.detect(img, "red rectangle")

@@ -213,6 +213,10 @@ def test_engine_prompt_lookup_matches_greedy():
         assert a == b, (q, a, b)
     assert (lk.free_form_many(imgs, qs, max_new_tokens=6)
             == plain.free_form_many(imgs, qs, max_new_tokens=6))
+    # acceptance stats recorded (the day-one real-weight metric)
+    st = lk.last_decode_stats
+    assert st is not None and st["forwards"] >= 1
+    assert 0.0 <= st["tokens_per_forward"] <= 6
 
 
 def test_n_forwards_counts_acceptance():

@@ -113,6 +113,23 @@ class VQAEngine:
             functools.partial(option_ce, compute_dtype=compute_dtype),
             static_argnames=("cfg",))
 
+    # free-form decode stats of the LAST call: {"tokens", "forwards",
+    # "tokens_per_forward"} — the speculation-acceptance metric to check
+    # on real checkpoints (scripts/validate_weights.py). None before the
+    # first free-form call.
+    last_decode_stats = None
+
+    def _record_decode_stats(self, ngen_rows, n_forwards: int):
+        # per-row tokens per lockstep forward (greedy = 1.0; the
+        # DecodeResult.n_forwards acceptance formula)
+        tot = sum(ngen_rows)
+        b = max(len(ngen_rows), 1)
+        self.last_decode_stats = {
+            "tokens": tot, "forwards": n_forwards,
+            "tokens_per_forward":
+                (tot - b) / max(b * n_forwards, 1) if n_forwards else 1.0,
+        }
+
     # -- prompt helpers ------------------------------------------------------
 
     def _prompt(self, question: str,
@@ -217,7 +234,7 @@ class VQAEngine:
                 self.compute_dtype,
                 temperature=temperature if sampling else 0.0,
                 top_p=top_p if sampling else None, rng_key=rng_key)
-        return res.tokens, res.num_generated
+        return res.tokens, res.num_generated, res.n_forwards
 
     def _chunk_decode_device(self, params, cache, logits, hidden,
                              rng_key=None, temperature=0.0, top_p=1.0, *,
@@ -327,7 +344,7 @@ class VQAEngine:
                           np.int32)
             row[:min(len(t_ids), len(row))] = t_ids[:len(row)]
             draft = jnp.asarray(row[None])
-        tokens, ngen = self._jit_free_form(
+        tokens, ngen, nfwd = self._jit_free_form(
             self.params, img, objs, jnp.asarray(lay.text_ids[None]),
             jnp.asarray(lay.feat_idx[None]), jnp.asarray(lay.is_feat[None]),
             jnp.asarray([lay.length], jnp.int32), sub, draft,
@@ -336,6 +353,7 @@ class VQAEngine:
             sampling=temperature > 0.0, use_speculative=use_spec,
             use_lookup=use_lookup)
         n_out = int(ngen[0])
+        self._record_decode_stats([n_out], int(nfwd))
         toks = [int(t) for t in np.asarray(tokens[0, :n_out])]
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         return text
@@ -405,7 +423,7 @@ class VQAEngine:
                           np.int32)
             row[:min(len(t_ids), len(row))] = t_ids[:len(row)]
             draft = jnp.asarray(np.tile(row[None], (bb, 1)))
-        tokens, ngen = self._jit_free_form(
+        tokens, ngen, nfwd = self._jit_free_form(
             self.params, jnp.asarray(np.stack(imgs)),
             jnp.asarray(np.stack(objs)),
             jnp.asarray(np.stack([l.text_ids for l in built])),
@@ -414,6 +432,8 @@ class VQAEngine:
             jnp.asarray([l.length for l in built], jnp.int32), sub, draft,
             bucket=bucket, max_new_tokens=max_new_tokens,
             use_speculative=use_spec, use_lookup=use_lookup)
+        self._record_decode_stats(
+            [int(g) for g in np.asarray(ngen[:n])], int(nfwd))
         out = []
         for b in range(n):
             n_out = int(ngen[b])
