@@ -86,6 +86,30 @@ FORCED = dict(smallest_size=512, confidence_high=2.0,
               target_cue_threshold_minimum=-1.0, max_steps=SEARCH_STEPS)
 
 
+def probe_platform(timeout_s: float = 180.0):
+    """`jax.devices()` in a SUBPROCESS with a deadline.
+
+    When the axon relay tunnel is down, axon backend init blocks forever
+    (observed r3: jax.devices() hung > 240 s) — and the driver runs
+    bench.py without a timeout, so a hung probe would hang the round.
+    Probing in a throwaway subprocess bounds the damage; on timeout the
+    caller falls back to the CPU smoke path with `degraded: true` so a
+    JSON line is always produced."""
+    import subprocess
+    import sys
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('PLAT=' + jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("PLAT="):
+            return line[5:].strip()
+    return None
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=5)
@@ -94,6 +118,18 @@ def main(argv=None):
                     "measured; accuracy unvalidated on real weights — "
                     "see nn/quant.set_act_int8)")
     args = ap.parse_args(argv)
+    # Probe BEFORE importing any vstar_tpu module: an import that touches
+    # a jnp op initializes the backend, and a broken relay turns that
+    # into an unbounded hang with no JSON line (observed r3: 26 min inside
+    # `import vstar_tpu.search.compiled` before UNAVAILABLE). The probe
+    # also treats a crashing backend (UNAVAILABLE, not just a hang) as
+    # down — anything that is not a clean platform answer degrades to CPU.
+    degraded = False
+    if probe_platform() is None:
+        jax.config.update("jax_platforms", "cpu")
+        degraded = True
+    platform = jax.devices()[0].platform
+
     if args.w8a8:
         from vstar_tpu.nn.quant import set_act_int8
         set_act_int8(True)
@@ -101,8 +137,6 @@ def main(argv=None):
     from vstar_tpu.models.vsm import init_vsm_params
     from vstar_tpu.search.batched import BatchedVSMEngine
     from vstar_tpu.search.compiled import CompiledVSMSearch
-
-    platform = jax.devices()[0].platform
     cfg = vsm_7b()
     img_hw = (1536, 2048)
     forced = dict(FORCED)
@@ -113,7 +147,15 @@ def main(argv=None):
             cfg, llama=dataclasses.replace(cfg.llama, num_layers=2,
                                            hidden_size=512,
                                            intermediate_size=1024,
-                                           num_heads=4, num_kv_heads=4))
+                                           num_heads=4, num_kv_heads=4),
+            # the projector feeds the decoder: its out_dim must track the
+            # shrunk hidden size or splicing fails on a 4096-dim bank
+            projector=dataclasses.replace(cfg.projector, out_dim=512),
+            # shallow towers, same geometry (224/768 inputs, grid sizes,
+            # feature dims): the smoke exercises every program shape
+            # while staying minutes, not tens of minutes, on CPU
+            vision=dataclasses.replace(cfg.vision, num_layers=2),
+            owl_vision=dataclasses.replace(cfg.owl_vision, num_layers=2))
         img_hw = (384, 512)
         forced["smallest_size"] = 128
         args.repeats = min(args.repeats, 2)   # CPU smoke only
@@ -239,6 +281,8 @@ def main(argv=None):
         "canvas_upload_2k_s": round(canvas_upload, 4),
         "path_lengths_synthetic": plens,
         "mean_path_synthetic": round(mean_plen, 2),
+        "platform": platform,
+        **({"degraded": True} if degraded else {}),
         "definition": "r3: value is the measured wall-clock p50 of "
                       "CompiledVSMSearch.search on a fresh 2K image — "
                       "canvas upload + 3 target-cue detect steps (windows"

@@ -128,10 +128,11 @@ def test_fused_trajectory_and_dispatch_count(engines):
     assert len(path) == max(plen, 1) or not ok
 
 
-def test_canvas_prefetch_equivalence(engines):
+def test_canvas_prefetch_equivalence(engines, monkeypatch):
     """prefetch_canvas uploads on a background thread; _canvas must pick
     up the in-flight result (no duplicate upload) and match a direct
     build bit-for-bit."""
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)  # gate off
     eng, _ = engines
     img = _img(11)
     eng.prefetch_canvas(img)
@@ -147,6 +148,7 @@ def test_canvas_prefetch_equivalence(engines):
 def test_canvas_prefetch_failure_falls_back(engines, monkeypatch):
     """A failed background build must clear its inflight marker and the
     consumer must fall back to a synchronous rebuild (not raise)."""
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)  # gate off
     eng, _ = engines
     img = _img(12)
     orig = eng._canvas_build
@@ -164,6 +166,37 @@ def test_canvas_prefetch_failure_falls_back(engines, monkeypatch):
     np.testing.assert_array_equal(np.asarray(dev), np.asarray(orig(img)))
     assert id(img) not in eng._canvas_inflight
     assert calls["n"] >= 2
+
+
+def test_canvas_prefetch_relay_gate(engines, monkeypatch):
+    """On the axon relay (detected by the PALLAS_AXON_POOL_IPS env marker
+    — the relay DEVICE reports platform 'tpu', so a platform-string check
+    silently never fires) prefetch_canvas must no-op: the relay
+    serializes transfers FIFO, so a background upload queues ahead of
+    foreground dispatches (measured 4.5x slower pipelined searches)."""
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    from vstar_tpu.utils.hw import is_axon_relay
+    assert is_axon_relay()
+    eng, _ = engines
+    img = _img(13)
+    eng.prefetch_canvas(img)
+    assert id(img) not in eng._canvas_inflight
+    assert id(img) not in eng._canvas_cache
+
+
+def test_compiled_search_delegates_prefetch(engines, monkeypatch):
+    """CompiledVSMSearch must forward prefetch_canvas to the wrapped
+    engine — serve/continuous.py and eval/batched_bench.py discover the
+    hook via getattr, so a missing delegation silently drops the
+    admission-time upload overlap in --compiled mode."""
+    from vstar_tpu.search.compiled import CompiledVSMSearch
+    eng, _ = engines
+    comp = CompiledVSMSearch(eng, P=4)
+    seen = []
+    monkeypatch.setattr(eng, "prefetch_canvas", seen.append)
+    img = _img(14)
+    comp.prefetch_canvas(img)
+    assert seen == [img]
 
 
 def test_grouped_dispatch_compiled(engines):

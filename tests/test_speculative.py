@@ -61,15 +61,25 @@ def test_random_draft_equivalent():
 
 
 def test_perfect_draft_equivalent():
+    """A draft row holding the answer tokens UNSHIFTED (draft[i] proposes
+    generated token i — exactly how the engines store template rows and
+    how bench.py's probe stores the model's own greedy answer) must be
+    both bit-identical to greedy AND nearly fully accepted. The
+    acceptance assertion is the teeth: an off-by-one draft slice stays
+    bit-identical (verify fixes every mismatch) but silently decodes at
+    greedy pace (r3 review)."""
     rng = np.random.RandomState(1)
     prompt = rng.randint(3, CFG.vocab_size, (2, 5))
     logits, hidden, cache = _prefill(prompt)
     ref = greedy_decode(PARAMS, CFG, cache, logits, hidden, MAX_NEW, [EOS],
                         compute_dtype=jnp.float32)
-    # perfect draft: proposal i = generated token i+1
     draft = np.full((2, MAX_NEW + 4), EOS, np.int32)
-    draft[:, :MAX_NEW - 1] = np.asarray(ref.tokens[:, 1:])
-    _check_equiv(draft, prompt)
+    draft[:, :MAX_NEW] = np.asarray(ref.tokens)
+    _, spec = _check_equiv(draft, prompt)
+    # chunk=4: every forward emits feed + up to 3 accepted proposals
+    n_max = int(np.asarray(ref.num_generated).max())
+    assert int(spec.n_forwards) <= int(np.ceil((n_max - 1) / 4)), (
+        int(spec.n_forwards), n_max)
 
 
 def test_forced_stop_equivalent():
@@ -87,6 +97,31 @@ def test_forced_stop_equivalent():
     spec = speculative_decode(PARAMS, CFG, cache, jnp.asarray(rigged),
                               hidden, jnp.asarray(draft), MAX_NEW, [EOS],
                               chunk=4, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(spec.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(spec.num_generated),
+                                  np.asarray(ref.num_generated))
+
+
+def test_spec_minimum_cache_capacity():
+    """The documented capacity floor (prompt + max_new + chunk - 2) is
+    sufficient: a zero-acceptance draft maximizes iterations, pushing the
+    chunk-wide KV writes to the cache's very last entry. With only
+    prompt + max_new entries (what greedy needs) those writes clamp onto
+    valid KV and corrupt the tail tokens — the callers' + spec_chunk
+    headroom exists exactly for this."""
+    rng = np.random.RandomState(8)
+    S = 6
+    prompt = rng.randint(3, CFG.vocab_size, (1, S))
+    logits, hidden, cache = _prefill(prompt)        # roomy reference
+    ref = greedy_decode(PARAMS, CFG, cache, logits, hidden, MAX_NEW, [EOS],
+                        compute_dtype=jnp.float32)
+    never = jnp.full((1, MAX_NEW + 4), -1, jnp.int32)
+    cap = S + MAX_NEW + 4 - 2                       # exact minimum
+    logits, hidden, cache = _prefill(prompt, cache_len=cap)
+    spec = speculative_decode(PARAMS, CFG, cache, logits, hidden, never,
+                              MAX_NEW, [EOS], chunk=4,
+                              compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(spec.tokens),
                                   np.asarray(ref.tokens))
     np.testing.assert_array_equal(np.asarray(spec.num_generated),

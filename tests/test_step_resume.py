@@ -61,6 +61,32 @@ def test_hybrid_skip_batches_exact():
     assert skipped_decodes < full_decodes * 0.75
 
 
+def test_hybrid_epoch_streams_deterministic():
+    """Each epoch's stream is a function of (seed, epoch) alone: distinct
+    across epochs, and reproducible by a FRESH dataset regardless of how
+    much of any earlier epoch was consumed (prefetch threads over-draw the
+    shared rng, so 'wherever epoch E-1 stopped' is timing-dependent)."""
+    import itertools
+
+    def fresh():
+        return HybridDataset([FakeChild(3), FakeChild(4)], [2, 1],
+                             samples_per_epoch=20, seed=9)
+
+    ds = fresh()
+    full0 = list(ds.batches(5, epoch=0))
+    full1 = list(ds.batches(5, epoch=1))
+    assert full0 != full1
+
+    # partially consume epoch 0 (simulating a prefetch thread stopping at
+    # an arbitrary point), then epoch 1 must still be full1 exactly
+    ds2 = fresh()
+    list(itertools.islice(ds2.batches(5, epoch=0), 3))
+    assert list(ds2.batches(5, epoch=1)) == full1
+
+    # a fresh process resuming into epoch 1 mid-stream reproduces its tail
+    assert list(fresh().batches(5, skip_batches=2, epoch=1)) == full1[2:]
+
+
 def test_hybrid_skip_inside_last_sample():
     """Boundary inside the epoch's LAST sample: the remaining rows must
     still be yielded (they used to be silently dropped, breaking the
@@ -96,6 +122,61 @@ def _vqa_dataset_dir(tmp_path, n_images=5):
             {"from": "gpt", "value": f"at location {i}"}]})
     json.dump(items, open(
         tmp_path / "vqa_data" / "possible_locations_conv_86k.json", "w"))
+
+
+def test_mid_epoch_crash_resume_bitwise_epoch1(tmp_path):
+    """Crash inside epoch 1 (not 0): the resumed run must fast-forward
+    within EPOCH 1's sample stream, not replay epoch 0's (each epoch
+    reseeds from (seed, epoch) — HybridDataset.batches(epoch=...))."""
+    from vstar_tpu.core.config import vsm_tiny
+    from vstar_tpu.models.vsm import init_vsm_params
+    from vstar_tpu.train import train_vsm_main as T
+
+    cfg = vsm_tiny()
+    _vqa_dataset_dir(tmp_path)
+    tok = WordTokenizer()
+    loc_id = tok._word_id("[LOC]")
+
+    ref = T.run_vsm_training(
+        _vsm_args(tmp_path, epochs=2, steps_per_epoch=3, save_steps=2,
+                  exp_name="ref2"), cfg,
+        init_vsm_params(jax.random.PRNGKey(0), cfg), tok, loc_id)
+
+    class Bomb(T.StepTimer):
+        calls = 0
+
+        def step_done(self):
+            super().step_done()
+            Bomb.calls += 1
+            if Bomb.calls == 6:      # epoch 1, step_i=2 (post step-1 save)
+                raise RuntimeError("simulated crash")
+
+    orig = T.StepTimer
+    T.StepTimer = Bomb
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            T.run_vsm_training(
+                _vsm_args(tmp_path, epochs=2, steps_per_epoch=3,
+                          save_steps=2, exp_name="crash2"),
+                cfg, init_vsm_params(jax.random.PRNGKey(0), cfg), tok,
+                loc_id)
+    finally:
+        T.StepTimer = orig
+
+    meta = json.load(open(
+        tmp_path / "runs" / "crash2" / "ckpt_latest" / "meta.json"))
+    assert meta["epoch"] == 1 and meta["step"] == 1
+
+    res = T.run_vsm_training(
+        _vsm_args(tmp_path, epochs=2, steps_per_epoch=3, save_steps=2,
+                  exp_name="crash2"),
+        cfg, init_vsm_params(jax.random.PRNGKey(5), cfg), tok, loc_id)
+
+    assert int(res.step) == int(ref.step) == 6
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(res.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
 
 
 def test_mid_epoch_crash_resume_bitwise(tmp_path):

@@ -105,6 +105,7 @@ class SegDetDataset:
         self.clip_size, self.owl_size = clip_size, owl_size
         self.k = num_classes_per_sample
         self.max_boxes = max_boxes
+        self.seed = seed
         self.rng = random.Random(seed)
         self.data: Dict[str, Dict] = {}
         for src in sources:
@@ -174,6 +175,7 @@ class ReferSegDataset:
         self.base = base_image_dir
         self.clip_size, self.owl_size = clip_size, owl_size
         self.k = num_per_sample
+        self.seed = seed
         self.rng = random.Random(seed)
         self.items: List[Dict] = []
         for ds in datasets:
@@ -226,6 +228,7 @@ class MixedGroundingDataset:
         self.clip_size, self.owl_size = clip_size, owl_size
         self.items = json.load(open(p))
         self.k = num_per_sample
+        self.seed = seed
         self.rng = random.Random(seed)
 
     def sample_rows(self) -> List[VSMRow]:
@@ -259,6 +262,7 @@ class VQADataset:
                  clip_size: int = 224, owl_size: int = 768):
         self.base = base_image_dir
         self.clip_size, self.owl_size = clip_size, owl_size
+        self.seed = seed
         self.rng = random.Random(seed)
         self.datasets = []
         rates = []
@@ -307,6 +311,7 @@ class HybridDataset:
         r = np.asarray(rates, np.float64)
         self.rates = (r / r.sum()).tolist()
         self.samples_per_epoch = samples_per_epoch
+        self.seed = seed
         self.rng = random.Random(seed)
 
     def __len__(self):
@@ -331,8 +336,28 @@ class HybridDataset:
         for c, s in zip(self.children, st[1]):
             c.rng.setstate(s)
 
-    def batches(self, batch_size_rows: int, skip_batches: int = 0):
+    def _reseed_all(self, epoch: int):
+        """Reset every sampler rng to a stream derived from (seed, epoch)
+        — the DataLoader re-shuffle-per-epoch equivalent. int/tuple-of-int
+        hashes are PYTHONHASHSEED-independent, so streams are stable
+        across processes and runs."""
+        self.rng.seed(hash((self.seed, -1, epoch)))
+        for i, c in enumerate(self.children):
+            c.rng.seed(hash((getattr(c, "seed", 0), i, epoch)))
+
+    def batches(self, batch_size_rows: int, skip_batches: int = 0,
+                epoch: Optional[int] = None):
         """Yield lists of VSMRow of (at least) batch_size_rows, trimmed.
+
+        epoch: when given, all sampler rngs are reseeded from
+        (seed, epoch) first, so each epoch's stream is a deterministic
+        function of (seed, epoch) alone. Without this, epoch E >= 1
+        content would depend on where the previous epoch's generator
+        stopped drawing — including prefetch-thread overdraw, which is
+        timing-dependent — and a step-granular resume into epoch E would
+        replay epoch 0's stream. Callers that never span epochs (tests,
+        single-epoch runs) may omit it and consume the construction-seeded
+        stream.
 
         skip_batches: deterministic fast-forward for step-granular resume
         — replays the seeded sampling stream WITHOUT decoding (fast_
@@ -340,6 +365,8 @@ class HybridDataset:
         run stopped; the sample straddling the boundary is re-drawn for
         real from an rng snapshot. Assumes the skipped prefix hit no
         bad-sample retries (retries re-draw, shifting the stream)."""
+        if epoch is not None:
+            self._reseed_all(epoch)
         buf: List[VSMRow] = []
         drawn = 0
         to_skip = skip_batches * batch_size_rows

@@ -129,5 +129,13 @@ def greedy_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
     state = (jnp.int32(1), cache, tokens0, hiddens0, done0, ngen0, rng_key)
     t, cache, tokens, hiddens, done, ngen, _ = jax.lax.while_loop(
         cond, body, state)
+    # pad beyond each row's generation with the stop token. Without this
+    # the tail is stop-token-padded only up to the step where the LAST
+    # row finished (done rows emit stop_arr[0] while the loop runs) and
+    # zero afterwards — making raw token arrays differ from
+    # speculative/lookup decode's, which pad the whole tail (the
+    # bit-identical contract is on the full array, not just [:ngen]).
+    pos_ids = jnp.arange(max_new_tokens)[None]
+    tokens = jnp.where(pos_ids < ngen[:, None], tokens, stop_arr[0])
     return DecodeResult(tokens=tokens, hiddens=hiddens, num_generated=ngen,
                         cache=cache, n_forwards=t - 1)

@@ -52,7 +52,14 @@ def _spec_loop(params: Dict, cfg: LlamaConfig, cache: KVCache,
     aux_update(aux, g, ngen, emit, done) -> aux' runs after each verify
     (e.g. append the emitted tokens to a lookup buffer); `g` is the
     [B, chunk] verified greedy tokens, `emit` how many of them each row
-    emitted this iteration (0 for frozen rows)."""
+    emitted this iteration (0 for frozen rows).
+
+    CACHE CAPACITY: every iteration writes `chunk` KV entries at the
+    frontier even when fewer are accepted, so the cache must hold at
+    least prompt_len + max_new_tokens + chunk - 2 entries — callers add
+    spec_chunk before rounding (a bucket-filling prompt at a
+    128-multiple max_new_tokens otherwise clamps the last inserts onto
+    valid entries: silent corruption, not an error)."""
     B = first_logits.shape[0]
     D = first_hidden.shape[-1]
     K = chunk
@@ -169,8 +176,17 @@ def speculative_decode(params: Dict, cfg: LlamaConfig, cache: KVCache,
     draft = draft.astype(jnp.int32)
 
     def draft_fn(aux, ngen, feed):
+        # lookahead[i] is verified against generated token ngen+i, and
+        # draft[j] proposes generated token j (the engines store the
+        # expected answer tokens UNSHIFTED; draft[0] aligns with the free
+        # first token and is never read) — so the slice starts at ngen.
+        # Slicing at ngen-1 instead compares every proposal against the
+        # NEXT token: acceptance only on repeated tokens, which random-
+        # weight benches emit constantly but real checkpoints don't (the
+        # r3 review caught template speculation silently doing nothing on
+        # non-repetitive answers).
         def row_chunk(dr, n):
-            return jax.lax.dynamic_slice(dr, (n - 1,), (K - 1,))
+            return jax.lax.dynamic_slice(dr, (n,), (K - 1,))
         return jax.vmap(row_chunk)(draft, ngen)
 
     return _spec_loop(params, cfg, cache, first_logits, first_hidden,

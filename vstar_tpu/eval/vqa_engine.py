@@ -204,7 +204,15 @@ class VQAEngine:
                           use_speculative=False, use_lookup=False):
         bank = encode_feature_bank(params, self.cfg, image, objects)
         bank = bank.astype(self.compute_dtype)
-        cache_len = bucket + ((max_new_tokens + 127) // 128) * 128
+        # the draft-and-verify loop writes chunk-wide KV at the frontier:
+        # worst case needs prompt + max_new + chunk - 2 entries, so round
+        # max_new UP WITH the chunk or a bucket-filling prompt at a
+        # 128-multiple max_new silently clamps the last KV inserts
+        # (usually free: round128 absorbs the +chunk)
+        spec_room = (self.spec_chunk
+                     if (use_speculative or use_lookup) else 0)
+        cache_len = bucket + ((max_new_tokens + spec_room + 127)
+                              // 128) * 128
         cache = init_cache(self.cfg.llama, text_ids.shape[0], cache_len,
                            self.compute_dtype, kv_int8=self.kv_int8)
         logits, hidden, cache = prefill(params, self.cfg, bank, text_ids,
@@ -234,7 +242,16 @@ class VQAEngine:
                 self.compute_dtype,
                 temperature=temperature if sampling else 0.0,
                 top_p=top_p if sampling else None, rng_key=rng_key)
-        return res.tokens, res.num_generated, res.n_forwards
+        # ONE packed [B, 2 + L] int32 result: [ngen, n_forwards, tokens].
+        # Separate (tokens, ngen, nfwd) outputs cost one device->host
+        # fetch EACH (~5-15 ms per round trip on the relay; free_form_many
+        # additionally fetched each row's tokens separately).
+        B = res.tokens.shape[0]
+        return jnp.concatenate(
+            [res.num_generated.astype(jnp.int32).reshape(B, 1),
+             jnp.broadcast_to(jnp.asarray(res.n_forwards, jnp.int32),
+                              (B, 1)),
+             res.tokens.astype(jnp.int32)], axis=1)
 
     def _chunk_decode_device(self, params, cache, logits, hidden,
                              rng_key=None, temperature=0.0, top_p=1.0, *,
@@ -344,17 +361,17 @@ class VQAEngine:
                           np.int32)
             row[:min(len(t_ids), len(row))] = t_ids[:len(row)]
             draft = jnp.asarray(row[None])
-        tokens, ngen, nfwd = self._jit_free_form(
+        packed = np.asarray(self._jit_free_form(
             self.params, img, objs, jnp.asarray(lay.text_ids[None]),
             jnp.asarray(lay.feat_idx[None]), jnp.asarray(lay.is_feat[None]),
             jnp.asarray([lay.length], jnp.int32), sub, draft,
             float(temperature), 1.0 if top_p is None else float(top_p),
             bucket=bucket, max_new_tokens=max_new_tokens,
             sampling=temperature > 0.0, use_speculative=use_spec,
-            use_lookup=use_lookup)
-        n_out = int(ngen[0])
-        self._record_decode_stats([n_out], int(nfwd))
-        toks = [int(t) for t in np.asarray(tokens[0, :n_out])]
+            use_lookup=use_lookup))          # single fetch
+        n_out = int(packed[0, 0])
+        self._record_decode_stats([n_out], int(packed[0, 1]))
+        toks = [int(t) for t in packed[0, 2:2 + n_out]]
         text = self.tokenizer.decode(toks, skip_special_tokens=True).strip()
         return text
 
@@ -423,7 +440,7 @@ class VQAEngine:
                           np.int32)
             row[:min(len(t_ids), len(row))] = t_ids[:len(row)]
             draft = jnp.asarray(np.tile(row[None], (bb, 1)))
-        tokens, ngen, nfwd = self._jit_free_form(
+        packed = np.asarray(self._jit_free_form(
             self.params, jnp.asarray(np.stack(imgs)),
             jnp.asarray(np.stack(objs)),
             jnp.asarray(np.stack([l.text_ids for l in built])),
@@ -431,13 +448,14 @@ class VQAEngine:
             jnp.asarray(np.stack([l.is_feat for l in built])),
             jnp.asarray([l.length for l in built], jnp.int32), sub, draft,
             bucket=bucket, max_new_tokens=max_new_tokens,
-            use_speculative=use_spec, use_lookup=use_lookup)
+            use_speculative=use_spec, use_lookup=use_lookup))
+        # single fetch for the whole wave (was 2 + one PER ROW before)
         self._record_decode_stats(
-            [int(g) for g in np.asarray(ngen[:n])], int(nfwd))
+            [int(g) for g in packed[:n, 0]], int(packed[0, 1]))
         out = []
         for b in range(n):
-            n_out = int(ngen[b])
-            toks = [int(t) for t in np.asarray(tokens[b, :n_out])]
+            n_out = int(packed[b, 0])
+            toks = [int(t) for t in packed[b, 2:2 + n_out]]
             out.append(self.tokenizer.decode(
                 toks, skip_special_tokens=True).strip())
         return out
@@ -566,7 +584,8 @@ class VQAEngine:
 
 def warmup_vqa_engine(engine: VQAEngine, image_size: int = 256,
                       batch_buckets=(1, 2, 4, 8),
-                      max_new_tokens: int = 200, log=print):
+                      max_new_tokens: int = 200, log=print,
+                      sampling: bool = False):
     """Pre-compile the free-form and option-scoring programs per
     (batch-bucket x PROMPT-bucket) so no live request stalls on a
     20-230 s remote compile (serve.server --warmup). max_new_tokens is a
@@ -615,10 +634,15 @@ def warmup_vqa_engine(engine: VQAEngine, image_size: int = 256,
                 f"compiled")
         if not hasattr(engine, "free_form_many"):
             break
-    # The sampled decode program (sampling=True) is shared by every
-    # temperature/top_p value (traced args) — one B=1 compile covers it.
-    engine.free_form(img, texts[0], max_new_tokens=max_new_tokens,
-                     temperature=0.7, top_p=0.9)
-    if log:
-        log("[warmup] vqa sampled-decode program compiled (all "
-            "temperature/top_p values share it)")
+    if sampling:
+        # The sampled decode program (sampling=True) is shared by every
+        # temperature/top_p value (traced args) — one B=1 compile covers
+        # it. Off by default: every current serving/eval surface decodes
+        # greedily (the HTTP schema has no temperature field), so this
+        # compile would only add startup cost. Flip it on when exposing a
+        # sampled endpoint.
+        engine.free_form(img, texts[0], max_new_tokens=max_new_tokens,
+                         temperature=0.7, top_p=0.9)
+        if log:
+            log("[warmup] vqa sampled-decode program compiled (all "
+                "temperature/top_p values share it)")

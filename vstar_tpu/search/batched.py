@@ -108,8 +108,11 @@ class BatchedVSMEngine(VSMEngine):
         concurrency."""
         if not self.device_preprocess:
             return
-        import jax
-        if jax.devices()[0].platform == "axon":
+        from ..utils.hw import is_axon_relay
+        if is_axon_relay():
+            # the relay device reports platform "tpu", so this must NOT
+            # be a platform-string check (it silently never fired as one
+            # — r3 review); the env marker is the reliable signal
             return
         key = id(image)
         with self._canvas_lock:
@@ -245,7 +248,8 @@ class BatchedVSMEngine(VSMEngine):
             jnp.asarray([l.length for l in lays], jnp.int32),
             loc_token_id=self.loc_token_id,
             max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
-            cache_len=bucket + _round128(self.max_new_tokens),
+            cache_len=bucket + _round128(self.max_new_tokens
+                                         + self.spec_chunk),
             compute_dtype=self.compute_dtype, draft_ids=draft,
             spec_chunk=self.spec_chunk)
         return out, n

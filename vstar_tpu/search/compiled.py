@@ -52,6 +52,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # Exit codes of a policy transition.
@@ -61,8 +62,13 @@ NEED_CTX = 2        # heatmap weak -> host must run vqa + segment cue
 QUEUE_EMPTY = 3
 MAX_STEPS = 4       # path hit max_steps (or the P capacity)
 
-_NEG = jnp.float32(-3.4e38)
-_BIGI = jnp.int32(2 ** 31 - 1)
+# numpy (not jnp) scalars: a module-level jnp constant initializes the
+# JAX backend at IMPORT time — observed r3 blocking `import
+# vstar_tpu.search.compiled` for 26 minutes while the axon relay was
+# down, before any caller could choose a backend. numpy scalars trace
+# identically inside jit.
+_NEG = np.float32(-3.4e38)
+_BIGI = np.int32(2 ** 31 - 1)
 
 
 class PolicyState(NamedTuple):
@@ -921,6 +927,20 @@ class CompiledVSMSearch:
                 [st.n_path[:, None].astype(jnp.int32), tail_bboxes(st)],
                 axis=1))
         self._jit_pack_b = jax.jit(jax.vmap(pack_record))
+        # single-search NEED_CTX: [n_path, tail bbox] in ONE fetch (the
+        # eager int(state.n_path) + np.asarray(state.p_bbox[idx]) pair
+        # cost two ~5-15 ms relay round trips per context-cue event)
+        self._jit_tail1 = jax.jit(lambda st: jnp.concatenate(
+            [st.n_path[None],
+             st.p_bbox[jnp.maximum(st.n_path - 1, 0)]]).astype(jnp.int32))
+
+    def prefetch_canvas(self, image):
+        """Delegate to the wrapped engine: admission-time canvas uploads
+        must keep overlapping with queue wait / host work when the serving
+        or eval layer wraps the engine in the compiled-search mode
+        (serve/continuous.py and eval/batched_bench.py discover this via
+        getattr, so without the delegation the overlap silently no-ops)."""
+        self.engine.prefetch_canvas(image)
 
     def _detect_layout(self, name: str):
         from ..multimodal.splicing import build_layout
@@ -953,7 +973,7 @@ class CompiledVSMSearch:
         canvas = eng._canvas(image)
         Hc, Wc = canvas.shape[:2]
         lay, bucket = self._detect_layout(target_object_name)
-        cache_len = bucket + _round128(eng.max_new_tokens)
+        cache_len = bucket + _round128(eng.max_new_tokens + eng.spec_chunk)
         draft = None
         if eng._draft_row is not None:
             draft = jnp.asarray(eng._draft_row[None])
@@ -979,8 +999,9 @@ class CompiledVSMSearch:
                 kv_int8=getattr(eng, "kv_int8", False))
             code = int(code)
             if code == NEED_CTX:
-                idx = int(state.n_path) - 1
-                bbox = [int(v) for v in np.asarray(state.p_bbox[idx])]
+                tail = np.asarray(self._jit_tail1(state))  # one fetch
+                idx = int(tail[0]) - 1
+                bbox = [int(v) for v in tail[1:5]]
                 patch = PatchRef(image, bbox)
                 p = patch if eng.wants_patch_refs else patch.pil()
                 answer = eng.vqa_many(
@@ -1085,7 +1106,7 @@ class CompiledVSMSearch:
                 lays.append(build_layout(ids, bucket,
                                          n_long=eng.cfg.image_tokens,
                                          n_short=0, image_long=True))
-        cache_len = bucket + _round128(eng.max_new_tokens)
+        cache_len = bucket + _round128(eng.max_new_tokens + eng.spec_chunk)
         draft = None
         if eng._draft_row is not None:
             draft = jnp.asarray(np.tile(eng._draft_row[None], (B, 1)))

@@ -125,7 +125,8 @@ class VSMEngine:
             jnp.asarray([lay.length], jnp.int32),
             loc_token_id=self.loc_token_id,
             max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
-            cache_len=bucket + _round128(self.max_new_tokens),
+            cache_len=bucket + _round128(self.max_new_tokens
+                                         + self.spec_chunk),
             compute_dtype=self.compute_dtype, draft_ids=draft,
             spec_chunk=self.spec_chunk)
         return out, (image.height, image.width)

@@ -218,7 +218,8 @@ def run_vsm_training(args, cfg, params, tokenizer, loc_token_id):
             epoch_start_step = start_step if epoch == start_epoch else 0
             gen = hybrid.batches(args.batch_size
                                  * args.grad_accumulation_steps,
-                                 skip_batches=epoch_start_step)
+                                 skip_batches=epoch_start_step,
+                                 epoch=epoch)
 
             def _produce(g=gen):
                 # sampling is seeded and stateful, so it stays serial; the
