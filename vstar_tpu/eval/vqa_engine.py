@@ -3,7 +3,8 @@
 Implements the reference VQA_LLM wrapper's API (vstar_bench_eval.py:38-165)
 over jitted prefill/decode/scoring programs:
   * free_form      — greedy generation with '</s>' stopping
-  * multiple_choice — per-option CE over a shared prefix cache
+  * multiple_choice — all options' CE over a shared prefix cache,
+    prefill + scoring fused into ONE dispatched program
   * get_object_crop — context-expanded crop preprocessing
 
 Prompt lengths are bucketed; one compiled program per (bucket, max_new).
@@ -11,7 +12,6 @@ Prompt lengths are bucketed; one compiled program per (bucket, max_new).
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -23,7 +23,7 @@ from ..core.config import VQALLMConfig
 from ..data.preprocess import clip_preprocess
 from ..decode.sampler import greedy_decode
 from ..decode.speculative import lookup_decode, speculative_decode
-from ..decode.scorer import option_ce
+from ..decode.scorer import score_options
 from ..models.vqa_llm import encode_feature_bank, prefill
 from ..multimodal.constants import DEFAULT_IMAGE_TOKEN
 from ..multimodal.conversation import CONV_TEMPLATES
@@ -109,9 +109,14 @@ class VQAEngine:
         self._jit_chunk = jax.jit(
             self._chunk_decode_device,
             static_argnames=("k", "sampling"))
-        self._jit_option_ce = jax.jit(
-            functools.partial(option_ce, compute_dtype=compute_dtype),
-            static_argnames=("cfg",))
+        # ONE program for the whole multiple-choice question: prefill +
+        # every option's CE (decode/scorer.score_options reads the shared
+        # prefix cache immutably, so the options cost no cache tiling).
+        # The per-option program it replaces paid one dispatch + one
+        # fetch PER OPTION (~10-30 ms each on the relay; 4-option V*Bench
+        # burned 3 extra round trips per question).
+        self._jit_mc = jax.jit(
+            self._mc_device, static_argnames=("bucket", "opt_room"))
 
     # free-form decode stats of the LAST call: {"tokens", "forwards",
     # "tokens_per_forward"} — the speculation-acceptance metric to check
@@ -196,6 +201,29 @@ class VQAEngine:
         last_idx = (lens - 1)[:, None, None].astype(jnp.int32)
         last_hidden = jnp.take_along_axis(hidden, last_idx, axis=1)[:, 0]
         return logits, last_hidden, cache
+
+    def _mc_device(self, params, image, objects, text_ids, feat_idx,
+                   is_feat, lens, option_ids, option_lens, *, bucket,
+                   opt_room):
+        """Prefill + all-options CE in one graph. option_ids [B, N, O];
+        returns losses [B, N] (argmin stays host-side so padded option
+        slots are simply sliced away, never compared)."""
+        last_logits, _, cache = self._prefill_device(
+            params, image, objects, text_ids, feat_idx, is_feat, lens,
+            bucket=bucket, opt_room=opt_room)
+        losses, _ = score_options(params["llama"], self.cfg.llama, cache,
+                                  last_logits, option_ids, option_lens,
+                                  self.compute_dtype)
+        return losses
+
+    @staticmethod
+    def _opt_slots(n_opts: int) -> int:
+        """Option-count bucket: N is a traced SHAPE in the fused program,
+        so it must be padded to stable values or every distinct option
+        count compiles its own 20-230 s relay program. Min 4 (V*Bench's
+        count — warmup's 2-option call then covers live 4-option
+        traffic), growing in steps of 4."""
+        return max(4, ((n_opts + 3) // 4) * 4)
 
     def _free_form_device(self, params, image, objects, text_ids, feat_idx,
                           is_feat, lens, rng_key, draft=None,
@@ -512,28 +540,24 @@ class VQAEngine:
             for b in range(n)]
         O = self._opt_room(max(len(o) for row in opt_ids_all for o in row))
 
-        last_logits, _, cache = self._jit_prefill(
+        N = self._opt_slots(n_opts)
+        opt_arr = np.zeros((bb, N, O), np.int32)
+        opt_lens = np.ones((bb, N), np.int32)   # padded slots score junk
+        for b in range(n):                      # ... and are sliced away
+            for oi in range(n_opts):
+                ids = opt_ids_all[b][oi]
+                opt_arr[b, oi, :len(ids)] = ids
+                opt_lens[b, oi] = len(ids)
+        losses = np.asarray(self._jit_mc(
             self.params, jnp.asarray(np.stack(imgs)),
             jnp.asarray(np.stack(objs)),
             jnp.asarray(np.stack([l.text_ids for l in built])),
             jnp.asarray(np.stack([l.feat_idx for l in built])),
             jnp.asarray(np.stack([l.is_feat for l in built])),
             jnp.asarray([l.length for l in built], jnp.int32),
-            bucket=bucket, opt_room=O)
-
-        losses = np.zeros((n, n_opts), np.float64)
-        for opt_i in range(n_opts):
-            padded = np.zeros((bb, O), np.int32)
-            lens = np.ones((bb,), np.int32)
-            for b in range(n):
-                opt_ids = opt_ids_all[b][opt_i]
-                padded[b, :len(opt_ids)] = opt_ids
-                lens[b] = len(opt_ids)
-            ce = self._jit_option_ce(
-                self.params["llama"], self.cfg.llama, cache, last_logits,
-                jnp.asarray(padded), jnp.asarray(lens))
-            losses[:, opt_i] = np.asarray(ce[:n], np.float64)
-        return [int(np.argmin(losses[b])) for b in range(n)]
+            jnp.asarray(opt_arr), jnp.asarray(opt_lens),
+            bucket=bucket, opt_room=O))         # ONE dispatch, ONE fetch
+        return [int(np.argmin(losses[b, :n_opts])) for b in range(n)]
 
     def _opt_room(self, max_len: int) -> int:
         """Option bucket, grown in 16-token steps for long options (the
@@ -546,40 +570,13 @@ class VQAEngine:
     def multiple_choice(self, image: Image.Image, question: str,
                         options: Sequence[str], object_crops=None,
                         images_long=None, objects_long=None) -> int:
-        """Option with minimum mean CE (vstar_bench_eval.py:116-165)."""
-        prompt = self._prompt(question)
-        q_ids = self._tokenize(prompt)
-        image_long = True if images_long is None else bool(images_long[0])
-        n = spliced_length(q_ids, n_long=self.cfg.image_tokens_long,
-                           n_short=self.cfg.image_tokens_short,
-                           image_long=image_long, objects_long=objects_long)
-        bucket = self._bucket(n)
-        lay = self._layout(q_ids, image_long, objects_long, bucket)
-
-        opt_ids_list = []
-        for option in options:
-            full_ids = self._tokenize(self._prompt(question, option))
-            opt_ids_list.append(full_ids[len(q_ids):])
-        O = self._opt_room(max(len(o) for o in opt_ids_list))
-
-        img = jnp.asarray(self.preprocess_image(image)[None])
-        objs = jnp.asarray(self._object_stack(object_crops)[None])
-        last_logits, _, cache = self._jit_prefill(
-            self.params, img, objs, jnp.asarray(lay.text_ids[None]),
-            jnp.asarray(lay.feat_idx[None]), jnp.asarray(lay.is_feat[None]),
-            jnp.asarray([lay.length], jnp.int32), bucket=bucket,
-            opt_room=O)
-
-        losses = []
-        for opt_ids in opt_ids_list:
-            padded = np.zeros((1, O), np.int32)
-            padded[0, :len(opt_ids)] = opt_ids
-            ce = self._jit_option_ce(
-                self.params["llama"], self.cfg.llama, cache, last_logits,
-                jnp.asarray(padded),
-                jnp.asarray([len(opt_ids)], jnp.int32))
-            losses.append(float(ce[0]))
-        return int(np.argmin(losses))
+        """Option with minimum mean CE (vstar_bench_eval.py:116-165).
+        One fused-program dispatch via the batched path (B=1 row)."""
+        return self.multiple_choice_many(
+            [image], [question], [options],
+            None if object_crops is None else [object_crops],
+            None if images_long is None else [images_long],
+            None if objects_long is None else [objects_long])[0]
 
 
 def warmup_vqa_engine(engine: VQAEngine, image_size: int = 256,
