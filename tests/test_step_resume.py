@@ -236,3 +236,91 @@ def test_mid_epoch_crash_resume_bitwise(tmp_path):
     for a, b in zip(ref_leaves, res_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=0)
+
+
+def test_vqa_mid_epoch_crash_resume_bitwise(tmp_path):
+    """The VQA trainer (run_training) has the same step-granular rolling
+    save + auto-resume as the VSM trainer: crash at epoch 1 step 2 (after
+    the step-1 save), resume, and the final TrainState is bit-identical
+    to an uninterrupted run — the sequential loader fast-forwards by an
+    exact index slice."""
+    import types
+
+    from vstar_tpu.core.config import vqa_llm_tiny
+    from vstar_tpu.data.pretrain_dataset import (PretrainCaptionDataset,
+                                                 collate_pretrain)
+    from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+    from vstar_tpu.train import train_vqa_main as T
+    from vstar_tpu.train.train_vqa_main import (projector_only_mask,
+                                                run_training)
+
+    cfg = vqa_llm_tiny()
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    items = []
+    for i in range(8):
+        fname = f"im{i}.jpg"
+        Image.fromarray((rng.rand(40, 52, 3) * 255).astype("uint8")).save(
+            img_dir / fname)
+        items.append({"image": fname, "conversations": [
+            {"from": "human", "value": "<image>\ndescribe"},
+            {"from": "gpt", "value": f"a photo number {i}"}]})
+    data_path = tmp_path / "pretrain.json"
+    json.dump(items, open(data_path, "w"))
+    ds = PretrainCaptionDataset(str(data_path), str(img_dir),
+                                image_size=cfg.vision.image_size)
+
+    def collate(instances, tok):
+        return collate_pretrain(instances, tok,
+                                n_long=cfg.image_tokens_long,
+                                n_short=cfg.image_tokens_short,
+                                image_long=True, seq_bucket=64)
+
+    def mkargs(out):
+        return types.SimpleNamespace(
+            stage="pretrain", mesh="4x2x1", param_dtype="f32",
+            hbm_gb=16.0, per_device_batch_size=2, num_train_epochs=2,
+            log_every=10, output_dir=str(out), data_workers=2,
+            prefetch_depth=2, auto_resume=True, save_steps=2)
+
+    tok = WordTokenizer()
+
+    def fresh_params(seed):
+        return init_vqa_llm_params(jax.random.PRNGKey(seed), cfg)
+
+    mask = projector_only_mask(fresh_params(0), "linear")
+    ref = run_training(mkargs(tmp_path / "ref"), cfg, fresh_params(0), ds,
+                       collate, tok, mask, lr=1e-3)
+    assert int(ref.step) == 8            # 4 steps/epoch x 2 epochs
+
+    class Bomb(T.StepTimer):
+        calls = 0
+
+        def step_done(self):
+            super().step_done()
+            Bomb.calls += 1
+            if Bomb.calls == 7:          # epoch 1, step_i=2 (post save@1)
+                raise RuntimeError("simulated crash")
+
+    orig = T.StepTimer
+    T.StepTimer = Bomb
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_training(mkargs(tmp_path / "out"), cfg, fresh_params(0),
+                         ds, collate, tok, mask, lr=1e-3)
+    finally:
+        T.StepTimer = orig
+
+    meta = json.load(open(
+        tmp_path / "out" / "ckpt_latest" / "meta.json"))
+    assert meta["epoch"] == 1 and meta["step"] == 1
+
+    # resume with junk init params — they must come from the checkpoint
+    res = run_training(mkargs(tmp_path / "out"), cfg, fresh_params(5), ds,
+                       collate, tok, mask, lr=1e-3)
+    assert int(res.step) == int(ref.step) == 8
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(res.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)

@@ -21,18 +21,20 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import random
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.checkpoint import save_params
+from ..core.checkpoint import load_params, save_params
 from ..core.config import vqa_llm_7b
 from ..core.mesh import global_batch, make_mesh, shard_params
 from ..core.params import map_with_path
 from ..data.prefetch import prefetch_map
 from ..utils.metrics import AverageMeter, StepTimer
-from .sft import init_train_state, make_optimizer, sft_train_step
+from .sft import (TrainState, init_train_state, make_optimizer,
+                  sft_train_step)
 
 
 def _common(p):
@@ -55,6 +57,18 @@ def _common(p):
                    help="threads fetching+collating batches ahead of the "
                         "device (DataLoader num_workers equivalent)")
     p.add_argument("--prefetch_depth", default=4, type=int)
+    p.add_argument("--no_shuffle", dest="shuffle", action="store_false",
+                   default=True,
+                   help="disable the per-epoch (data_seed, epoch)-seeded "
+                        "row shuffle (HF Trainer shuffles by default)")
+    p.add_argument("--data_seed", default=0, type=int)
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--save_steps", default=500, type=int,
+                   help="rolling 'latest' TrainState checkpoint every N "
+                        "steps (0 disables); crash resume loses <= N steps "
+                        "(HF Trainer save_steps/resume_from_checkpoint "
+                        "equivalent). The loader is sequential, so the "
+                        "fast-forward is an exact index skip.")
 
 
 def parse_args(argv=None):
@@ -113,43 +127,83 @@ def run_training(args, cfg, params, dataset, collate_fn, tokenizer,
     os.makedirs(args.output_dir, exist_ok=True)
     log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
 
-    def _load_batch(start):
-        instances = [dataset[start + k]
-                     for k in range(args.per_device_batch_size)]
-        return collate_fn(instances, tokenizer)
+    def _load_batch(idxs):
+        return collate_fn([dataset[j] for j in idxs], tokenizer)
+
+    # Per-epoch schedule, DistributedSampler(shuffle=True) equivalent
+    # (the reference trains through HF Trainer, which shuffles every
+    # epoch): a row permutation seeded by (data_seed, epoch) — a pure
+    # function of those two, so a resumed run rebuilds epoch E's exact
+    # stream and fast-forwards by an index slice — batched, truncated to
+    # a common multiple of process_count (an unequal tail would leave one
+    # host inside a collective the others left), strided per process.
+    bs = args.per_device_batch_size
+    nproc = jax.process_count()
+    n_batches = len(dataset) // bs
+    n_steps_epoch = n_batches // nproc
+    shuffle = getattr(args, "shuffle", True)
+    data_seed = getattr(args, "data_seed", 0)
+
+    def epoch_batches(epoch):
+        idx = list(range(len(dataset)))
+        if shuffle:
+            # tuple-of-int hash: PYTHONHASHSEED-independent, stable
+            # across processes and runs
+            random.Random(hash((data_seed, epoch))).shuffle(idx)
+        rows = [tuple(idx[a * bs:(a + 1) * bs])
+                for a in range(n_steps_epoch * nproc)]
+        return rows[jax.process_index()::nproc]
+
+    # step-granular auto-resume (HF Trainer resume_from_checkpoint
+    # equivalent; the VSM trainer has the same scheme in train_vsm_main)
+    latest_dir = os.path.join(args.output_dir, "ckpt_latest")
+    save_steps = getattr(args, "save_steps", 0)
+    start_epoch = start_step = 0
+    if getattr(args, "auto_resume", False) and os.path.exists(
+            os.path.join(latest_dir, "meta.json")):
+        meta = json.load(open(os.path.join(latest_dir, "meta.json")))
+        state = TrainState(*load_params(
+            os.path.join(latest_dir, "state"), like=tuple(state)))
+        start_epoch, start_step = meta["epoch"], meta["step"] + 1
+        if start_step >= n_steps_epoch:
+            start_epoch, start_step = start_epoch + 1, 0
+        print(f"[resume] from epoch {meta['epoch']} step {meta['step']}")
+
+    def _save_latest(epoch, step_i):
+        os.makedirs(latest_dir, exist_ok=True)
+        save_params(tuple(state), os.path.join(latest_dir, "state"))
+        json.dump({"epoch": epoch, "step": step_i},
+                  open(os.path.join(latest_dir, "meta.json"), "w"))
 
     with mesh:
-        i = 0
-        for epoch in range(args.num_train_epochs):
-            # multi-host: each process takes every process_count-th batch
-            # (DistributedSampler equivalent); rows join the global batch
-            # in global_batch below. Truncate to a common multiple so every
-            # process runs the SAME number of steps — an unequal tail
-            # would leave one host inside a collective the others left.
-            starts = list(
-                range(0, len(dataset) - args.per_device_batch_size + 1,
-                      args.per_device_batch_size))
-            nproc = jax.process_count()
-            starts = starts[:len(starts) // nproc * nproc]
-            starts = starts[jax.process_index()::nproc]
+        for epoch in range(start_epoch, args.num_train_epochs):
+            epoch_start = start_step if epoch == start_epoch else 0
             # ordered parallel fetch+collate: image decode releases the
             # GIL, so worker threads overlap the device step
             # (HF Trainer DataLoader-workers equivalent)
-            loader = prefetch_map(_load_batch, starts,
+            loader = prefetch_map(_load_batch,
+                                  epoch_batches(epoch)[epoch_start:],
                                   workers=args.data_workers,
                                   depth=args.prefetch_depth)
-            for batch in loader:
+            for step_i, batch in enumerate(loader, start=epoch_start):
                 timer.data_loaded()
                 state, m = step_fn(state, global_batch(batch, mesh))
                 timer.step_done()
                 loss_m.update(float(m["loss"]))
+                i = epoch * n_steps_epoch + step_i
+                if save_steps and (step_i + 1) % save_steps == 0 \
+                        and step_i + 1 < n_steps_epoch:
+                    _save_latest(epoch, step_i)
                 if i % args.log_every == 0:
                     print(f"epoch {epoch} step {i} {loss_m} "
                           f"({timer.batch_time.avg:.2f}s/it)", flush=True)
                     log.write(json.dumps({"epoch": epoch, "step": i,
                                           "loss": loss_m.avg}) + "\n")
                     log.flush()
-                i += 1
+            if save_steps:
+                # epoch-end save so a crash early next epoch never
+                # replays this epoch's tail
+                _save_latest(epoch, n_steps_epoch - 1)
     return state
 
 
