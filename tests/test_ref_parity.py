@@ -144,8 +144,15 @@ def _ref_greedy(ref, ids, images, object_features, images_long,
 
 
 def _nchw(arr):
-    """[...,H,W,C] numpy -> torch [...,C,H,W]."""
-    return torch.tensor(np.moveaxis(np.asarray(arr), -1, -3)).float()
+    """[...,H,W,C] numpy -> torch [...,C,H,W]. Engine preprocess outputs
+    are uint8 now (normalized on device); the torch oracle needs the
+    normalized array, so u8 inputs normalize here (identical math)."""
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint8:
+        from vstar_tpu.data.preprocess import _normalize
+        from vstar_tpu.multimodal.constants import CLIP_MEAN, CLIP_STD
+        arr = _normalize(arr, CLIP_MEAN, CLIP_STD)
+    return torch.tensor(np.moveaxis(arr, -1, -3)).float()
 
 
 def _strip_eos(ids):

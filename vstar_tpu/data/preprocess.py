@@ -45,9 +45,12 @@ def _normalize(arr: np.ndarray, mean, std) -> np.ndarray:
     return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
-def clip_preprocess(img: Image.Image, size: int = 224) -> np.ndarray:
-    """-> [size, size, 3] float32, CLIP-normalized. Caller squares first
-    (the SEAL pipeline always expand2squares before CLIP preprocessing)."""
+def clip_resize_u8(img: Image.Image, size: int = 224) -> np.ndarray:
+    """-> [size, size, 3] uint8: clip_preprocess's exact PIL geometry
+    WITHOUT the normalize. The engines upload this (4x smaller through
+    the relay) and normalize on device (kernels/image_ops
+    normalize_u8_images) — identical f32 math, so outputs match the
+    host-normalized path."""
     if img.size != (size, size):
         # shortest-edge resize + center crop degenerates to a plain resize
         # for square inputs, which is the only case on the SEAL path.
@@ -57,13 +60,24 @@ def clip_preprocess(img: Image.Image, size: int = 224) -> np.ndarray:
         img = img.resize((nw, nh), Image.BICUBIC)
         left, top = (nw - size) // 2, (nh - size) // 2
         img = img.crop((left, top, left + size, top + size))
-    return _normalize(np.asarray(img.convert("RGB")), CLIP_MEAN, CLIP_STD)
+    return np.asarray(img.convert("RGB"), np.uint8)
+
+
+def clip_preprocess(img: Image.Image, size: int = 224) -> np.ndarray:
+    """-> [size, size, 3] float32, CLIP-normalized. Caller squares first
+    (the SEAL pipeline always expand2squares before CLIP preprocessing)."""
+    return _normalize(clip_resize_u8(img, size), CLIP_MEAN, CLIP_STD)
+
+
+def owlvit_resize_u8(img: Image.Image, size: int = 768) -> np.ndarray:
+    """-> [size, size, 3] uint8 (owlvit_preprocess minus normalize)."""
+    return np.asarray(img.convert("RGB").resize((size, size),
+                                                Image.BICUBIC), np.uint8)
 
 
 def owlvit_preprocess(img: Image.Image, size: int = 768) -> np.ndarray:
     """-> [size, size, 3] float32, normalized (aspect-distorting resize)."""
-    img = img.convert("RGB").resize((size, size), Image.BICUBIC)
-    return _normalize(np.asarray(img), CLIP_MEAN, CLIP_STD)
+    return _normalize(owlvit_resize_u8(img, size), CLIP_MEAN, CLIP_STD)
 
 
 def resize_bilinear_torch(x: np.ndarray, out_h: int, out_w: int

@@ -20,7 +20,7 @@ import numpy as np
 from PIL import Image
 
 from ..core.config import VQALLMConfig
-from ..data.preprocess import clip_preprocess
+from ..data.preprocess import clip_resize_u8
 from ..decode.sampler import greedy_decode
 from ..decode.speculative import lookup_decode, speculative_decode
 from ..decode.scorer import score_options
@@ -165,22 +165,34 @@ class VQAEngine:
     # -- preprocessing -------------------------------------------------------
 
     def preprocess_image(self, image: Image.Image) -> np.ndarray:
-        return clip_preprocess(image, self.cfg.vision.image_size)
+        """-> [S, S, 3] uint8 (exact clip_preprocess PIL geometry; the
+        device programs normalize — 4x less relay upload). Oracles that
+        need the normalized array apply data.preprocess._normalize."""
+        return clip_resize_u8(image, self.cfg.vision.image_size)
 
     def get_object_crop(self, image: Image.Image, bbox,
                         patch_scale: float = 1.2) -> np.ndarray:
-        """Crop + resize + CLIP preprocess (vstar_bench_eval.py:71-76)."""
+        """Crop + resize + CLIP geometry (vstar_bench_eval.py:71-76);
+        uint8, normalized on device like preprocess_image."""
         box = get_patch(bbox, image.width, image.height,
                         patch_scale=patch_scale)
         crop = image.crop(tuple(box))
         size = self.cfg.vision.image_size
         crop = crop.resize((size, size))
-        return clip_preprocess(crop, size)
+        return clip_resize_u8(crop, size)
 
     def _object_stack(self, object_crops) -> np.ndarray:
         M = self.cfg.max_objects
         size = self.cfg.vision.image_size
-        out = np.zeros((M, size, size, 3), np.float32)
+        # u8 by default; pre-normalized f32 crops from external callers
+        # keep the f32 path (encode_feature_bank handles either dtype).
+        # Empty u8 slots are black, not normalized-zero — their bank
+        # entries are never gathered (see encode_feature_bank).
+        dt = np.uint8
+        if object_crops is not None and len(object_crops) \
+                and np.asarray(object_crops[0]).dtype != np.uint8:
+            dt = np.float32
+        out = np.zeros((M, size, size, 3), dt)
         if object_crops is not None:
             for i, c in enumerate(object_crops[:M]):
                 out[i] = c

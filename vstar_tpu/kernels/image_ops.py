@@ -30,6 +30,14 @@ def _normalize(x: jnp.ndarray) -> jnp.ndarray:
     return (x / 255.0 - mean) / std
 
 
+def normalize_u8_images(x_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [..., 3] -> CLIP-normalized f32. Host-resized images (exact
+    PIL geometry, data/preprocess clip_resize_u8/owlvit_resize_u8) upload
+    as u8 — 4x less relay traffic — and normalize here; the f32 math is
+    the same expression as the host _normalize, so results match."""
+    return _normalize(x_u8.astype(jnp.float32))
+
+
 def device_preprocess(image_u8: jnp.ndarray, out_size: int,
                       method: str = "cubic") -> jnp.ndarray:
     """[H, W, 3] uint8 -> [out, out, 3] f32 normalized (aspect-distorting

@@ -86,14 +86,23 @@ def encode_feature_bank(params: Dict, cfg: VQALLMConfig,
                         ) -> jnp.ndarray:
     """Build the per-row splice bank.
 
-    image_pixels:  [B, 224, 224, 3] CLIP-normalized
+    image_pixels:  [B, 224, 224, 3] CLIP-normalized f32, or uint8
+                   (host-resized, exact PIL geometry) — u8 inputs are
+                   normalized here on device so the engines upload 4x
+                   less through the relay; the math is identical.
     object_pixels: [B, M, 224, 224, 3] object crops (M == cfg.max_objects;
                    unused slots may be zeros — their bank entries are never
-                   gathered).
+                   gathered, so u8-black vs normalized-zero fill in dummy
+                   slots cannot affect outputs).
     Returns [B, (1+M)*(256+32), hidden].  Both projectors run on every
     input, mirroring encode_images/project_features
     (llava_search_arch.py:83-93).
     """
+    from ..kernels.image_ops import normalize_u8_images
+    if image_pixels.dtype == jnp.uint8:
+        image_pixels = normalize_u8_images(image_pixels)
+    if object_pixels is not None and object_pixels.dtype == jnp.uint8:
+        object_pixels = normalize_u8_images(object_pixels)
     B = image_pixels.shape[0]
     if object_pixels is None:
         M = cfg.max_objects

@@ -18,8 +18,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.preprocess import (clip_preprocess, expand2square,
-                               owlvit_preprocess)
+from ..data.preprocess import (clip_resize_u8, expand2square,
+                               owlvit_resize_u8)
 from ..multimodal.splicing import build_layout
 from ..multimodal.tokenizer import tokenize_with_image
 from .engine import VSMEngine, _round128
@@ -210,8 +210,10 @@ class BatchedVSMEngine(VSMEngine):
             else:
                 img = unwrap_patch(img)
                 sq, _, _ = expand2square(img)
-                clips[i] = clip_preprocess(sq, clip_size)
-                owls[i] = owlvit_preprocess(img, owl_size)
+                # u8 rows (exact PIL geometry): all-host waves upload 4x
+                # less and normalize inside vsm_generate
+                clips[i] = clip_resize_u8(sq, clip_size)
+                owls[i] = owlvit_resize_u8(img, owl_size)
         for canvas, idxs, sqs, crops in dev_groups.values():
             nb = _batch_bucket(len(idxs))
             sqs = sqs + [sqs[0]] * (nb - len(idxs))
@@ -229,10 +231,17 @@ class BatchedVSMEngine(VSMEngine):
             lays.append(lays[0])
 
         def stack(rows):
-            # all-host rows: ONE bulk upload (jnp.stack of numpy rows
+            # all-host rows: ONE bulk u8 upload (jnp.stack of numpy rows
             # would device_put each row separately — 5-15 ms dispatch
             # apiece through the relay); device rows: concat on device.
+            # Mixed waves hold normalized-f32 device rows, so u8 host
+            # rows normalize on the HOST there (identical math) before
+            # stacking — dtypes must agree.
             if dev_groups:
+                from ..data.preprocess import _normalize
+                from ..multimodal.constants import CLIP_MEAN, CLIP_STD
+                rows = [_normalize(r, CLIP_MEAN, CLIP_STD)
+                        if isinstance(r, np.ndarray) else r for r in rows]
                 return jnp.stack(rows)
             return jnp.asarray(np.stack(rows))
 

@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import VSMConfig
-from ..data.preprocess import (clip_preprocess, expand2square,
-                               owlvit_preprocess, resize_bilinear_torch)
+from ..data.preprocess import (clip_resize_u8, expand2square,
+                               owlvit_resize_u8, resize_bilinear_torch)
 from ..models.vsm import VSMOutput, vsm_generate
 from ..multimodal.constants import (DEFAULT_IM_END_TOKEN,
                                     DEFAULT_IM_START_TOKEN,
@@ -110,10 +110,11 @@ class VSMEngine:
         lay = build_layout(ids, bucket, n_long=n_img, n_short=0,
                            image_long=True)
 
+        # u8 upload (exact PIL geometry), normalized inside vsm_generate
         sq, _, _ = expand2square(image)
-        img_clip = clip_preprocess(sq, self.cfg.vision.image_size)[None]
-        img_owl = owlvit_preprocess(image,
-                                    self.cfg.owl_vision.image_size)[None]
+        img_clip = clip_resize_u8(sq, self.cfg.vision.image_size)[None]
+        img_owl = owlvit_resize_u8(image,
+                                   self.cfg.owl_vision.image_size)[None]
 
         draft = None
         if self._draft_row is not None:
