@@ -138,7 +138,13 @@ def main():
                    default=None,
                    help="keep bf16 decoder weights (default: int8 on a "
                         "single TPU chip)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache (reused across "
+                        "runs; see core/compile_cache.py)")
     args = p.parse_args()
+    if args.compile_cache:
+        from ..core.compile_cache import enable_compile_cache
+        enable_compile_cache(args.compile_cache)
 
     from .vstar_bench import load_vsm_engine, resolve_mesh
     vsm = load_vsm_engine(

@@ -142,6 +142,9 @@ def resolve_mesh(mesh):
 
 
 def eval_model(args, vqa_engine=None, vsm_engine=None):
+    if getattr(args, "compile_cache", None):
+        from ..core.compile_cache import enable_compile_cache
+        enable_compile_cache(args.compile_cache)
     if vqa_engine is None:
         compiled = getattr(args, "compiled", False)
         vqa_engine, vsm_engine = load_engines(
@@ -242,6 +245,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="prompt-lookup speculative decoding for the "
                         "free-form phase (greedy-equivalent; speedup "
                         "depends on how much answers echo the prompt)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache (reused across "
+                        "runs; see core/compile_cache.py)")
     return p
 
 

@@ -179,7 +179,16 @@ def main():
                    help="pre-compile every (mode x batch-bucket) program "
                         "before accepting traffic — no live request ever "
                         "stalls on a 20-40 s first-shape compile")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache: a restarted "
+                        "server reloads its compiled programs instead of "
+                        "recompiling (--warmup becomes IO-bound). "
+                        "Unvalidated on the axon relay; harmless if the "
+                        "backend skips it (core/compile_cache.py)")
     args = p.parse_args()
+    if args.compile_cache:
+        from ..core.compile_cache import enable_compile_cache
+        enable_compile_cache(args.compile_cache)
     from ..eval.vstar_bench import (load_vqa_engine, load_vsm_engine,
                                     resolve_mesh)
     mesh = resolve_mesh(args.mesh)
