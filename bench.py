@@ -124,8 +124,14 @@ def main(argv=None):
     # `import vstar_tpu.search.compiled` before UNAVAILABLE). The probe
     # also treats a crashing backend (UNAVAILABLE, not just a hang) as
     # down — anything that is not a clean platform answer degrades to CPU.
+    # One retry after a pause: transient relay blips at measurement time
+    # should not demote the round's number to a CPU smoke.
     degraded = False
-    if probe_platform() is None:
+    plat = probe_platform()
+    if plat is None:
+        time.sleep(60)
+        plat = probe_platform()
+    if plat is None:
         jax.config.update("jax_platforms", "cpu")
         degraded = True
     platform = jax.devices()[0].platform
