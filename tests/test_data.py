@@ -176,11 +176,15 @@ def test_segdet_dataset(tmp_path):
 
 
 def test_paco_annotation_builder(tmp_path):
+    """Builder keys: verbatim relative file_name (images resolve under
+    coco2017/, general_segdet_dataset.py:193-194) and canonical
+    'obj'/'obj:part' class keys (the per-sample phrasing coin flip
+    happens in SegDetDataset, not at preprocessing time)."""
     from vstar_tpu.data.preprocess_annotations import build_image2bboxes_paco
     data = {"categories": [
                 {"id": 1, "name": "mug_(cup)"},
-                {"id": 2, "name": "mug_(cup):handle"}],
-            "images": [{"id": 5, "file_name": "coco/a.jpg"}],
+                {"id": 2, "name": "mug_(cup):handle_(grip)"}],
+            "images": [{"id": 5, "file_name": "train2017/a.jpg"}],
             "annotations": [
                 {"id": 1, "image_id": 5, "category_id": 1,
                  "bbox": [1, 2, 10, 10]},
@@ -189,6 +193,83 @@ def test_paco_annotation_builder(tmp_path):
     src = tmp_path / "paco.json"
     json.dump(data, open(src, "w"))
     out = build_image2bboxes_paco(str(src), str(tmp_path / "out.json"))
-    entry = out["a.jpg"]
-    assert "mug" in entry and "handle of the mug" in entry
-    assert entry["handle of the mug"]["bboxes"] == [[3, 4, 5, 6]]
+    entry = out["train2017/a.jpg"]
+    assert "mug" in entry and "mug:handle" in entry
+    assert entry["mug:handle"]["bboxes"] == [[3, 4, 5, 6]]
+
+
+def test_paco_name_rendering():
+    """render_paco_name: reference coin flip between 'obj part' and
+    'the part of the obj', underscores -> spaces
+    (general_segdet_dataset.py:221-231)."""
+    import random
+
+    from vstar_tpu.data.preprocess_annotations import render_paco_name
+    rng = random.Random(0)
+    seen = {render_paco_name("coffee_mug:side_handle", rng)
+            for _ in range(50)}
+    assert seen == {"coffee mug side handle",
+                    "the side handle of the coffee mug"}
+    assert render_paco_name("coffee_mug", rng) == "coffee mug"
+
+
+def test_paco_segdet_end_to_end(tmp_path):
+    """A paco source routes images under coco2017/<file_name>, renders
+    part names per sample, and its rows collate + train one VSM step
+    (the r3 routing defect sent paco to object365/ and was never
+    exercised end-to-end)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vstar_tpu.core.config import vsm_tiny
+    from vstar_tpu.data.preprocess_annotations import build_image2bboxes_paco
+    from vstar_tpu.data.vsm_datasets import SegDetDataset
+    from vstar_tpu.models.vsm import init_vsm_params
+    from vstar_tpu.train.lora import add_lora, vsm_trainable_mask
+    from vstar_tpu.train.vsm_train import (VSMTrainState, make_vsm_optimizer,
+                                           vsm_train_step)
+
+    base = tmp_path
+    os.makedirs(base / "coco2017" / "train2017")
+    Image.fromarray(np.zeros((40, 60, 3), np.uint8)).save(
+        base / "coco2017" / "train2017" / "000009.jpg")
+    data = {"categories": [{"id": 2, "name": "mug_(cup):handle_(grip)"}],
+            "images": [{"id": 5, "file_name": "train2017/000009.jpg"}],
+            "annotations": [{"id": 2, "image_id": 5, "category_id": 2,
+                             "bbox": [3, 4, 12, 8]}]}
+    src = tmp_path / "paco_lvis_v1_train.json"
+    json.dump(data, open(src, "w"))
+    build_image2bboxes_paco(str(src),
+                            str(base / "paco_image2bboxes.json"))
+
+    cfg = vsm_tiny()
+    ds = SegDetDataset(str(base), sources=("paco",),
+                       clip_size=cfg.vision.image_size,
+                       owl_size=cfg.owl_vision.image_size, seed=0)
+    rows = ds.sample_rows()
+    assert len(rows) == 1
+    r = rows[0]
+    q = r.source[0]["value"].lower()
+    assert ("mug handle" in q) or ("handle of the mug" in q), q
+    assert r.bboxes_valid and not r.mask_valid   # boxes only, no sem mask
+    np.testing.assert_allclose(r.tgt_boxes[0],
+                               [9 / 60, 8 / 40, 12 / 60, 8 / 40], rtol=1e-5)
+
+    tok = WordTokenizer()
+    mask_res = cfg.sam.image_embedding_size[0] * 4
+    batch = collate_vsm_rows(rows, tok, loc_token_id=3,
+                             n_image_tokens=cfg.image_tokens,
+                             seq_bucket=64, t_max=4, mask_res=mask_res)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = init_vsm_params(jax.random.PRNGKey(0), cfg)
+    params["llama"] = add_lora(params["llama"], jax.random.PRNGKey(1),
+                               r=2, alpha=4)
+    opt = make_vsm_optimizer(lr=1e-3, warmup_steps=0, total_steps=10)
+    state = VSMTrainState(params, opt.init(params),
+                          jnp.zeros((), jnp.int32))
+    _, metrics = jax.jit(
+        lambda st, b: vsm_train_step(st, b, cfg, opt,
+                                     vsm_trainable_mask(params),
+                                     compute_dtype=jnp.float32))(
+        state, batch)
+    assert np.isfinite(float(metrics["loss"]))

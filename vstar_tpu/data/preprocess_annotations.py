@@ -78,22 +78,41 @@ def merge_goldG(mixed_json: str, flickr_json: str, out_path: str) -> list:
     return merged
 
 
+def paco_class_key(name: str) -> str:
+    """PACO-LVIS category name -> canonical 'obj' or 'obj:part' key
+    (general_segdet_dataset.py:92-100: split at ':', each side keeps the
+    text before '_(' — 'mug_(cup):handle_(grip)' -> 'mug:handle')."""
+    parts = name.strip().split(":")
+    if len(parts) == 1:
+        return parts[0].split("_(")[0]
+    obj, part = parts
+    return obj.split("_(")[0] + ":" + part.split("_(")[0]
+
+
+def render_paco_name(key: str, rng) -> str:
+    """Sample-time phrasing of a paco class key: object-part names flip a
+    coin between 'obj part' and 'the part of the obj', underscores become
+    spaces (general_segdet_dataset.py:221-233 — the flip happens per
+    SAMPLE in the reference, so it must not be collapsed at
+    preprocessing time)."""
+    if ":" not in key:
+        return key.replace("_", " ")
+    obj, part = key.split(":", 1)
+    name = (obj + " " + part) if rng.random() < 0.5 \
+        else "the {} of the {}".format(part, obj)
+    return name.replace("_", " ")
+
+
 def build_image2bboxes_paco(paco_json: str, out_path: str,
                             max_per_class: int = 100) -> Dict:
-    """PACO-LVIS -> paco_image2bboxes.json. PACO category names encode
-    object:part; the reference renders them as "part of the object" (or
-    just the object when no part; general_segdet_dataset.py:221-233)."""
+    """PACO-LVIS -> paco_image2bboxes.json. Keys are the images'
+    RELATIVE file_name (kept verbatim: paco images resolve under
+    base_dir/coco2017/<file_name>, general_segdet_dataset.py:193-194) and
+    the CANONICAL class keys ('obj' / 'obj:part'); SegDetDataset renders
+    the phrasing per sample (render_paco_name coin flip)."""
     data = json.load(open(paco_json))
-    def render(name: str) -> str:
-        obj_part = name.split(":")
-        obj = obj_part[0].split("_(")[0].replace("_", " ")
-        if len(obj_part) == 1:
-            return obj
-        part = obj_part[1].replace("_", " ")
-        return f"{part} of the {obj}"
-    cats = {c["id"]: render(c["name"]) for c in data["categories"]}
-    img_name = {im["id"]: os.path.basename(im["file_name"])
-                for im in data["images"]}
+    cats = {c["id"]: paco_class_key(c["name"]) for c in data["categories"]}
+    img_name = {im["id"]: im["file_name"] for im in data["images"]}
     out: Dict[str, Dict] = defaultdict(dict)
     for ann in data["annotations"]:
         name = cats[ann["category_id"]]

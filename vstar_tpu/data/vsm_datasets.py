@@ -122,6 +122,11 @@ class SegDetDataset:
         if src == "cocostuff":
             return os.path.join(self.base, "coco", "train2017",
                                 image_id + ".jpg")
+        if src == "paco":
+            # PACO-LVIS images are COCO images; the builder keys keep the
+            # relative file_name ('train2017/xxx.jpg'), resolved under
+            # coco2017/ (general_segdet_dataset.py:193-194)
+            return os.path.join(self.base, "coco2017", image_id)
         return os.path.join(self.base, "object365", "images", "train",
                             image_id)
 
@@ -153,6 +158,12 @@ class SegDetDataset:
             boxes = np.asarray(info["bboxes"], np.float32)[:self.max_boxes]
             boxes = _boxes_xyxy_to_cxcywh_norm(boxes, img.width, img.height)
             mask = self._semantic_mask(src, image_id, info.get("cat_id", -1))
+            if src == "paco":
+                # canonical 'obj:part' keys phrase per sample (the
+                # reference's 50/50 'obj part' vs 'the part of the obj',
+                # general_segdet_dataset.py:221-231)
+                from .preprocess_annotations import render_paco_name
+                cname = render_paco_name(cname, self.rng)
             rows.append(VSMRow(
                 image_clip=clip_t, image_owl=owl_t,
                 source=_conversation(cname, self.rng),
