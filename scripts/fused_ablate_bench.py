@@ -40,7 +40,7 @@ def main():
                            .rand(1536, 2048, 3) * 255).astype("uint8"))
     canvas = eng._canvas(img)
 
-    lay, bucket = comp._detect_layout("red mug")
+    lay, _, bucket = comp._prompt_layouts("red mug")
     from vstar_tpu.search.engine import _round128
     cache_len = bucket + _round128(eng.max_new_tokens)
     draft = jnp.asarray(eng._draft_row[None])

@@ -101,9 +101,10 @@ def test_fused_matches_host_policy(engines, seed, small):
 
 
 def test_fused_trajectory_and_dispatch_count(engines):
-    """The whole detect-path search runs in ONE fused dispatch: the
-    engine's per-wave generate program must NOT be called for detect
-    steps (only the context-cue vqa/segment waves may use it)."""
+    """The whole search — detect steps AND context-cue events (answer
+    decode, segment, push) — runs inside the fused programs: the
+    engine's per-wave generate must never be called (r4; only a segment
+    phrase overflowing the search's token bucket may fall back)."""
     eng, comp = engines
     img = _img(7)
     calls = []
@@ -120,12 +121,38 @@ def test_fused_trajectory_and_dispatch_count(engines):
                                          max_steps=8, path_out=path)
     finally:
         eng._run_many = orig
-    # every engine-side call must be a context-cue wave (vqa question or
-    # a segment prompt), never the per-step detect
-    for qs in calls:
-        assert all("Please locate the cat in this image." != q
-                   for q in qs)
+    assert calls == []
+    # the random tiny VSM goes weak on most steps — the in-program ctx
+    # path must actually have run (context cues recorded on the path)
+    assert any(s.context_cue for s in path)
     assert len(path) == max(plen, 1) or not ok
+
+
+def test_seg_phrase_overflow_falls_back(engines):
+    """A context phrase too long for the search's shared token bucket is
+    served as a host wave (any phrase length keeps working)."""
+    eng, comp = engines
+    img = _img(8)
+    calls = []
+    orig = eng._run_many
+
+    def spy(images, questions):
+        calls.append(list(questions))
+        return orig(images, questions)
+
+    long_phrase = "spot " * 40    # overflows the 64-token bucket
+    eng._run_many = spy
+    try:
+        import unittest.mock as mock
+        # `search` imports context_phrase from .policy at call time, so
+        # patching the policy module covers it
+        with mock.patch("vstar_tpu.search.policy.context_phrase",
+                        return_value=long_phrase):
+            comp.search(img, "cat", smallest_size=120, max_steps=8)
+    finally:
+        eng._run_many = orig
+    assert len(calls) >= 1                       # the fallback wave ran
+    assert all(long_phrase in q for qs in calls for q in qs)
 
 
 def test_canvas_prefetch_equivalence(engines, monkeypatch):
@@ -329,3 +356,52 @@ def test_warmup_compiled_smoke(engines):
     warmup_compiled(comp, canvas_sizes=((96, 128),),
                     batch_buckets=(1, 2), log=logs.append)
     assert len(logs) == 2
+
+
+def test_compiled_search_grows_past_P(engines, caplog):
+    """A production fused search that outgrows P continues after an
+    on-device state growth and matches the UNBOUNDED host policy exactly
+    (confidence_high=2 pins the no-accept regime so the path must run to
+    queue exhaustion, well past P=2)."""
+    import logging
+
+    eng, _ = engines
+    comp = CompiledVSMSearch(eng, P=2, grow_limit=64)
+    img = _img(61)
+    kw = dict(smallest_size=120, confidence_high=2.0, confidence_low=0.0)
+    host = run_batched_searches(eng, [img], ["cat"], **kw)[0]
+    with caplog.at_level(logging.INFO, "vstar_tpu.search.compiled"):
+        res = comp.search(img, "cat", **kw)
+    assert any("growing" in r.getMessage() for r in caplog.records)
+    fh, ph, okh, vh = host
+    fc, pc, okc, vc = res
+    assert okc == okh and pc == ph
+    assert ph > 2                                # genuinely outgrew P
+    if fh is not None:
+        assert fc.bbox == fh.bbox
+        np.testing.assert_allclose(np.asarray(fc.detection_result),
+                                   np.asarray(fh.detection_result),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_search_many_reruns_capped_rows(engines, caplog):
+    """Batched fused searches whose path outgrows the shared P re-run
+    through the growable serial path and still match the host policy."""
+    import logging
+
+    eng, _ = engines
+    comp = CompiledVSMSearch(eng, P=2, grow_limit=64)
+    imgs = [_img(62), _img(63)]
+    kw = dict(confidence_high=2.0, confidence_low=0.0)
+    with caplog.at_level(logging.INFO, "vstar_tpu.search.compiled"):
+        outs = comp.search_many(imgs, ["cat", "dog"], [120, 120], **kw)
+    assert any("re-running serially" in r.getMessage()
+               for r in caplog.records)
+    for i in range(2):
+        fh, ph, okh, _ = run_batched_searches(eng, [imgs[i]],
+                                              [["cat", "dog"][i]],
+                                              smallest_size=120, **kw)[0]
+        fb, pb, okb, _ = outs[i]
+        assert okb == okh and pb == ph
+        if fh is not None:
+            assert fb.bbox == fh.bbox

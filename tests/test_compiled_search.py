@@ -94,3 +94,52 @@ def test_device_policy_path_record():
             assert sh.context_cue == sd.context_cue
         if sh.score is not None:
             assert sd.score == pytest.approx(sh.score, rel=1e-5, abs=1e-6)
+
+
+def test_device_policy_grows_past_P(caplog):
+    """A scene whose path outgrows the initial device capacity: the state
+    doubles on device (grow_and_pop) and the traversal still matches the
+    host policy, whose recursion is bounded only by patch size
+    (visual_search.py:416-418) — no silent fallback at P."""
+    import logging
+
+    kw = dict(target=[700, 650, 60, 50], max_logit=0.45)
+    o_host, o_dev = ScriptedVSM(**kw), ScriptedVSM(**kw)
+    img = CoordImage(896, 896)
+    host = visual_search(OurAdapter(o_host), img, "needle",
+                         smallest_size=224)
+    with caplog.at_level(logging.INFO, "vstar_tpu.search.compiled"):
+        dev = visual_search_device_policy(OurAdapter(o_dev), img, "needle",
+                                          smallest_size=224, P=4)
+    assert len(o_host.detect_calls) > 4          # the scene outgrows P=4
+    assert any("growing" in r.getMessage() for r in caplog.records)
+    _assert_same(host, dev, o_host, o_dev)
+
+
+def test_device_policy_grow_limit_warns(caplog):
+    """When the grow limit itself binds, the capped ending is LOGGED (one
+    line) and behaves like max_steps=grow_limit on the host policy."""
+    import logging
+
+    kw = dict(target=[700, 650, 60, 50], max_logit=0.45)
+    o_host, o_dev = ScriptedVSM(**kw), ScriptedVSM(**kw)
+    img = CoordImage(896, 896)
+    host = visual_search(OurAdapter(o_host), img, "needle",
+                         smallest_size=224, max_steps=4)
+    with caplog.at_level(logging.WARNING, "vstar_tpu.search.compiled"):
+        dev = visual_search_device_policy(OurAdapter(o_dev), img, "needle",
+                                          smallest_size=224, P=4,
+                                          grow_limit=4)
+    assert any("grow-limit" in r.getMessage() for r in caplog.records)
+    _assert_same(host, dev, o_host, o_dev)
+
+
+def test_device_policy_user_max_steps_does_not_grow(caplog):
+    """max_steps < P is the caller's cap: no growth, no log."""
+    import logging
+
+    with caplog.at_level(logging.INFO, "vstar_tpu.search.compiled"):
+        host, dev, o1, o2 = _run_pair(dict(target=[700, 650, 60, 50],
+                                           max_logit=0.45), max_steps=3)
+    assert not any("capacity" in r.getMessage() for r in caplog.records)
+    _assert_same(host, dev, o1, o2)
