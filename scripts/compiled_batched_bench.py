@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--w8a8", action="store_true",
                     help="per-token dynamic int8 activations on the MXU "
                          "(opt-in, like bench.py --w8a8)")
+    ap.add_argument("--force-ctx", action="store_true",
+                    help="every step takes the context-cue path "
+                         "(unreachably high cue thresholds): the "
+                         "worst-path regime. r3 served each event with "
+                         "3+ separate host waves; r4 decodes the answer "
+                         "and segments in-program (one dispatch + one "
+                         "fetch per event)")
     args = ap.parse_args()
     if args.w8a8:
         from vstar_tpu.nn.quant import set_act_int8
@@ -64,6 +71,13 @@ def main():
     for im in imgs:
         eng._canvas(im)   # uploads outside both timed regions
 
+    forced = dict(FORCED)
+    if args.force_ctx:
+        # heat max can never exceed 1e9: every non-small step exits to
+        # the context cue (the reference's visual_search.py:428-443 path)
+        forced["target_cue_threshold"] = 1e9
+        forced["target_cue_threshold_minimum"] = 1e9
+
     def tasks(k):
         return [{"image": imgs[i], "name": names[i], "smallest": 512}
                 for i in range(k)]
@@ -80,7 +94,7 @@ def main():
         for _ in range(4):
             t0 = time.perf_counter()
             run_grouped_searches(engine, tasks(B), image_batch=B,
-                                 max_steps=STEPS, **FORCED)
+                                 max_steps=STEPS, **forced)
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
         print(f"{label}: reps {[f'{t:.2f}' for t in ts]} s; steady "

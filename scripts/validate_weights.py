@@ -68,6 +68,13 @@ def main():
     p.add_argument("--benchmark-folder",
                    help="optional: also run the real V*Bench eval")
     p.add_argument("--skip-audit", action="store_true")
+    p.add_argument("--sweep", action="store_true",
+                   help="flag-matrix sweep: measure accuracy/latency for "
+                        "every opt-in (int8 KV, W8A8, prompt-lookup, "
+                        "compiled search) in one run — the day-one gate "
+                        "table (eval/flag_matrix.py); add "
+                        "--benchmark-folder for real V*Bench accuracy "
+                        "per cell")
     p.add_argument("--int8", dest="int8", action="store_true",
                    default=None,
                    help="force weight-only int8 even on mesh/CPU runs")
@@ -144,7 +151,41 @@ def main():
         print(f"[search/compiled] found={cfound} path_len={cn} "
               f"bbox={None if cstep is None else cstep.bbox}")
 
-    if args.benchmark_folder and vqa is not None and vsm is not None:
+    if args.sweep and vqa is not None and vsm is not None:
+        # one command -> the whole opt-in gate table (needs both 7B
+        # models resident: two chips / a mesh / a >32 GB host)
+        import json
+
+        from vstar_tpu.eval.flag_matrix import (format_table,
+                                                run_flag_matrix)
+        from vstar_tpu.eval.vqa_engine import VQAEngine
+        from vstar_tpu.search.batched import BatchedVSMEngine
+
+        def make_engines(kv_int8, prompt_lookup, compiled):
+            vq = VQAEngine(vqa.params, vqa.cfg, vqa.tokenizer,
+                           conv_type=vqa.conv_type,
+                           prompt_buckets=vqa.prompt_buckets,
+                           kv_int8=kv_int8, prompt_lookup=prompt_lookup)
+            vs = BatchedVSMEngine(
+                vsm.params, vsm.cfg, vsm.tokenizer,
+                loc_token_id=vsm.loc_token_id, eos_id=vsm.eos_id,
+                max_new_tokens=vsm.max_new_tokens,
+                prompt_buckets=vsm.prompt_buckets,
+                compute_dtype=vsm.compute_dtype, kv_int8=kv_int8,
+                device_preprocess=compiled)
+            if compiled:
+                from vstar_tpu.search.compiled import CompiledVSMSearch
+                vs = CompiledVSMSearch(vs)
+            return vq, vs
+
+        rows = run_flag_matrix(make_engines, img,
+                               search_name="red rectangle",
+                               benchmark_folder=args.benchmark_folder)
+        print(format_table(rows))
+        with open("flag_matrix.json", "w") as f:
+            json.dump(rows, f, indent=2)
+        print("flag matrix -> flag_matrix.json")
+    elif args.benchmark_folder and vqa is not None and vsm is not None:
         from vstar_tpu.eval.vstar_bench import eval_model
         ns = argparse.Namespace(
             vqa_model_path=args.vqa_model_path,

@@ -1,0 +1,76 @@
+"""Day-one flag-matrix sweep (eval/flag_matrix.py) dry-run on tiny random
+weights: every opt-in cell constructs, runs the full inference surfaces,
+and the greedy-equivalence invariant (prompt-lookup answer == base) holds
+— so checkpoint day is one command producing every gate decision."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from vstar_tpu.core.config import vqa_llm_tiny, vsm_tiny
+from vstar_tpu.eval.flag_matrix import CELLS, format_table, run_flag_matrix
+from vstar_tpu.eval.vqa_engine import VQAEngine
+from vstar_tpu.models.vqa_llm import init_vqa_llm_params
+from vstar_tpu.models.vsm import init_vsm_params
+from vstar_tpu.search.batched import BatchedVSMEngine
+from tests.test_data import WordTokenizer
+
+VQA_CFG = vqa_llm_tiny()
+VSM_CFG = vsm_tiny()
+
+
+def test_flag_matrix_dry_run():
+    # int8-quantized decoders so kv-int8/w8a8 cells exercise their real
+    # code paths (the global toggle only changes quantized-entry matmuls)
+    vqa_params = init_vqa_llm_params(jax.random.PRNGKey(0), VQA_CFG,
+                                     quantize_llm=True)
+    vsm_params = init_vsm_params(jax.random.PRNGKey(1), VSM_CFG,
+                                 quantize_llm=True)
+    tok = WordTokenizer()
+
+    class ShortVQA(VQAEngine):
+        def free_form(self, image, question, **kw):
+            kw.setdefault("max_new_tokens", 6)
+            return super().free_form(image, question, **kw)
+
+    def make_engines(kv_int8, prompt_lookup, compiled):
+        vq = ShortVQA(vqa_params, VQA_CFG, tok, prompt_buckets=(64, 128),
+                      option_bucket=16, compute_dtype=jnp.float32,
+                      kv_int8=kv_int8, prompt_lookup=prompt_lookup)
+        vs = BatchedVSMEngine(vsm_params, VSM_CFG, tok,
+                              loc_token_id=tok._word_id("[LOC]"),
+                              max_new_tokens=4, prompt_buckets=(64, 128),
+                              compute_dtype=jnp.float32, kv_int8=kv_int8,
+                              device_preprocess=compiled,
+                              speculative_template=None)
+        if compiled:
+            from vstar_tpu.search.compiled import CompiledVSMSearch
+            vs = CompiledVSMSearch(vs, P=8)
+        return vq, vs
+
+    img = Image.fromarray((np.random.RandomState(0).rand(250, 300, 3)
+                           * 255).astype("uint8"))
+    rows = run_flag_matrix(make_engines, img, search_name="red thing",
+                           log=None)
+
+    assert [r["cell"] for r in rows] == [name for name, _ in CELLS]
+    base = rows[0]
+    by_cell = {r["cell"]: r for r in rows}
+    # greedy equivalence: prompt-lookup must reproduce the base answer
+    assert by_cell["prompt-lookup"]["answer_matches_base"] is True
+    assert by_cell["prompt-lookup"]["option_matches_base"] is True
+    # every cell actually ran both surfaces and measured latency
+    for r in rows:
+        assert r["free_form_s"] > 0 and r["search_s"] > 0
+        assert isinstance(r["search_found"], bool)
+        assert r["option"] in (0, 1, 2, 3)
+    # the compiled cell went through CompiledVSMSearch (plen may be 0 —
+    # a fallback FAILURE is a legitimate random-weight verdict)
+    comp = by_cell["compiled-search"]
+    assert comp["compiled"] is True
+    assert comp["search_plen"] >= 0
+    assert base["search_plen"] >= 0
+    # the table renders every populated column
+    table = format_table(rows)
+    assert "free_form_s" in table and "all-opt-ins" in table
