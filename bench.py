@@ -1,17 +1,32 @@
-"""Benchmark: MEASURED p50 latency of a full guided visual search on a 2K
-image, end to end, on real TPU.
+"""Benchmark: the full SEAL V*Bench loop AND the full-search p50, both
+measured end to end on real TPU.
 
-The timed unit is the real thing (VERDICT r2 weak #1 closed): each rep
-runs `CompiledVSMSearch.search` — canvas upload, on-device window
-extraction, CLIP-L + 7B prefill + speculative decode + OWL-ViT + heads,
-and the on-device queue/threshold/split/scoring policy — for a 3-step
-target-cue descent (the paper's average successful path length ~3;
-arXiv 2312.14135) on a 2K image. Nothing is composed from parts and
-nothing is excluded: `value` is the wall-clock p50 of the search call.
+Two measured units (nothing composed from parts):
+
+1. `seal_e2e_images_per_s` (r4, the BASELINE.json headline workload that
+   had never RUN on one chip): the complete SEAL loop of
+   /root/reference/vstar_bench_eval.py:168-280 — free-form trigger ->
+   guided searches -> focus re-ask, BOTH 7B models — over a synthetic
+   V*Bench via phase-swapped weight residency (eval/phased.py): only one
+   model resident at a time, ONE swap per phase boundary amortized over
+   the dataset. The engine objects (and their compiled programs) persist
+   across swaps; only the weights are dropped and re-created — exactly
+   what a production phase swap does. Steady state: the phased pass runs
+   twice and the second pass is reported (the first absorbs compiles).
+
+2. `seal_full_search_p50_latency` (r2/r3 headline, still `value` for
+   cross-round continuity): each rep runs `CompiledVSMSearch.search` —
+   canvas upload, on-device window extraction, CLIP-L + 7B prefill +
+   speculative decode + OWL-ViT + heads, and the on-device
+   queue/threshold/split/scoring policy — for a 3-step target-cue
+   descent (the paper's average successful path length ~3;
+   arXiv 2312.14135) on a 2K image.
 
 Prints ONE JSON line:
   {"metric": "seal_full_search_p50_latency", "value": <seconds>,
-   "unit": "s", "vs_baseline": <2.0 / value>}
+   "unit": "s", "vs_baseline": <2.0 / value>,
+   "seal_e2e_images_per_s": ..., "seal_e2e_amortized_images_per_s": ...,
+   "seal_e2e_phases_s": ..., "seal_e2e_swap_s": ..., ...}
 vs_baseline > 1 means the 2-second full-search target is beaten.
 
 Scenario control (weights are random at the full seal_vsm_7b shape — the
@@ -139,21 +154,27 @@ def main(argv=None):
     if args.w8a8:
         from vstar_tpu.nn.quant import set_act_int8
         set_act_int8(True)
-    from vstar_tpu.core.config import vsm_7b
+    from vstar_tpu.core.config import vqa_llm_7b, vsm_7b
+    from vstar_tpu.eval.vqa_engine import VQAEngine
+    from vstar_tpu.models.vqa_llm import init_vqa_llm_params
     from vstar_tpu.models.vsm import init_vsm_params
     from vstar_tpu.search.batched import BatchedVSMEngine
     from vstar_tpu.search.compiled import CompiledVSMSearch
     cfg = vsm_7b()
+    vqa_cfg = vqa_llm_7b()
     img_hw = (1536, 2048)
     forced = dict(FORCED)
+    n_e2e = 12
     if platform != "tpu":
-        # CI / CPU smoke: shrink the decoder + image, identical pipeline.
+        # CI / CPU smoke: shrink the decoders + image, identical pipeline.
         import dataclasses
+
+        def small_llama(c):
+            return dataclasses.replace(c, num_layers=2, hidden_size=512,
+                                       intermediate_size=1024, num_heads=4,
+                                       num_kv_heads=4)
         cfg = dataclasses.replace(
-            cfg, llama=dataclasses.replace(cfg.llama, num_layers=2,
-                                           hidden_size=512,
-                                           intermediate_size=1024,
-                                           num_heads=4, num_kv_heads=4),
+            cfg, llama=small_llama(cfg.llama),
             # the projector feeds the decoder: its out_dim must track the
             # shrunk hidden size or splicing fails on a 4096-dim bank
             projector=dataclasses.replace(cfg.projector, out_dim=512),
@@ -162,18 +183,93 @@ def main(argv=None):
             # while staying minutes, not tens of minutes, on CPU
             vision=dataclasses.replace(cfg.vision, num_layers=2),
             owl_vision=dataclasses.replace(cfg.owl_vision, num_layers=2))
+        vqa_cfg = dataclasses.replace(
+            vqa_cfg, llama=small_llama(vqa_cfg.llama),
+            projector_image=dataclasses.replace(vqa_cfg.projector_image,
+                                                out_dim=512),
+            projector_object=dataclasses.replace(vqa_cfg.projector_object,
+                                                 out_dim=512),
+            vision=dataclasses.replace(vqa_cfg.vision, num_layers=2))
         img_hw = (384, 512)
         forced["smallest_size"] = 128
         args.repeats = min(args.repeats, 2)   # CPU smoke only
+        n_e2e = 4
 
-    params = init_vsm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
-                             quantize_llm=(platform == "tpu"))
-    jax.block_until_ready(params["llama"]["embed_tokens"])
-    eng = BatchedVSMEngine(params, cfg, _tok(), loc_token_id=3,
-                           max_new_tokens=MAX_NEW_TOKENS,
-                           prompt_buckets=(384,), device_preprocess=True,
-                           speculative_template=None)
-    comp = CompiledVSMSearch(eng, P=16)
+    quantize = platform == "tpu"
+    tok = _tok()
+
+    def _sync(params):
+        # relay block_until_ready returns early; transfers are FIFO, so a
+        # scalar fetch of the LAST-created leaf syncs the whole init
+        leaf = jax.tree_util.tree_leaves(params)[-1]
+        float(jnp.sum(leaf.astype(jnp.float32)))
+        return params
+
+    # Engine singletons: the phased runner swaps WEIGHTS, the engines
+    # (and their compiled programs) persist — the production phase-swap
+    # design. vsm_factory's engine is also the search-p50 section's.
+    holders = {}
+
+    def vqa_factory():
+        params = _sync(init_vqa_llm_params(
+            jax.random.PRNGKey(0), vqa_cfg, dtype=jnp.bfloat16,
+            quantize_llm=quantize))
+        if "vqa" not in holders:
+            holders["vqa"] = VQAEngine(params, vqa_cfg, tok,
+                                       prompt_buckets=(512, 768),
+                                       option_bucket=64)
+        else:
+            holders["vqa"].params = params
+        return holders["vqa"]
+
+    def vsm_factory():
+        params = _sync(init_vsm_params(
+            jax.random.PRNGKey(1), cfg, dtype=jnp.bfloat16,
+            quantize_llm=quantize))
+        if "vsm" not in holders:
+            eng = BatchedVSMEngine(params, cfg, tok, loc_token_id=3,
+                                   max_new_tokens=MAX_NEW_TOKENS,
+                                   prompt_buckets=(384,),
+                                   device_preprocess=True,
+                                   speculative_template=None)
+            holders["vsm"] = CompiledVSMSearch(eng, P=16)
+        else:
+            holders["vsm"].engine.params = params
+        return holders["vsm"]
+
+    # ---- measured unit 1: the full SEAL loop, phase-swapped ------------
+    import tempfile
+
+    from vstar_tpu.eval.phased import eval_model_phased
+    from vstar_tpu.eval.synthetic import make_synthetic_benchmark
+
+    e2e_dir = tempfile.mkdtemp(prefix="vstar_e2e_")
+    make_synthetic_benchmark(e2e_dir, n_per_task=n_e2e // 2,
+                             image_hw=img_hw)
+    phased_kw = dict(
+        batch=4, free_form_max_new_tokens=32,
+        max_search_steps=SEARCH_STEPS,
+        # the forced target-cue regime (same control path as the p50
+        # unit: real checkpoints additionally accept early)
+        search_kwargs=dict(
+            confidence_high=forced["confidence_high"],
+            target_cue_threshold=forced["target_cue_threshold"],
+            target_cue_threshold_minimum=(
+                forced["target_cue_threshold_minimum"])),
+        # random weights never emit the trigger sentence: the free-form
+        # phase runs (and is timed) in full, the searched objects come
+        # from the annotations — every image pays one search
+        force_missing=lambda s: list(s["annotation"]["target_object"]),
+        log=None)
+    if platform == "tpu":
+        eval_model_phased(e2e_dir, vqa_factory, vsm_factory,
+                          **phased_kw)             # warm pass (compiles)
+    _, _, e2e = eval_model_phased(e2e_dir, vqa_factory, vsm_factory,
+                                  **phased_kw)     # steady pass
+
+    # ---- measured unit 2: full-search p50 (VSM weights resident) -------
+    comp = vsm_factory()
+    eng = comp.engine
 
     _seed = [0]
 
@@ -287,14 +383,29 @@ def main(argv=None):
         "canvas_upload_2k_s": round(canvas_upload, 4),
         "path_lengths_synthetic": plens,
         "mean_path_synthetic": round(mean_plen, 2),
+        "seal_e2e_images_per_s": round(e2e["images_per_s_steady"], 4),
+        "seal_e2e_amortized_images_per_s": round(
+            e2e["images_per_s_amortized"], 4),
+        "seal_e2e_n_images": e2e["n_images"],
+        "seal_e2e_phases_s": [round(e2e["phase1_s"], 3),
+                              round(e2e["phase2_s"], 3),
+                              round(e2e["phase3_s"], 3)],
+        "seal_e2e_swap_s": round(e2e["swap_total_s"], 3),
         "platform": platform,
         **({"degraded": True} if degraded else {}),
-        "definition": "r3: value is the measured wall-clock p50 of "
-                      "CompiledVSMSearch.search on a fresh 2K image — "
-                      "canvas upload + 3 target-cue detect steps (windows"
-                      " + towers + prefill + spec decode + heads + "
-                      "on-device policy) in ONE fused dispatch. No "
-                      "composed estimate.",
+        "definition": "value: r3 definition — measured wall-clock p50 of "
+                      "CompiledVSMSearch.search on a fresh 2K image "
+                      "(canvas upload + 3 target-cue detect steps in ONE "
+                      "fused dispatch). seal_e2e_*: r4 — the COMPLETE "
+                      "SEAL loop (free-form trigger -> one 3-step fused "
+                      "search per image -> focus option scoring, both 7B "
+                      "models) over a synthetic 2K V*Bench on ONE chip "
+                      "via phase-swapped weight residency; steady = "
+                      "second pass, compiled programs persist across "
+                      "swaps, weights re-created per phase (swap cost "
+                      "reported; amortized divides by compute+swaps). "
+                      "Random weights force the worst path everywhere; "
+                      "no composed estimates.",
     }))
 
 

@@ -145,6 +145,44 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
     if getattr(args, "compile_cache", None):
         from ..core.compile_cache import enable_compile_cache
         enable_compile_cache(args.compile_cache)
+    if getattr(args, "single_chip_phased", False):
+        # ONE model resident at a time: free-form over all images, one
+        # swap to the VSM, all searches, swap back, all focus re-asks
+        # (eval/phased.py; the 7B pair does not fit one 16 GB chip)
+        from .phased import eval_model_phased
+        assert vqa_engine is None and vsm_engine is None, \
+            "--single-chip-phased builds its own engines per phase"
+        assert getattr(args, "mesh", None) is None, \
+            "--single-chip-phased is the single-chip mode; use --mesh " \
+            "OR phased, not both"
+        compiled = getattr(args, "compiled", False)
+
+        def vqa_factory():
+            return load_vqa_engine(
+                args.vqa_model_path, args.conv_type,
+                int8=getattr(args, "int8", None),
+                kv_int8=getattr(args, "kv_int8", False),
+                prompt_lookup=getattr(args, "prompt_lookup", False))
+
+        def vsm_factory():
+            eng = load_vsm_engine(
+                args.vsm_model_path,
+                device_preprocess=getattr(args, "device_preprocess",
+                                          False) or compiled,
+                int8=getattr(args, "int8", None),
+                kv_int8=getattr(args, "kv_int8", False))
+            if compiled:
+                from ..search.compiled import CompiledVSMSearch
+                return CompiledVSMSearch(eng)
+            return eng
+
+        results, per_type, timings = eval_model_phased(
+            args.benchmark_folder, vqa_factory, vsm_factory,
+            output_path=args.output_path,
+            minimum_size_scale=args.minimum_size_scale,
+            minimum_size=args.minimum_size,
+            batch=max(getattr(args, "image_batch", 1) or 1, 4))
+        return results, per_type, timings
     if vqa_engine is None:
         compiled = getattr(args, "compiled", False)
         vqa_engine, vsm_engine = load_engines(
@@ -245,6 +283,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="prompt-lookup speculative decoding for the "
                         "free-form phase (greedy-equivalent; speedup "
                         "depends on how much answers echo the prompt)")
+    p.add_argument("--single-chip-phased", dest="single_chip_phased",
+                   action="store_true", default=False,
+                   help="phase-swapped weight residency: run the whole "
+                        "benchmark with ONE 7B model resident at a time "
+                        "(free-form -> swap -> searches -> swap -> focus "
+                        "re-ask); the only way the full SEAL pair runs "
+                        "on one 16 GB chip")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="persistent XLA compilation cache (reused across "
                         "runs; see core/compile_cache.py)")

@@ -1127,7 +1127,9 @@ class CompiledVSMSearch:
             static_argnames=("cfg", "loc_token_id", "max_new_tokens",
                              "eos_id", "cache_len", "compute_dtype",
                              "spec_chunk", "max_steps", "kv_int8"),
-            donate_argnums=(3, 4, 5))  # states + stores + codes
+            donate_argnums=(3, 4))     # states + stores (codes are a
+        #                                tiny fresh upload per call —
+        #                                donating them only warns)
         self._jit_ctx_b = jax.jit(
             context_push_low_batched, static_argnames=("max_steps",),
             donate_argnums=(0, 1))
