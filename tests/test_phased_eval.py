@@ -110,18 +110,33 @@ def test_phased_matches_serial(tmp_path):
         == json.load(open(tmp_path / "serial.json")).keys()
 
 
-def test_phased_cli_flag(tmp_path):
-    """--single-chip-phased routes eval_model through the phased runner
-    (factories built from the checkpoint paths are exercised by
-    validate_weights; here the route + guards)."""
+def test_phased_cli_flag(tmp_path, monkeypatch):
+    """--single-chip-phased routes eval_model through the phased runner:
+    the engine factories are built from the checkpoint-loading functions
+    (monkeypatched to the tiny engines here) and the result JSON lands in
+    the reference schema."""
     import pytest
 
-    from vstar_tpu.eval.vstar_bench import build_parser
-    args = build_parser().parse_args(["--single-chip-phased"])
+    import vstar_tpu.eval.vstar_bench as vb
+    args = vb.build_parser().parse_args(["--single-chip-phased"])
     assert args.single_chip_phased
     args.mesh = "1x2x1"
     with pytest.raises(AssertionError, match="single-chip"):
         eval_model(args)
+    args.mesh = None
+
+    _mk_benchmark(tmp_path, n_direct=1, n_rel=1)
+    monkeypatch.setattr(vb, "load_vqa_engine",
+                        lambda *a, **k: _vqa_factory())
+    monkeypatch.setattr(vb, "load_vsm_engine",
+                        lambda *a, **k: _vsm_factory())
+    args.benchmark_folder = str(tmp_path)
+    args.output_path = str(tmp_path / "out.json")
+    results, per_type, timings = eval_model(args)
+    out = json.load(open(tmp_path / "out.json"))
+    assert len(out["direct_attributes"]) == 1
+    assert out["direct_attributes"][0]["missing_objects"] == ["tiny cup"]
+    assert timings["n_images"] == 2
 
 
 def test_free_engine_drops_residency():

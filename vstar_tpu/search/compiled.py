@@ -850,13 +850,6 @@ def context_push_low_batched(states, stores: jnp.ndarray,
     return states, stores, codes
 
 
-def tail_bboxes(states) -> jnp.ndarray:
-    """[B, 4] bbox of each search's path tail (one small fetch)."""
-    idx = states.n_path - 1
-    return jnp.take_along_axis(states.p_bbox, idx[:, None, None],
-                               axis=1)[:, 0]
-
-
 # ---------------------------------------------------------------------------
 # Host driver, injected mode: device policy x any VSMClient
 # ---------------------------------------------------------------------------
