@@ -251,7 +251,10 @@ def main(argv=None):
     make_synthetic_benchmark(e2e_dir, n_per_task=n_e2e // 2,
                              image_hw=img_hw)
     phased_kw = dict(
-        batch=4, free_form_max_new_tokens=32,
+        # B=8 waves for phases 1+3 (measured 3.59 vs 2.86 images/s plain;
+        # HBM bounded at 11.9/16 GB by scripts/hbm_probe.py) and for the
+        # batched fused searches (r3: 1.22x over B=4)
+        batch=8, free_form_max_new_tokens=32,
         max_search_steps=SEARCH_STEPS,
         # the forced target-cue regime (same control path as the p50
         # unit: real checkpoints additionally accept early)
