@@ -35,7 +35,8 @@ def main():
     ap.add_argument("--kv-int8", action="store_true",
                     help="int8 KV cache in every engine/fused program")
     ap.add_argument("--max-b", type=int, default=4,
-                    help="largest fused batch bucket to measure (4 or 8)")
+                    help="largest fused batch bucket to measure "
+                         "(4, 8 or 16)")
     ap.add_argument("--skip-host", action="store_true",
                     help="skip the host-waves baseline row")
     ap.add_argument("--w8a8", action="store_true",
@@ -60,14 +61,16 @@ def main():
     eng = BatchedVSMEngine(params, cfg, Tok(), loc_token_id=3,
                            max_new_tokens=16, prompt_buckets=(384,),
                            device_preprocess=True, kv_int8=args.kv_int8)
-    buckets = tuple(b for b in (1, 2, 4, 8) if b <= args.max_b)
+    buckets = tuple(b for b in (1, 2, 4, 8, 16) if b <= args.max_b)
     comp = CompiledVSMSearch(eng, P=8, batch_buckets=buckets)
     rng = np.random.RandomState(0)
     imgs = [Image.fromarray(rng.randint(0, 255, (1536, 2048, 3),
                                         dtype=np.uint8))
             for _ in range(args.max_b)]
     names = ["red mug", "clock", "street sign", "umbrella",
-             "bicycle", "stop light", "backpack", "fire hydrant"]
+             "bicycle", "stop light", "backpack", "fire hydrant",
+             "coffee cup", "laptop", "pigeon", "mailbox",
+             "traffic cone", "ladder", "shopping cart", "bench"]
     for im in imgs:
         eng._canvas(im)   # uploads outside both timed regions
 
@@ -89,6 +92,8 @@ def main():
         rows = rows[1:]
     if args.max_b >= 8:
         rows.append(("fused-batch B=8", comp, 8))
+    if args.max_b >= 16:
+        rows.append(("fused-batch B=16", comp, 16))
     for label, engine, B in rows:
         ts = []
         for _ in range(4):

@@ -49,6 +49,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kv-int8", action="store_true", default=False)
     ap.add_argument("--prompt-lookup", action="store_true", default=False)
+    ap.add_argument("--batches", type=int, nargs="+", default=[4, 8],
+                    help="wave sizes to analyze")
     args = ap.parse_args()
     cfg = vqa_llm_7b()
     params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg,
@@ -60,10 +62,11 @@ def main():
     print(f"weights+live arrays: {live_gb():.3f} GB")
 
     rng = np.random.RandomState(0)
+    n = max(args.batches)
     imgs = [Image.fromarray((rng.rand(500, 600, 3) * 255).astype("uint8"))
-            for _ in range(8)]
-    qs = [f"is object {i} red or blue ?" for i in range(8)]
-    opts = [["red thing", "blue thing", "green", "none"]] * 8
+            for _ in range(n)]
+    qs = [f"is object {i} red or blue ?" for i in range(n)]
+    opts = [["red thing", "blue thing", "green", "none"]] * n
 
     # capture the real call args of each phase program, then AOT-analyze
     # the same compiled executables (compiles are cached: same shapes)
@@ -79,7 +82,7 @@ def main():
         return real_mc(*a, **k)
 
     eng._jit_free_form, eng._jit_mc = rec_fm, rec_mc
-    for B in (4, 8):
+    for B in args.batches:
         eng.free_form_many(imgs[:B], qs[:B], max_new_tokens=32)
         eng.multiple_choice_many(imgs[:B], qs[:B], opts[:B])
         fm = analyze(real_fm, *cap["fm"])

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--reps", type=int, default=2,
                     help="measured repetitions per B cell (min reported; "
                          "spread separates relay variance from knees)")
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 4, 8],
+                    help="wave sizes to measure (each new size compiles "
+                         "a new program shape)")
     args = ap.parse_args()
     cfg = vqa_llm_7b()
     params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
@@ -54,12 +57,13 @@ def main():
     print(f"[mem] after weights: {memory_stats()}", flush=True)
 
     rng = np.random.RandomState(0)
+    n = max(args.batches)
     imgs = [Image.fromarray((rng.rand(500, 600, 3) * 255).astype("uint8"))
-            for _ in range(8)]
-    qs = [f"is the small object number {i} red or blue ?" for i in range(8)]
-    opts = [["red thing", "blue thing", "green", "none"]] * 8
+            for _ in range(n)]
+    qs = [f"is the small object number {i} red or blue ?" for i in range(n)]
+    opts = [["red thing", "blue thing", "green", "none"]] * n
 
-    for B in (1, 4, 8):
+    for B in args.batches:
         # warm (compile)
         eng.free_form_many(imgs[:B], qs[:B], max_new_tokens=32)
         eng.multiple_choice_many(imgs[:B], qs[:B], opts[:B])

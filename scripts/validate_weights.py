@@ -161,18 +161,30 @@ def main():
         from vstar_tpu.eval.vqa_engine import VQAEngine
         from vstar_tpu.search.batched import BatchedVSMEngine
 
-        def make_engines(kv_int8, prompt_lookup, compiled):
-            vq = VQAEngine(vqa.params, vqa.cfg, vqa.tokenizer,
-                           conv_type=vqa.conv_type,
-                           prompt_buckets=vqa.prompt_buckets,
-                           kv_int8=kv_int8, prompt_lookup=prompt_lookup)
-            vs = BatchedVSMEngine(
-                vsm.params, vsm.cfg, vsm.tokenizer,
-                loc_token_id=vsm.loc_token_id, eos_id=vsm.eos_id,
-                max_new_tokens=vsm.max_new_tokens,
-                prompt_buckets=vsm.prompt_buckets,
-                compute_dtype=vsm.compute_dtype, kv_int8=kv_int8,
-                device_preprocess=compiled)
+        def make_engines(kv_int8, prompt_lookup, compiled, int4=False):
+            if int4:
+                # int4 is a different host-side quantization of the
+                # checkpoint: reload from disk (one command, day-one)
+                from vstar_tpu.eval.vstar_bench import (load_vqa_engine,
+                                                        load_vsm_engine)
+                vq = load_vqa_engine(args.vqa_model_path, int4=True,
+                                     kv_int8=kv_int8,
+                                     prompt_lookup=prompt_lookup)
+                vs = load_vsm_engine(args.vsm_model_path, int4=True,
+                                     kv_int8=kv_int8,
+                                     device_preprocess=compiled)
+            else:
+                vq = VQAEngine(vqa.params, vqa.cfg, vqa.tokenizer,
+                               conv_type=vqa.conv_type,
+                               prompt_buckets=vqa.prompt_buckets,
+                               kv_int8=kv_int8, prompt_lookup=prompt_lookup)
+                vs = BatchedVSMEngine(
+                    vsm.params, vsm.cfg, vsm.tokenizer,
+                    loc_token_id=vsm.loc_token_id, eos_id=vsm.eos_id,
+                    max_new_tokens=vsm.max_new_tokens,
+                    prompt_buckets=vsm.prompt_buckets,
+                    compute_dtype=vsm.compute_dtype, kv_int8=kv_int8,
+                    device_preprocess=compiled)
             if compiled:
                 from vstar_tpu.search.compiled import CompiledVSMSearch
                 vs = CompiledVSMSearch(vs)

@@ -27,6 +27,12 @@ def test_flag_matrix_dry_run():
                                      quantize_llm=True)
     vsm_params = init_vsm_params(jax.random.PRNGKey(1), VSM_CFG,
                                  quantize_llm=True)
+    # int4 cells re-init from the same keys (int4 is a different
+    # quantization of the same underlying weights, like checkpoint day)
+    vqa_params4 = init_vqa_llm_params(jax.random.PRNGKey(0), VQA_CFG,
+                                      quantize_llm="int4")
+    vsm_params4 = init_vsm_params(jax.random.PRNGKey(1), VSM_CFG,
+                                  quantize_llm="int4")
     tok = WordTokenizer()
 
     class ShortVQA(VQAEngine):
@@ -34,11 +40,13 @@ def test_flag_matrix_dry_run():
             kw.setdefault("max_new_tokens", 6)
             return super().free_form(image, question, **kw)
 
-    def make_engines(kv_int8, prompt_lookup, compiled):
-        vq = ShortVQA(vqa_params, VQA_CFG, tok, prompt_buckets=(64, 128),
+    def make_engines(kv_int8, prompt_lookup, compiled, int4=False):
+        vq = ShortVQA(vqa_params4 if int4 else vqa_params, VQA_CFG, tok,
+                      prompt_buckets=(64, 128),
                       option_bucket=16, compute_dtype=jnp.float32,
                       kv_int8=kv_int8, prompt_lookup=prompt_lookup)
-        vs = BatchedVSMEngine(vsm_params, VSM_CFG, tok,
+        vs = BatchedVSMEngine(vsm_params4 if int4 else vsm_params,
+                              VSM_CFG, tok,
                               loc_token_id=tok._word_id("[LOC]"),
                               max_new_tokens=4, prompt_buckets=(64, 128),
                               compute_dtype=jnp.float32, kv_int8=kv_int8,

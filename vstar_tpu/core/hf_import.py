@@ -50,11 +50,19 @@ def llama_params_from_torch(sd: Mapping, cfg: LlamaConfig,
     Handles both bare HF models ('model.layers...') and LLaVA-wrapped ones
     (same keys; vision keys are simply ignored here).
 
-    quantize=True: the decoder's matmul weights quantize to per-channel
-    int8 on the HOST, per layer, so only int8 + scales upload — the full
-    bf16 decoder (~13.4 GB at 7B) never sits in HBM.
+    quantize=True/'int8': the decoder's matmul weights quantize to
+    per-channel int8 on the HOST, per layer, so only int8 + scales upload
+    — the full bf16 decoder (~13.4 GB at 7B) never sits in HBM.
+    quantize='int4': group-128 symmetric int4 (kernels/int4_matmul.py
+    serves it on TPU), same host-side discipline, ~3.4 GB at 7B.
     """
     def stack_lin(fmt):
+        if quantize == "int4":
+            from ..nn.quant import quantize_weight_int4_np
+            qs = [quantize_weight_int4_np(_lin(sd, fmt.format(i)))
+                  for i in range(cfg.num_layers)]
+            return {"q4": jnp.asarray(np.stack([e["q4"] for e in qs])),
+                    "s4": jnp.asarray(np.stack([e["s4"] for e in qs]))}
         if quantize:
             from ..nn.quant import quantize_weight_np
             qs, ss = [], []
@@ -90,7 +98,11 @@ def llama_params_from_torch(sd: Mapping, cfg: LlamaConfig,
             "w_down": stack_lin("model.layers.{}.mlp.down_proj.weight"),
         },
     }
-    if quantize:
+    if quantize == "int4":
+        from ..nn.quant import quantize_weight_int4_np
+        e = quantize_weight_int4_np(_lin(sd, "lm_head.weight"))
+        lm_head = {"q4": jnp.asarray(e["q4"]), "s4": jnp.asarray(e["s4"])}
+    elif quantize:
         from ..nn.quant import quantize_weight_np
         e = quantize_weight_np(_lin(sd, "lm_head.weight"))
         lm_head = {"q": jnp.asarray(e["q"]), "s": jnp.asarray(e["s"])}

@@ -28,9 +28,12 @@ CELLS = (
     ("kv-int8", dict(kv_int8=True)),
     ("prompt-lookup", dict(prompt_lookup=True)),
     ("w8a8", dict(w8a8=True)),
+    ("int4", dict(int4=True)),
     ("compiled-search", dict(compiled=True)),
     ("all-opt-ins", dict(kv_int8=True, prompt_lookup=True, w8a8=True,
                          compiled=True)),
+    ("int4-all-opt-ins", dict(int4=True, kv_int8=True, prompt_lookup=True,
+                              compiled=True)),
 )
 
 
@@ -60,8 +63,8 @@ def run_flag_matrix(make_engines: Callable, image,
                     repeats: int = 1, log=print) -> List[Dict]:
     """Sweep CELLS and return one row per cell.
 
-    make_engines(kv_int8=..., prompt_lookup=..., compiled=...) ->
-    (vqa_engine_or_None, vsm_engine_or_None); fresh engines per cell so
+    make_engines(kv_int8=..., prompt_lookup=..., compiled=..., int4=...)
+    -> (vqa_engine_or_None, vsm_engine_or_None); fresh engines per cell so
     each compiles under its own flags (jit caches are per-engine; the
     w8a8 toggle is read at trace time). Engines may share params — the
     sweep never mutates them.
@@ -83,9 +86,11 @@ def run_flag_matrix(make_engines: Callable, image,
             vqa, vsm = make_engines(
                 kv_int8=bool(cell.get("kv_int8", False)),
                 prompt_lookup=bool(cell.get("prompt_lookup", False)),
-                compiled=bool(cell.get("compiled", False)))
+                compiled=bool(cell.get("compiled", False)),
+                int4=bool(cell.get("int4", False)))
             row: Dict = {"cell": name}
-            for k in ("kv_int8", "prompt_lookup", "w8a8", "compiled"):
+            for k in ("kv_int8", "prompt_lookup", "w8a8", "compiled",
+                      "int4"):
                 row[k] = bool(cell.get(k, False))
 
             if vqa is not None:

@@ -128,6 +128,10 @@ def main():
                    default=False,
                    help="int8 KV cache (halves residency + decode KV "
                         "reads; accuracy unvalidated on real weights)")
+    p.add_argument("--int4", dest="int4", action="store_true",
+                   default=False,
+                   help="group-128 int4 decoder weights (Pallas "
+                        "fused-dequant kernel; accuracy opt-in)")
     p.add_argument("--mesh", default=None,
                    help="DxFxM device mesh to shard the VSM over "
                         "(multi-chip), e.g. 1x4x1")
@@ -151,7 +155,7 @@ def main():
         args.version,
         device_preprocess=args.device_preprocess or args.compiled,
         mesh=resolve_mesh(args.mesh), int8=args.int8,
-        kv_int8=args.kv_int8)
+        kv_int8=args.kv_int8, int4=args.int4)
     if args.compiled:
         from ..search.compiled import CompiledVSMSearch
         vsm = CompiledVSMSearch(vsm)

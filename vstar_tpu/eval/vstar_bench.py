@@ -37,10 +37,13 @@ def _auto_int8(int8, mesh) -> bool:
 
 def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
                     int8=None, device=None, kv_int8: bool = False,
-                    prompt_lookup: bool = False):
+                    prompt_lookup: bool = False, int4: bool = False):
     """Load the VQA LLM from an HF-format checkpoint directory. Model
     shape follows the checkpoint's config.json (any Vicuna size / tower),
-    like the reference's from_pretrained path (builder.py:26-151)."""
+    like the reference's from_pretrained path (builder.py:26-151).
+    int4: group-128 int4 decoder weights (Pallas fused-dequant kernel;
+    halves decode weight reads AND lets the SEAL pair share one chip —
+    accuracy opt-in like W8A8); towers stay int8."""
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
@@ -54,8 +57,9 @@ def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
     vqa_sd = load_torch_dir(vqa_model_path)
     use_int8 = _auto_int8(int8, mesh)
     vqa_params = vqa_llm_params_from_torch(
-        vqa_sd, vqa_cfg, dtype=jnp.bfloat16, quantize_llm=use_int8)
-    if use_int8:
+        vqa_sd, vqa_cfg, dtype=jnp.bfloat16,
+        quantize_llm="int4" if int4 else use_int8)
+    if use_int8 or int4:
         from ..nn.quant import quantize_model_towers
         vqa_params = quantize_model_towers(vqa_params)
     if device is not None:   # per-model chip placement (see load_engines)
@@ -67,7 +71,7 @@ def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
 
 def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
                     mesh=None, int8=None, device=None,
-                    kv_int8: bool = False):
+                    kv_int8: bool = False, int4: bool = False):
     """Load the VSM from an HF-format checkpoint directory (the
     search-mechanism eval needs only this half, visual_search.py:142).
     device_preprocess opts the batched search path into on-device patch
@@ -87,8 +91,9 @@ def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
     vsm_sd = load_torch_dir(vsm_model_path)
     use_int8 = _auto_int8(int8, mesh)
     vsm_params = vsm_params_from_torch(
-        vsm_sd, vsm_cfg, dtype=jnp.bfloat16, quantize_llm=use_int8)
-    if use_int8:
+        vsm_sd, vsm_cfg, dtype=jnp.bfloat16,
+        quantize_llm="int4" if int4 else use_int8)
+    if use_int8 or int4:
         from ..nn.quant import quantize_model_towers
         vsm_params = quantize_model_towers(vsm_params)
     if device is not None:
@@ -102,7 +107,8 @@ def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
 def load_engines(vqa_model_path: str, vsm_model_path: str,
                  conv_type: str = "v1", mesh=None, int8=None,
                  device_preprocess: bool = False, split_models=None,
-                 kv_int8: bool = False, prompt_lookup: bool = False):
+                 kv_int8: bool = False, prompt_lookup: bool = False,
+                 int4: bool = False):
     """Load both models from HF-format checkpoint directories. mesh:
     optional jax.sharding.Mesh (or 'DxFxM' string) to shard both models
     over for multi-chip serving. int8: None = auto (weight-only int8 on
@@ -112,7 +118,9 @@ def load_engines(vqa_model_path: str, vsm_model_path: str,
     (None = auto when >= 2 un-meshed TPU chips exist). The int8 7B PAIR
     is ~15 GB of weights — it does NOT fit one 16 GB v5e together with
     activations/KV (measured), so a single chip can serve ONE model;
-    the pair needs two chips (this split) or a sharding mesh."""
+    the pair needs two chips (this split), a sharding mesh, phase
+    swapping (--single-chip-phased), or int4=True (~8 GB pair: both
+    models resident on ONE chip; measured r4, accuracy opt-in)."""
     import jax
 
     mesh = resolve_mesh(mesh)
@@ -124,10 +132,10 @@ def load_engines(vqa_model_path: str, vsm_model_path: str,
     d_vsm = devs[1] if split_models else None
     return (load_vqa_engine(vqa_model_path, conv_type, mesh=mesh,
                             int8=int8, device=d_vqa, kv_int8=kv_int8,
-                            prompt_lookup=prompt_lookup),
+                            prompt_lookup=prompt_lookup, int4=int4),
             load_vsm_engine(vsm_model_path, mesh=mesh, int8=int8,
                             device_preprocess=device_preprocess,
-                            device=d_vsm, kv_int8=kv_int8))
+                            device=d_vsm, kv_int8=kv_int8, int4=int4))
 
 
 def resolve_mesh(mesh):
@@ -162,7 +170,8 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
                 args.vqa_model_path, args.conv_type,
                 int8=getattr(args, "int8", None),
                 kv_int8=getattr(args, "kv_int8", False),
-                prompt_lookup=getattr(args, "prompt_lookup", False))
+                prompt_lookup=getattr(args, "prompt_lookup", False),
+                int4=getattr(args, "int4", False))
 
         def vsm_factory():
             eng = load_vsm_engine(
@@ -170,7 +179,8 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
                 device_preprocess=getattr(args, "device_preprocess",
                                           False) or compiled,
                 int8=getattr(args, "int8", None),
-                kv_int8=getattr(args, "kv_int8", False))
+                kv_int8=getattr(args, "kv_int8", False),
+                int4=getattr(args, "int4", False))
             if compiled:
                 from ..search.compiled import CompiledVSMSearch
                 return CompiledVSMSearch(eng)
@@ -192,7 +202,8 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
             device_preprocess=getattr(args, "device_preprocess", False)
             or compiled,
             kv_int8=getattr(args, "kv_int8", False),
-            prompt_lookup=getattr(args, "prompt_lookup", False))
+            prompt_lookup=getattr(args, "prompt_lookup", False),
+            int4=getattr(args, "int4", False))
         if compiled:
             from ..search.compiled import CompiledVSMSearch
             vsm_engine = CompiledVSMSearch(vsm_engine)
@@ -278,6 +289,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 KV cache (halves residency + decode KV "
                         "reads; 1.2x no-search throughput measured — "
                         "accuracy unvalidated on real weights)")
+    p.add_argument("--int4", dest="int4", action="store_true",
+                   default=False,
+                   help="group-128 int4 decoder weights via the Pallas "
+                        "fused-dequant kernel: halves decode weight reads "
+                        "AND fits the 7B SEAL pair on one 16 GB chip "
+                        "(accuracy opt-in, like --kv-int8/W8A8)")
     p.add_argument("--prompt-lookup", dest="prompt_lookup",
                    action="store_true", default=False,
                    help="prompt-lookup speculative decoding for the "

@@ -42,6 +42,26 @@ def quantize_weight_np(w) -> Dict:
     return {"q": q, "s": scale}
 
 
+def quantize_weight_int4_np(w, group: int = 128) -> Dict:
+    """Host-side (numpy) twin of quantize_weight_int4 — identical math,
+    identical packed layout — so real checkpoints import straight to int4
+    without the full-precision decoder ever touching HBM (the int8
+    importer's quantize_weight_np pattern)."""
+    import numpy as np
+
+    wf = np.asarray(w, np.float32)
+    IN, OUT = wf.shape[-2], wf.shape[-1]
+    if IN % group != 0:
+        group = IN
+    assert IN % 2 == 0, IN
+    g = wf.reshape(wf.shape[:-2] + (IN // group, group, OUT))
+    scale = np.maximum(np.abs(g).max(axis=-2, keepdims=True) / 7.0, 1e-8)
+    q = (np.clip(np.round(g / scale), -8, 7).astype(np.int8) + 8)
+    q = q.reshape(wf.shape[:-2] + (IN, OUT)).astype(np.uint8)
+    packed = (q[..., 0::2, :] | (q[..., 1::2, :] << 4)).astype(np.uint8)
+    return {"q4": packed, "s4": scale[..., 0, :].astype(np.float32)}
+
+
 GROUP4 = 128  # int4 group size along the reduction dim
 
 
@@ -121,6 +141,13 @@ def qdot(x: jnp.ndarray, entry: WeightEntry) -> jnp.ndarray:
     """x @ W for a raw or quantized (int8 per-channel / int4 group-wise)
     weight entry."""
     if isinstance(entry, dict) and "q4" in entry:
+        # the fused Pallas unpack+dequant+dot kernel is the only viable
+        # int4 path on TPU (the XLA expression below measured 300 ms/tok);
+        # it returns None off-TPU or on shapes it doesn't tile
+        from ..kernels.int4_matmul import qdot4
+        y = qdot4(x, entry)
+        if y is not None:
+            return y
         return x @ _deq4(entry, x.dtype)
     if isinstance(entry, dict) and "q" in entry:
         if _ACT_INT8:

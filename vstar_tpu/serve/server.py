@@ -175,6 +175,12 @@ def main():
                    help="prompt-lookup speculative decoding for free-form "
                         "answers (greedy-equivalent draft-and-verify; "
                         "speedup is content-dependent)")
+    p.add_argument("--int4", dest="int4", action="store_true",
+                   default=False,
+                   help="group-128 int4 decoder weights (Pallas "
+                        "fused-dequant kernel): the 7B SEAL pair fits "
+                        "ONE 16 GB chip — no split/mesh needed "
+                        "(accuracy opt-in, like --kv-int8)")
     p.add_argument("--warmup", action="store_true", default=False,
                    help="pre-compile every (mode x batch-bucket) program "
                         "before accepting traffic — no live request ever "
@@ -194,12 +200,13 @@ def main():
     mesh = resolve_mesh(args.mesh)
     vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh, int8=args.int8,
                           kv_int8=args.kv_int8,
-                          prompt_lookup=args.prompt_lookup)
+                          prompt_lookup=args.prompt_lookup,
+                          int4=args.int4)
     vsm = load_vsm_engine(args.vsm_model_path,
                           device_preprocess=args.device_preprocess
                           or args.compiled,
                           mesh=mesh, int8=args.int8,
-                          kv_int8=args.kv_int8)
+                          kv_int8=args.kv_int8, int4=args.int4)
     if args.warmup:
         from ..eval.vqa_engine import warmup_vqa_engine
         from ..search.batched import warmup_vsm_engine
