@@ -107,9 +107,38 @@ def parity_probe():
           f"(ref max {float(ref):.3f})", flush=True)
 
 
+def parity_probe_w4a8():
+    """W4A8 kernel vs exact integer reference on one 7B-shaped matmul."""
+    from vstar_tpu.kernels.int4_matmul import int4_matmul_w4a8
+    from vstar_tpu.nn.quant import quantize_weight_int4
+    rng = jax.random.PRNGKey(0)
+    w = jax.random.normal(rng, (4096, 4096), jnp.float32) * 0.02
+    e = quantize_weight_int4(w)
+    xq = jax.random.randint(jax.random.PRNGKey(1), (1, 4096), -127, 128,
+                            jnp.int8)
+
+    @jax.jit
+    def run(xq, q4, s4):
+        return int4_matmul_w4a8(xq, q4, s4)
+
+    y = np.asarray(run(xq, e["q4"], e["s4"].astype(jnp.float32)),
+                   np.float64)
+    qp = np.asarray(e["q4"])
+    lo = ((qp & 0xF) ^ 8).astype(np.int64) - 8
+    hi = (((qp >> 4) & 0xF) ^ 8).astype(np.int64) - 8
+    sv = np.zeros((4096, 4096), np.int64)
+    sv[0::2], sv[1::2] = lo, hi
+    sf = np.repeat(np.asarray(e["s4"], np.float64), 128, axis=0)
+    ref = np.asarray(xq, np.int64) @ (sv * sf)
+    rel = np.max(np.abs(y - ref)) / max(np.max(np.abs(ref)), 1e-9)
+    print(f"w4a8 kernel-vs-int-ref rel err {rel:.4e}", flush=True)
+
+
 def main():
+    from vstar_tpu.nn.quant import set_act_int8
     print("devices:", jax.devices(), flush=True)
     parity_probe()
+    parity_probe_w4a8()
     p8 = init_vsm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
                          quantize_llm=True)
     d8 = timed("llama decode 1 tok (int8, XLA)", make_decode(p8),
@@ -123,8 +152,15 @@ def main():
                jnp.float32(1.0))
     f4 = timed("llama prefill 384  (int4, Pallas)", make_prefill(p4),
                jnp.float32(1.0))
+    set_act_int8(True)
+    try:
+        d48 = timed("llama decode 1 tok (int4 W4A8)", make_decode(p4),
+                    jnp.float32(1.0))
+    finally:
+        set_act_int8(False)
     print(f"decode speedup int4/int8: {d8 / d4:.2f}x; "
-          f"prefill ratio: {f8 / f4:.2f}x", flush=True)
+          f"W4A8/int8: {d8 / d48:.2f}x; prefill ratio: {f8 / f4:.2f}x",
+          flush=True)
 
 
 if __name__ == "__main__":

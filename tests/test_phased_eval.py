@@ -110,6 +110,41 @@ def test_phased_matches_serial(tmp_path):
         == json.load(open(tmp_path / "serial.json")).keys()
 
 
+def test_coresident_matches_swapped(tmp_path):
+    """coresident=True (both engines resident, no swaps — the int4-pair
+    mode) must produce records identical to the swap path, with zero swap
+    time and amortized == steady throughput."""
+    _mk_benchmark(tmp_path)
+    results_s, _, t_swap = eval_model_phased(
+        str(tmp_path), _vqa_factory, _vsm_factory,
+        minimum_size_scale=4.0, minimum_size=224, batch=2, log=None)
+    calls = {"vqa": 0, "vsm": 0}
+
+    def vqa_once():
+        calls["vqa"] += 1
+        return _vqa_factory()
+
+    def vsm_once():
+        calls["vsm"] += 1
+        return _vsm_factory()
+
+    results_c, _, t_co = eval_model_phased(
+        str(tmp_path), vqa_once, vsm_once,
+        minimum_size_scale=4.0, minimum_size=224, batch=2,
+        coresident=True, log=None)
+    assert calls == {"vqa": 1, "vsm": 1}          # no reloads
+    assert t_co["swap_total_s"] == 0.0
+    assert (t_co["images_per_s_steady"]
+            == t_co["images_per_s_amortized"])
+    for tt in ("direct_attributes", "relative_position"):
+        for rc, rs in zip(results_c[tt], results_s[tt]):
+            assert rc["option_chosen"] == rs["option_chosen"]
+            assert rc["missing_objects"] == rs["missing_objects"]
+            for a, b in zip(rc["search_result"], rs["search_result"]):
+                np.testing.assert_allclose(a["bbox"], b["bbox"],
+                                           rtol=1e-5, atol=1e-5)
+
+
 def test_phased_cli_flag(tmp_path, monkeypatch):
     """--single-chip-phased routes eval_model through the phased runner:
     the engine factories are built from the checkpoint-loading functions

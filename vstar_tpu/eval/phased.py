@@ -99,6 +99,7 @@ def eval_model_phased(benchmark_folder: str,
                       search_kwargs: Optional[Dict] = None,
                       force_missing: Optional[Callable[[Dict],
                                                        List[str]]] = None,
+                      coresident: bool = False,
                       log=print):
     """Run the full V*Bench SEAL loop phase-swapped on one chip.
 
@@ -106,6 +107,13 @@ def eval_model_phased(benchmark_folder: str,
     AFTER the (still fully executed and timed) free-form phase — the
     throughput benchmark uses it because random weights never emit the
     trigger sentence; real checkpoints leave it None.
+
+    coresident: build BOTH engines up front and skip every swap — the
+    int4-pair mode (~9 GB of weights: both 7B decoders fit one 16 GB
+    chip, measured r4). The phases still run batched in the same order
+    (that is the throughput-optimal shape regardless of residency); only
+    the frees/reloads disappear, so swap_total_s is 0 and amortized ==
+    steady.
 
     Returns (results, per_type_acc, timings) where timings carries the
     measured per-phase wall clock, the swap costs, and the derived
@@ -132,6 +140,11 @@ def eval_model_phased(benchmark_folder: str,
     t0 = time.perf_counter()
     vqa = vqa_factory()
     timings["load_vqa_s"] = time.perf_counter() - t0
+    vsm = None
+    if coresident:
+        t0 = time.perf_counter()
+        vsm = vsm_factory()
+        timings["load_vsm_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     predictions: List[str] = []
     if hasattr(vqa, "free_form_many"):
@@ -150,14 +163,17 @@ def eval_model_phased(benchmark_folder: str,
     if force_missing is not None:
         missing = [force_missing(s) for s in samples]
 
-    # ---- swap 1: VQA out, VSM in ---------------------------------------
-    t0 = time.perf_counter()
-    free_engine(vqa)
-    vqa = None
-    timings["free_vqa_s"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    vsm = vsm_factory()
-    timings["load_vsm_s"] = time.perf_counter() - t0
+    # ---- swap 1: VQA out, VSM in (skipped when co-resident) ------------
+    if not coresident:
+        t0 = time.perf_counter()
+        free_engine(vqa)
+        vqa = None
+        timings["free_vqa_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vsm = vsm_factory()
+        timings["load_vsm_s"] = time.perf_counter() - t0
+    else:
+        timings["free_vqa_s"] = 0.0
 
     # ---- phase 2: all searches (VSM resident) --------------------------
     t0 = time.perf_counter()
@@ -184,14 +200,17 @@ def eval_model_phased(benchmark_folder: str,
     timings["phase2_s"] = time.perf_counter() - t0
     timings["n_searches"] = len(tasks)
 
-    # ---- swap 2: VSM out, VQA back --------------------------------------
-    t0 = time.perf_counter()
-    free_engine(vsm)
-    vsm = None
-    timings["free_vsm_s"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    vqa = vqa_factory()
-    timings["reload_vqa_s"] = time.perf_counter() - t0
+    # ---- swap 2: VSM out, VQA back (skipped when co-resident) -----------
+    if not coresident:
+        t0 = time.perf_counter()
+        free_engine(vsm)
+        vsm = None
+        timings["free_vsm_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vqa = vqa_factory()
+        timings["reload_vqa_s"] = time.perf_counter() - t0
+    else:
+        timings["free_vsm_s"] = timings["reload_vqa_s"] = 0.0
 
     # ---- phase 3: focus re-ask / option scoring (VQA resident) ---------
     t0 = time.perf_counter()
@@ -223,6 +242,9 @@ def eval_model_phased(benchmark_folder: str,
     timings["phase3_s"] = time.perf_counter() - t0
     free_engine(vqa)
     vqa = None
+    if coresident:
+        free_engine(vsm)
+        vsm = None
 
     # ---- assemble --------------------------------------------------------
     results: Dict[str, list] = {t: [] for t in TEST_TYPES}
@@ -236,8 +258,10 @@ def eval_model_phased(benchmark_folder: str,
 
     compute = (timings["phase1_s"] + timings["phase2_s"]
                + timings["phase3_s"])
-    swaps = (timings["free_vqa_s"] + timings["load_vsm_s"]
-             + timings["free_vsm_s"] + timings["reload_vqa_s"])
+    # co-resident: load_vsm_s is part of the up-front build, not a swap
+    swaps = (timings["free_vqa_s"] + timings["free_vsm_s"]
+             + timings["reload_vqa_s"]
+             + (0.0 if coresident else timings["load_vsm_s"]))
     timings["images_per_s_steady"] = n / compute
     timings["images_per_s_amortized"] = n / (compute + swaps)
     timings["swap_total_s"] = swaps

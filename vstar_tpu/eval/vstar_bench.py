@@ -191,7 +191,8 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
             output_path=args.output_path,
             minimum_size_scale=args.minimum_size_scale,
             minimum_size=args.minimum_size,
-            batch=max(getattr(args, "image_batch", 1) or 1, 4))
+            batch=max(getattr(args, "image_batch", 1) or 1, 4),
+            coresident=getattr(args, "coresident", False))
         return results, per_type, timings
     if vqa_engine is None:
         compiled = getattr(args, "compiled", False)
@@ -305,8 +306,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="phase-swapped weight residency: run the whole "
                         "benchmark with ONE 7B model resident at a time "
                         "(free-form -> swap -> searches -> swap -> focus "
-                        "re-ask); the only way the full SEAL pair runs "
-                        "on one 16 GB chip")
+                        "re-ask); with --coresident/--int4 the swaps "
+                        "disappear (the int4 pair fits together)")
+    p.add_argument("--coresident", action="store_true", default=False,
+                   help="with --single-chip-phased: build both engines "
+                        "up front and skip the swaps — needs the pair to "
+                        "fit one chip (--int4; ~9 GB of weights, r4)")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="persistent XLA compilation cache (reused across "
                         "runs; see core/compile_cache.py)")

@@ -56,7 +56,7 @@ def quantize_weight_int4_np(w, group: int = 128) -> Dict:
     assert IN % 2 == 0, IN
     g = wf.reshape(wf.shape[:-2] + (IN // group, group, OUT))
     scale = np.maximum(np.abs(g).max(axis=-2, keepdims=True) / 7.0, 1e-8)
-    q = (np.clip(np.round(g / scale), -8, 7).astype(np.int8) + 8)
+    q = (np.clip(np.round(g / scale), -8, 7).astype(np.int8) & 0xF)
     q = q.reshape(wf.shape[:-2] + (IN, OUT)).astype(np.uint8)
     packed = (q[..., 0::2, :] | (q[..., 1::2, :] << 4)).astype(np.uint8)
     return {"q4": packed, "s4": scale[..., 0, :].astype(np.float32)}
@@ -69,14 +69,21 @@ def quantize_weight_int4(w: jnp.ndarray, group: int = GROUP4
                          ) -> Dict[str, jnp.ndarray]:
     """Group-wise symmetric int4, two nibbles packed per uint8.
 
-    EXPERIMENTAL: measured 300 ms/token vs int8's 15.7 ms on the 7B v5e
-    decode — XLA does not fuse the nibble unpack into the matvec, so this
-    needs a custom unpack-fused kernel before it's a win. Kept for the
-    storage format + a future Pallas kernel; int8 remains the serving
-    default.
+    Served by the fused Pallas kernels (kernels/int4_matmul.py): W4A16
+    (bf16 activations, 30 ms/tok 7B decode) or W4A8 with the act-int8
+    opt-in (int8 MXU dots, ~int8-weight decode speed at HALF the weight
+    residency — the pair-on-one-chip enabler, measured r4). The pure-XLA
+    `x @ _deq4(...)` fallback measured 300 ms/token (XLA does not fuse
+    the nibble unpack into the matvec) and exists for CPU/parity only.
+    int8 remains the single-model serving default; int4 is the
+    co-residency opt-in (accuracy pending real checkpoints, like W8A8).
 
     w: [..., in, out] with in % group == 0 ->
-    {'q4': uint8 [..., in/2, out] (consecutive pairs packed lo|hi<<4),
+    {'q4': uint8 [..., in/2, out] (consecutive pairs packed lo|hi<<4,
+           nibbles stored as TWO'S-COMPLEMENT signed 4-bit — the W4A8
+           kernel reads `q & 0xF0` directly as int8 = 16*value, so the
+           signed encoding makes that bitcast exact with zero unpack
+           arithmetic on the high stream; measured r4),
      's4': f32 [..., in/group, out]}"""
     wf = w.astype(jnp.float32)
     lead = wf.shape[:-2]
@@ -87,18 +94,20 @@ def quantize_weight_int4(w: jnp.ndarray, group: int = GROUP4
     g = wf.reshape(lead + (IN // group, group, OUT))
     scale = jnp.maximum(jnp.max(jnp.abs(g), axis=-2, keepdims=True) / 7.0,
                         1e-8)
-    q = jnp.clip(jnp.round(g / scale), -8, 7).astype(jnp.int8) + 8
+    q = jnp.clip(jnp.round(g / scale), -8, 7).astype(jnp.int8) & 0xF
     q = q.reshape(lead + (IN, OUT)).astype(jnp.uint8)
     packed = (q[..., 0::2, :] | (q[..., 1::2, :] << 4)).astype(jnp.uint8)
     return {"q4": packed, "s4": scale[..., 0, :]}
 
 
 def _deq4(entry: Dict, dtype) -> jnp.ndarray:
+    # nibbles are two's-complement signed: n ^ 8 - 8 re-signs ([0,7] -> n,
+    # [8,15] -> n - 16)
     qp = entry["q4"]
     lead = qp.shape[:-2]
     IN2, OUT = qp.shape[-2], qp.shape[-1]
-    lo = (qp & 0xF).astype(jnp.int8) - 8
-    hi = ((qp >> 4) & 0xF).astype(jnp.int8) - 8
+    lo = ((qp & 0xF) ^ 8).astype(jnp.int8) - 8
+    hi = (((qp >> 4) & 0xF) ^ 8).astype(jnp.int8) - 8
     w = jnp.stack([lo, hi], axis=-2)              # [..., IN/2, 2, OUT]
     w = w.reshape(lead + (IN2 * 2, OUT))
     s = entry["s4"]
@@ -141,10 +150,17 @@ def qdot(x: jnp.ndarray, entry: WeightEntry) -> jnp.ndarray:
     """x @ W for a raw or quantized (int8 per-channel / int4 group-wise)
     weight entry."""
     if isinstance(entry, dict) and "q4" in entry:
-        # the fused Pallas unpack+dequant+dot kernel is the only viable
-        # int4 path on TPU (the XLA expression below measured 300 ms/tok);
-        # it returns None off-TPU or on shapes it doesn't tile
-        from ..kernels.int4_matmul import qdot4
+        # the fused Pallas unpack+dequant+dot kernels are the only viable
+        # int4 paths on TPU (the XLA expression below measured 300 ms/tok);
+        # they return None off-TPU or on shapes they don't tile. With the
+        # act-int8 opt-in, decode-shaped rows take the W4A8 kernel (int8
+        # MXU dots — decode parity with int8 weights at half the bytes,
+        # measured r4); everything else takes the bf16-dot W4A16 kernel.
+        from ..kernels.int4_matmul import qdot4, qdot4_w4a8
+        if _ACT_INT8:
+            y = qdot4_w4a8(x, entry)
+            if y is not None:
+                return y
         y = qdot4(x, entry)
         if y is not None:
             return y
