@@ -184,3 +184,44 @@ def test_close_fails_pending_instead_of_hanging(engines):
     # post-close submissions are rejected immediately
     with pytest.raises(RuntimeError):
         svc.answer(_img(), "q?")
+
+
+class NoTriggerVQA(RecordingVQA):
+    """Never emits the missing-objects trigger sentence (like random
+    weights in the serving benchmark)."""
+
+    def free_form(self, image, question, **kw):
+        self.seen_questions.append(question)
+        return "a perfectly ordinary answer"
+
+
+def test_missing_parser_and_search_kwargs_force_search():
+    """scripts/serve_seal_bench.py's hooks: missing_parser forces the
+    search path when the trigger sentence never appears, and
+    search_kwargs reach the policy (confidence_high=2.0 > sigmoid of any
+    logit => the stub's 0.9-logit detection lands in the weak-fallback
+    branch instead of accepting at the root)."""
+    vqa = NoTriggerVQA()
+    svc = ContinuousSealService(
+        vqa, BatchedStubVSM(), max_batch=2, window_ms=5.0,
+        missing_parser=lambda p: ["forced gadget"],
+        search_kwargs=dict(confidence_high=2.0))
+    try:
+        rec = svc.answer(_img(), "what color is it?", ["red", "blue"])
+        assert rec["missing_objects"] == ["forced gadget"]
+        assert rec["search_result"], "forced search produced no boxes"
+        # confidence_high=2.0 means no accept: weak fallback only
+        names = [r["name"] for r in rec["search_result"]]
+        assert names == ["forced gadget"]
+    finally:
+        svc.close()
+
+    # default parser unchanged: the non-trigger answer finds nothing
+    svc2 = ContinuousSealService(NoTriggerVQA(), BatchedStubVSM(),
+                                 max_batch=2, window_ms=5.0)
+    try:
+        rec2 = svc2.answer(_img(), "what color is it?", ["red", "blue"])
+        assert rec2["missing_objects"] == []
+        assert rec2["search_result"] == []
+    finally:
+        svc2.close()

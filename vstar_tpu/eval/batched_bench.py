@@ -57,7 +57,7 @@ def _finish_sample(vqa_engine, image, question, options, missing_objects,
 
 def run_search_phase(vsm_batched, images: Sequence, missing: Sequence[List[str]],
                      minimum_size_scale=4.0, minimum_size=224,
-                     max_search_steps=None):
+                     max_search_steps=None, **policy_kw):
     """Run every (image, missing-object) search across the batch in
     lockstep waves. Returns (search_results, failed) per image:
     `search_results[i]` is the seal_answer box list (weak fallback boxes
@@ -78,7 +78,7 @@ def run_search_phase(vsm_batched, images: Sequence, missing: Sequence[List[str]]
                                      / minimum_size_scale)), minimum_size)}
         for i, name in tasks]
     outs = run_grouped_searches(vsm_batched, search_tasks,
-                                max_steps=max_search_steps)
+                                max_steps=max_search_steps, **policy_kw)
     for (i, name), (final_step, _, ok, all_boxes) in zip(tasks, outs):
         if not ok:
             failed[i].append(name)

@@ -54,12 +54,21 @@ class ContinuousSealService:
     def __init__(self, vqa_engine, vsm_engine, minimum_size_scale: float = 4.0,
                  minimum_size: int = 224,
                  max_search_steps: Optional[int] = None,
-                 max_batch: int = 8, window_ms: float = 8.0):
+                 max_batch: int = 8, window_ms: float = 8.0,
+                 missing_parser=None, search_kwargs: Optional[Dict] = None):
         self.vqa = vqa_engine
         self.vsm = vsm_engine
         self.minimum_size_scale = minimum_size_scale
         self.minimum_size = minimum_size
         self.max_search_steps = max_search_steps
+        # prediction -> [object names] to search for. Default is the
+        # reference trigger-sentence parse (vstar_bench_eval.py:197-203);
+        # injectable for custom trigger formats and for benchmarks that
+        # must force the search path under random weights.
+        self.missing_parser = missing_parser or parse_missing_objects
+        # extra search-policy kwargs (thresholds etc.), forwarded to every
+        # search wave — same knob eval_model_phased exposes
+        self.search_kwargs = dict(search_kwargs or {})
         self.max_batch = max_batch
         self.window = window_ms / 1000.0
         self._q: "queue.Queue[_Request]" = queue.Queue()
@@ -191,12 +200,12 @@ class ContinuousSealService:
         squared = [expand2square(r.image)[0] for r in reqs]
         predictions = self._free_form_many(squared,
                                            [r.question for r in reqs])
-        missing = [parse_missing_objects(p) for p in predictions]
+        missing = [self.missing_parser(p) for p in predictions]
 
         search_results, failed = run_search_phase(
             self.vsm, [r.image for r in reqs], missing,
             self.minimum_size_scale, self.minimum_size,
-            self.max_search_steps)
+            self.max_search_steps, **self.search_kwargs)
 
         recs: List[Optional[Dict]] = [None] * n
 
