@@ -61,12 +61,18 @@ genuinely overlap; on the relay the engines simply upload on first use.
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scripts"))
+from bench_common import FORCED_SEARCH, sync_params  # noqa: E402
 
 MAX_NEW_TOKENS = 16
 SEARCH_STEPS = 3
@@ -88,17 +94,12 @@ def _tok():
     """Deterministic hash tokenizer (the real vocab files are
     checkpoint-gated) — the single shared implementation lives in
     scripts/bench_common.py."""
-    import os
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "scripts"))
     from bench_common import Tok
     return Tok()
 
 
-FORCED = dict(smallest_size=512, confidence_high=2.0,
-              target_cue_threshold=-1.0, target_cue_threshold_decay=0.7,
-              target_cue_threshold_minimum=-1.0, max_steps=SEARCH_STEPS)
+FORCED = dict(smallest_size=512, target_cue_threshold_decay=0.7,
+              max_steps=SEARCH_STEPS, **FORCED_SEARCH)
 
 
 def probe_platform(timeout_s: float = 180.0):
@@ -132,6 +133,11 @@ def main(argv=None):
                     help="opt-in int8-activation matmuls (1.42x prefill "
                     "measured; accuracy unvalidated on real weights — "
                     "see nn/quant.set_act_int8)")
+    ap.add_argument("--e2e-n", dest="e2e_n", type=int, default=None,
+                    help="synthetic benchmark size for the seal_e2e "
+                    "section (default 12 on TPU / 4 on CPU; larger N "
+                    "amortizes the phase swaps toward the steady rate — "
+                    "the real V*Bench is 191 images)")
     args = ap.parse_args(argv)
     # Probe BEFORE importing any vstar_tpu module: an import that touches
     # a jnp op initializes the backend, and a broken relay turns that
@@ -198,12 +204,7 @@ def main(argv=None):
     quantize = platform == "tpu"
     tok = _tok()
 
-    def _sync(params):
-        # relay block_until_ready returns early; transfers are FIFO, so a
-        # scalar fetch of the LAST-created leaf syncs the whole init
-        leaf = jax.tree_util.tree_leaves(params)[-1]
-        float(jnp.sum(leaf.astype(jnp.float32)))
-        return params
+    _sync = sync_params   # relay-safe init sync (bench_common)
 
     # Engine singletons: the phased runner swaps WEIGHTS, the engines
     # (and their compiled programs) persist — the production phase-swap
@@ -248,6 +249,8 @@ def main(argv=None):
     from vstar_tpu.eval.synthetic import make_synthetic_benchmark
 
     e2e_dir = tempfile.mkdtemp(prefix="vstar_e2e_")
+    if args.e2e_n:
+        n_e2e = args.e2e_n
     make_synthetic_benchmark(e2e_dir, n_per_task=n_e2e // 2,
                              image_hw=img_hw)
     phased_kw = dict(

@@ -34,19 +34,11 @@ from vstar_tpu.models.vsm import init_vsm_params
 from vstar_tpu.search.batched import BatchedVSMEngine
 from vstar_tpu.search.compiled import CompiledVSMSearch
 
-from bench_common import Tok  # noqa: E402
+from bench_common import FORCED_SEARCH as FORCED  # noqa: E402
+from bench_common import Tok, sync_params as _sync  # noqa: E402
 
 MAX_NEW_TOKENS = 16
 SEARCH_STEPS = 3
-FORCED = dict(
-    confidence_high=2.0, target_cue_threshold=-1.0,
-    target_cue_threshold_minimum=-1.0)
-
-
-def _sync(params):
-    leaf = jax.tree_util.tree_leaves(params)[-1]
-    float(jnp.sum(leaf.astype(jnp.float32)))
-    return params
 
 
 def main():

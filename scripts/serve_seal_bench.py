@@ -42,18 +42,11 @@ from vstar_tpu.search.batched import BatchedVSMEngine
 from vstar_tpu.search.compiled import CompiledVSMSearch
 from vstar_tpu.serve.continuous import ContinuousSealService
 
-from bench_common import Tok  # noqa: E402
+from bench_common import FORCED_SEARCH as FORCED  # noqa: E402
+from bench_common import Tok, sync_params as _sync  # noqa: E402
 
 MAX_NEW_TOKENS = 16
 SEARCH_STEPS = 3
-FORCED = dict(confidence_high=2.0, target_cue_threshold=-1.0,
-              target_cue_threshold_minimum=-1.0)
-
-
-def _sync(params):
-    leaf = jax.tree_util.tree_leaves(params)[-1]
-    float(jnp.sum(leaf.astype(jnp.float32)))
-    return params
 
 
 class ShortVQA(VQAEngine):
@@ -69,23 +62,32 @@ class ShortVQA(VQAEngine):
 
 
 def drive(service, reqs, conc):
-    """Issue requests at `conc` concurrency; returns (req/s, p50 s, recs)."""
-    recs = [None] * len(reqs)
+    """Closed-loop load at constant `conc` concurrency: each of `conc`
+    workers submits its next request the moment its previous one
+    completes (no gated batches — a slow request never stalls unrelated
+    submissions). Returns (req/s, p50 s, recs).
 
-    def one(i):
-        img, q, opts = reqs[i]
-        recs[i] = service.answer(img, q, opts)
+    Note: when conc == the service's max_batch and requests are
+    homogeneous, waves complete in lockstep and this measures the same
+    schedule a gated driver would; the closed loop matters when conc and
+    max_batch diverge."""
+    recs = [None] * len(reqs)
+    it = iter(range(len(reqs)))
+    lock = threading.Lock()
+
+    def worker():
+        while True:
+            with lock:
+                i = next(it, None)
+            if i is None:
+                return
+            img, q, opts = reqs[i]
+            recs[i] = service.answer(img, q, opts)
 
     t0 = time.perf_counter()
-    threads = []
-    for i in range(len(reqs)):
-        t = threading.Thread(target=one, args=(i,))
+    threads = [threading.Thread(target=worker) for _ in range(conc)]
+    for t in threads:
         t.start()
-        threads.append(t)
-        if len(threads) >= conc:
-            for t in threads:
-                t.join()
-            threads = []
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0

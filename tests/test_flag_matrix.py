@@ -82,3 +82,60 @@ def test_flag_matrix_dry_run():
     # the table renders every populated column
     table = format_table(rows)
     assert "free_form_s" in table and "all-opt-ins" in table
+
+
+def test_flag_matrix_cell_isolation():
+    """A failing cell records an error row and the sweep continues —
+    hours of measured cells must survive one bad flag combination.
+    A failing BASE cell still raises (no *_vs_base gate without it)."""
+    import pytest
+
+    from vstar_tpu.eval.flag_matrix import run_flag_matrix
+
+    calls = []
+
+    class MiniVQA:
+        def free_form(self, image, question, **kw):
+            return "an answer"
+
+        def multiple_choice(self, image, question, options, **kw):
+            return 1
+
+    class MiniVSM:
+        def detect(self, patch, name):
+            boxes = np.zeros((2, 4), np.float32)
+            boxes[0] = [0.2, 0.2, 0.1, 0.1]
+            return boxes, np.asarray([0.9, 0.0], np.float32), \
+                np.ones((patch.height, patch.width), np.float32)
+
+        def vqa(self, patch, q):
+            return "most likely to appear on the table."
+
+        def segment(self, patch, phrase):
+            return np.ones((patch.height, patch.width), np.float32)
+
+    def make_engines(kv_int8, prompt_lookup, compiled, int4=False):
+        calls.append((kv_int8, prompt_lookup, compiled, int4))
+        if int4:
+            raise RuntimeError("int4 importer declined")
+        return MiniVQA(), MiniVSM()
+
+    img = Image.fromarray(np.zeros((250, 300, 3), np.uint8))
+    rows = run_flag_matrix(make_engines, img, search_name="red thing",
+                           log=None)
+    by_cell = {r["cell"]: r for r in rows}
+    assert "int4 importer declined" in by_cell["int4"]["error"]
+    assert "int4 importer declined" in by_cell["int4-all-opt-ins"]["error"]
+    # cells after the failure still measured (instant stubs round to 0.0,
+    # so assert presence rather than magnitude)
+    assert "error" not in by_cell["compiled-search"]
+    assert by_cell["compiled-search"]["search_found"] in (True, False)
+    assert "error" not in by_cell["all-opt-ins"]
+    assert "free_form_s" in by_cell["all-opt-ins"]
+    assert "error" in format_table(rows)
+
+    def broken_base(**kw):
+        raise RuntimeError("no engines at all")
+
+    with pytest.raises(RuntimeError, match="no engines"):
+        run_flag_matrix(broken_base, img, log=None)

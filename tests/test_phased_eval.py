@@ -173,6 +173,31 @@ def test_phased_cli_flag(tmp_path, monkeypatch):
     assert out["direct_attributes"][0]["missing_objects"] == ["tiny cup"]
     assert timings["n_images"] == 2
 
+    # an explicit --image-batch must be honored, not silently clamped up
+    # (small waves are the documented HBM-pressure mitigation)
+    import vstar_tpu.eval.phased as ph
+    seen = {}
+    real_phased = ph.eval_model_phased
+
+    def spy(*a, **kw):
+        seen["batch"] = kw.get("batch")
+        return real_phased(*a, **kw)
+
+    # eval_model does `from .phased import eval_model_phased` at call
+    # time, so patching the source module intercepts it
+    monkeypatch.setattr(ph, "eval_model_phased", spy)
+    args2 = vb.build_parser().parse_args(
+        ["--single-chip-phased", "--image-batch", "1"])
+    args2.benchmark_folder = str(tmp_path)
+    args2.output_path = str(tmp_path / "out2.json")
+    eval_model(args2)
+    assert seen["batch"] == 1
+    args3 = vb.build_parser().parse_args(["--single-chip-phased"])
+    args3.benchmark_folder = str(tmp_path)
+    args3.output_path = str(tmp_path / "out3.json")
+    eval_model(args3)
+    assert seen["batch"] == 8   # unset: measured single-chip wave size
+
 
 def test_free_engine_drops_residency():
     eng = _vsm_factory()

@@ -82,13 +82,13 @@ def run_flag_matrix(make_engines: Callable, image,
     base: Dict = {}
     for name, cell in CELLS:
         set_act_int8(bool(cell.get("w8a8", False)))
+        row = {"cell": name}
         try:
             vqa, vsm = make_engines(
                 kv_int8=bool(cell.get("kv_int8", False)),
                 prompt_lookup=bool(cell.get("prompt_lookup", False)),
                 compiled=bool(cell.get("compiled", False)),
                 int4=bool(cell.get("int4", False)))
-            row: Dict = {"cell": name}
             for k in ("kv_int8", "prompt_lookup", "w8a8", "compiled",
                       "int4"):
                 row[k] = bool(cell.get(k, False))
@@ -154,6 +154,15 @@ def run_flag_matrix(make_engines: Callable, image,
                 if "vstar_accuracy" in base:
                     row["accuracy_vs_base"] = round(
                         row["vstar_accuracy"] - base["vstar_accuracy"], 4)
+        except Exception as e:   # noqa: BLE001 — per-cell isolation
+            # One failing cell (importer declines a shape, OOM loading a
+            # second engine copy, a flag combination that cannot trace)
+            # must not lose the hours of cells already measured: record
+            # the error as the row and keep sweeping. The base cell is
+            # the exception — without it no *_vs_base gate means anything.
+            if name == "base":
+                raise
+            row["error"] = f"{type(e).__name__}: {e}"
         finally:
             set_act_int8(False)
         if name == "base":
@@ -170,7 +179,7 @@ def format_table(rows: List[Dict]) -> str:
     cols = ["cell", "free_form_s", "tok_per_forward", "option",
             "answer_matches_base", "search_s", "search_found",
             "search_plen", "search_iou_vs_base", "vstar_accuracy",
-            "vstar_p50_s"]
+            "vstar_p50_s", "error"]
     cols = [c for c in cols if any(c in r for r in rows)]
     widths = {c: max(len(c), *(len(str(r.get(c, ""))) for r in rows))
               for c in cols}

@@ -40,7 +40,7 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from .seal import (collect_search_results, focus_inputs,
-                   parse_missing_objects, seal_record, search_tasks)
+                   parse_missing_objects, seal_record, smallest_size)
 
 TEST_TYPES = ("direct_attributes", "relative_position")
 
@@ -126,13 +126,21 @@ def eval_model_phased(benchmark_folder: str,
     n = len(samples)
     if n == 0:
         raise FileNotFoundError(f"no samples under {benchmark_folder}")
-    images = []
-    squared = []
-    for s in samples:
-        from PIL import Image
-        img = Image.open(s["path"]).convert("RGB")
-        images.append(img)
-        squared.append(expand2square(img)[0])
+
+    # Images are decoded per phase chunk, never held for the whole run:
+    # at real V*Bench scale (~191 2K images) eagerly holding every
+    # decoded RGB plus its expand2square copy costs multiple GB of host
+    # RAM for no benefit — each phase touches a bounded window. The
+    # serial loop decodes once per image too; host JPEG decode is noise
+    # next to the 7B phases.
+    from PIL import Image
+
+    def _open(i):
+        return Image.open(samples[i]["path"]).convert("RGB")
+
+    def _dims(i):
+        with Image.open(samples[i]["path"]) as im:   # header only
+            return im.width, im.height
 
     timings: Dict[str, float] = {}
 
@@ -150,11 +158,12 @@ def eval_model_phased(benchmark_folder: str,
     if hasattr(vqa, "free_form_many"):
         for idx_chunk in _chunks(list(range(n)), batch):
             predictions.extend(vqa.free_form_many(
-                [squared[i] for i in idx_chunk],
+                [expand2square(_open(i))[0] for i in idx_chunk],
                 [samples[i]["question"] for i in idx_chunk],
                 max_new_tokens=free_form_max_new_tokens))
     else:
-        predictions = [vqa.free_form(squared[i], samples[i]["question"],
+        predictions = [vqa.free_form(expand2square(_open(i))[0],
+                                     samples[i]["question"],
                                      max_new_tokens=(
                                          free_form_max_new_tokens))
                        for i in range(n)]
@@ -180,9 +189,18 @@ def eval_model_phased(benchmark_folder: str,
     tasks = []
     owners = []          # task index -> sample index
     for i in range(n):
-        for t in search_tasks(images[i], missing[i], minimum_size_scale,
-                              minimum_size):
-            tasks.append(t)
+        if not missing[i]:
+            continue
+        w, h = _dims(i)
+        smallest = smallest_size(w, h, minimum_size_scale, minimum_size)
+        # ONE lazy loader per sample: run_grouped_searches reuses the
+        # decoded object across a sample's consecutive tasks (identity
+        # check), so the canvas uploads once per sample and no decoded
+        # image outlives its wave
+        loader = (lambda i=i: _open(i))
+        for name in missing[i]:
+            tasks.append({"image": loader, "name": name,
+                          "smallest": smallest})
             owners.append(i)
     search_results: List[List[Dict]] = [[] for _ in range(n)]
     if tasks:
@@ -214,31 +232,32 @@ def eval_model_phased(benchmark_folder: str,
 
     # ---- phase 3: focus re-ask / option scoring (VQA resident) ---------
     t0 = time.perf_counter()
-    rows = []
-    for i in range(n):
+
+    def _row(i):
         if missing[i]:
-            sq, q2, crops, il, ol = focus_inputs(
-                vqa, images[i], samples[i]["question"], search_results[i])
-            rows.append((sq, q2, crops, il, ol))
-        else:
-            rows.append((squared[i], samples[i]["question"], None, None,
-                         None))
+            return focus_inputs(vqa, _open(i), samples[i]["question"],
+                                search_results[i])
+        return (expand2square(_open(i))[0], samples[i]["question"],
+                None, None, None)
+
     chosen: List[int] = []
     if hasattr(vqa, "multiple_choice_many"):
         for idx_chunk in _chunks(list(range(n)), batch):
+            rows = [_row(i) for i in idx_chunk]
             chosen.extend(vqa.multiple_choice_many(
-                [rows[i][0] for i in idx_chunk],
-                [rows[i][1] for i in idx_chunk],
+                [r[0] for r in rows],
+                [r[1] for r in rows],
                 [samples[i]["options"] for i in idx_chunk],
-                [rows[i][2] for i in idx_chunk],
-                [rows[i][3] for i in idx_chunk],
-                [rows[i][4] for i in idx_chunk]))
+                [r[2] for r in rows],
+                [r[3] for r in rows],
+                [r[4] for r in rows]))
     else:
-        chosen = [vqa.multiple_choice(rows[i][0], rows[i][1],
-                                      samples[i]["options"], rows[i][2],
-                                      images_long=rows[i][3],
-                                      objects_long=rows[i][4])
-                  for i in range(n)]
+        for i in range(n):
+            r = _row(i)
+            chosen.append(vqa.multiple_choice(r[0], r[1],
+                                              samples[i]["options"], r[2],
+                                              images_long=r[3],
+                                              objects_long=r[4]))
     timings["phase3_s"] = time.perf_counter() - t0
     free_engine(vqa)
     vqa = None

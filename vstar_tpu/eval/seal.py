@@ -58,13 +58,21 @@ def focus_prompt(question: str, object_names: Sequence[str],
     return msg + "\n" + question
 
 
+def smallest_size(width: int, height: int,
+                  minimum_size_scale: float = 4.0,
+                  minimum_size: int = 224) -> int:
+    """Search-termination patch size (vstar_bench_eval.py:207-210)."""
+    return max(int(np.ceil(min(width, height) / minimum_size_scale)),
+               minimum_size)
+
+
 def search_tasks(image: Image.Image, missing_objects: Sequence[str],
                  minimum_size_scale: float = 4.0,
                  minimum_size: int = 224) -> List[Dict]:
     """Phase-2 task list for run_grouped_searches (one per missing
     object; smallest-size rule of vstar_bench_eval.py:207-210)."""
-    smallest = max(int(np.ceil(min(image.width, image.height)
-                               / minimum_size_scale)), minimum_size)
+    smallest = smallest_size(image.width, image.height,
+                             minimum_size_scale, minimum_size)
     return [{"image": image, "name": name, "smallest": smallest}
             for name in missing_objects]
 

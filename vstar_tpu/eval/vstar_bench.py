@@ -191,7 +191,10 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
             output_path=args.output_path,
             minimum_size_scale=args.minimum_size_scale,
             minimum_size=args.minimum_size,
-            batch=max(getattr(args, "image_batch", 1) or 1, 4),
+            # explicit --image-batch is honored (HBM-pressure mitigation
+            # must not be silently overridden); unset defaults to the
+            # measured single-chip wave size
+            batch=getattr(args, "image_batch", None) or 8,
             coresident=getattr(args, "coresident", False))
         return results, per_type, timings
     if vqa_engine is None:
@@ -208,7 +211,7 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
         if compiled:
             from ..search.compiled import CompiledVSMSearch
             vsm_engine = CompiledVSMSearch(vsm_engine)
-    if getattr(args, "image_batch", 1) > 1:
+    if (getattr(args, "image_batch", None) or 1) > 1:
         # workload 4: batched lockstep searches (eval/batched_bench.py)
         from .batched_bench import eval_model_batched
         return eval_model_batched(args, vqa_engine, vsm_engine,
@@ -277,10 +280,15 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False,
                    help="extract search patches on device (one canvas "
                         "upload per image; throughput mode)")
-    p.add_argument("--image-batch", dest="image_batch", default=1, type=int,
+    p.add_argument("--image-batch", dest="image_batch", default=None,
+                   type=int,
                    help=">1 runs all searches of an image group as one "
                         "lockstep device batch (requires a batched VSM "
-                        "engine)")
+                        "engine); with --single-chip-phased it sets the "
+                        "phase wave size (default 8, the measured "
+                        "single-chip operating point — an explicit "
+                        "smaller value is honored, e.g. under HBM "
+                        "pressure)")
     p.add_argument("--compiled", action="store_true", default=False,
                    help="whole-search-on-device: each guided search runs "
                         "as ONE fused device program (implies "
