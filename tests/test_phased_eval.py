@@ -211,3 +211,40 @@ def test_free_engine_drops_residency():
     comp = CompiledVSMSearch(_vsm_factory(), P=4)
     free_engine(comp)
     assert comp.engine.params is None
+
+
+def test_parked_factory_swaps_from_host_ram(tmp_path):
+    """parked_factory: the underlying factory (the checkpoint read) runs
+    ONCE; later swaps re-upload the parked host copy, the engine object
+    persists, and the phased records bit-match the plain-factory run."""
+    from vstar_tpu.eval.phased import parked_factory
+
+    _mk_benchmark(tmp_path, n_direct=1, n_rel=1)
+    want, _, _ = eval_model_phased(str(tmp_path), _vqa_factory,
+                                   _vsm_factory, batch=2, log=None)
+
+    calls = {"vqa": 0, "vsm": 0}
+    engines = {}
+
+    def counting_vqa():
+        calls["vqa"] += 1
+        engines["vqa"] = _vqa_factory()
+        return engines["vqa"]
+
+    pf_vqa = parked_factory(counting_vqa)
+
+    def counting_vsm():
+        calls["vsm"] += 1
+        return _vsm_factory()
+
+    got, _, _ = eval_model_phased(str(tmp_path), pf_vqa,
+                                  parked_factory(counting_vsm),
+                                  batch=2, log=None)
+    # phase 3 re-entered the VQA through the parked path, not the factory
+    assert calls == {"vqa": 1, "vsm": 1}
+    assert got == want
+    # the parked engine object persisted and its params were re-uploaded
+    # (free_engine nulled them at the swap; the wrapper restored them)
+    eng = pf_vqa()
+    assert eng is engines["vqa"]
+    assert eng.params is not None

@@ -82,6 +82,38 @@ def free_engine(engine) -> None:
     gc.collect()
 
 
+def parked_factory(factory: Callable[[], object]):
+    """Wrap an engine factory so phase swaps re-upload weights from a
+    HOST-RAM copy instead of re-running the factory's checkpoint read.
+
+    First call: runs `factory()`, fetches the engine's param pytree to
+    host (numpy) and parks it. Later calls: re-upload the parked copy
+    with device_put — on PCIe-local hosts that is seconds for a 7B int8
+    model vs re-reading + re-keying an HF directory. The engine OBJECT
+    (and its compiled programs) persists; only `params` is re-created,
+    matching free_engine's contract.
+
+    Do NOT use through the axon relay: its device->host fetches run at
+    ~70 KB/s, so parking a 7 GB model would take hours. The relay
+    benchmarks re-init weights on device instead (bench.py factories).
+    """
+    import jax
+
+    state: Dict = {}
+
+    def wrapped():
+        if "engine" not in state:
+            eng = factory()
+            inner = getattr(eng, "engine", eng)   # CompiledVSMSearch wraps
+            state["engine"], state["inner"] = eng, inner
+            state["host"] = jax.device_get(inner.params)
+            return eng
+        state["inner"].params = jax.device_put(state["host"])
+        return state["engine"]
+
+    return wrapped
+
+
 def _chunks(seq, n):
     for a in range(0, len(seq), n):
         yield seq[a:a + n]
