@@ -55,7 +55,8 @@ class ContinuousSealService:
                  minimum_size: int = 224,
                  max_search_steps: Optional[int] = None,
                  max_batch: int = 8, window_ms: float = 8.0,
-                 missing_parser=None, search_kwargs: Optional[Dict] = None):
+                 missing_parser=None, search_kwargs: Optional[Dict] = None,
+                 pipeline: bool = False):
         self.vqa = vqa_engine
         self.vsm = vsm_engine
         self.minimum_size_scale = minimum_size_scale
@@ -76,6 +77,24 @@ class ContinuousSealService:
         self._n_waves = 0
         self._n_requests = 0
         self._max_wave = 0
+        # pipeline=True overlaps wave k's searches (VSM engine) with wave
+        # k+1's trigger answers and wave k-1's focus scoring (VQA engine):
+        # the natural mode when load_engines split the pair across two
+        # chips — each chip's model stays busy instead of idling through
+        # the other's phase. Three threads: the wave former, a VQA worker
+        # (trigger + finish stages, one engine -> one thread), a VSM
+        # worker (search stage). Single-chip it is harmless (the device
+        # serializes dispatches) but pointless.
+        self.pipeline = pipeline
+        self._workers: List[threading.Thread] = []
+        if pipeline:
+            self._s_search: "queue.Queue" = queue.Queue()
+            self._s_finish: "queue.Queue" = queue.Queue()
+            self._trigger_q: "queue.Queue" = queue.Queue()
+            for fn in (self._vqa_worker, self._vsm_worker):
+                t = threading.Thread(target=fn, daemon=True)
+                t.start()
+                self._workers.append(t)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -165,14 +184,17 @@ class ContinuousSealService:
                 wave = ok_wave
                 if not wave:
                     continue
+                if self.pipeline:
+                    # hand to the stage workers; the former immediately
+                    # returns to admitting the next wave
+                    self._trigger_q.put(wave)
+                    continue
                 try:
                     recs = self._process_wave(wave)
                     for r, rec in zip(wave, recs):
                         r.future.set_result(rec)
                 except BaseException as e:
-                    for r in wave:
-                        if not r.future.done():
-                            r.future.set_exception(e)
+                    self._fail_wave(wave, e)
                     if not isinstance(e, Exception):
                         raise  # KeyboardInterrupt etc: die, but visibly
         finally:
@@ -180,6 +202,62 @@ class ContinuousSealService:
             # caller blocked on a future nobody will complete
             self._stop.set()
             self._fail_queued(RuntimeError("seal scheduler stopped"))
+
+    @staticmethod
+    def _fail_wave(wave, exc: BaseException):
+        for r in wave:
+            if not r.future.done():
+                r.future.set_exception(exc)
+
+    # -- pipeline stage workers (pipeline=True) -----------------------------
+
+    def _vqa_worker(self):
+        """Both VQA stages on ONE thread (one engine — one driver):
+        finish drains before trigger so completed searches never queue
+        behind new admissions."""
+        while not self._stop.is_set():
+            try:
+                item = self._s_finish.get(timeout=0.02)
+                kind = "finish"
+            except queue.Empty:
+                try:
+                    item = self._trigger_q.get(timeout=0.02)
+                    kind = "trigger"
+                except queue.Empty:
+                    continue
+            wave = item if kind == "trigger" else item[0]
+            try:
+                if kind == "trigger":
+                    squared, predictions, missing = \
+                        self._stage_trigger(wave)
+                    self._s_search.put((wave, squared, predictions,
+                                        missing))
+                else:
+                    _, squared, predictions, missing, srs, fls = item
+                    recs = self._stage_finish(wave, squared, predictions,
+                                              missing, srs, fls)
+                    for r, rec in zip(wave, recs):
+                        r.future.set_result(rec)
+            except BaseException as e:
+                self._fail_wave(wave, e)
+                if not isinstance(e, Exception):
+                    raise
+
+    def _vsm_worker(self):
+        while not self._stop.is_set():
+            try:
+                item = self._s_search.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            wave, squared, predictions, missing = item
+            try:
+                srs, fls = self._stage_search(wave, missing)
+                self._s_finish.put((wave, squared, predictions, missing,
+                                    srs, fls))
+            except BaseException as e:
+                self._fail_wave(wave, e)
+                if not isinstance(e, Exception):
+                    raise
 
     # -- phased pipeline ---------------------------------------------------
 
@@ -196,17 +274,30 @@ class ContinuousSealService:
                 for im, q, row in zip(images, questions, per_row)]
 
     def _process_wave(self, reqs: List[_Request]) -> List[Dict]:
-        n = len(reqs)
+        squared, predictions, missing = self._stage_trigger(reqs)
+        search_results, failed = self._stage_search(reqs, missing)
+        return self._stage_finish(reqs, squared, predictions, missing,
+                                  search_results, failed)
+
+    def _stage_trigger(self, reqs: List[_Request]):
+        """Free-form trigger answers (VQA engine)."""
         squared = [expand2square(r.image)[0] for r in reqs]
         predictions = self._free_form_many(squared,
                                            [r.question for r in reqs])
         missing = [self.missing_parser(p) for p in predictions]
+        return squared, predictions, missing
 
-        search_results, failed = run_search_phase(
+    def _stage_search(self, reqs: List[_Request], missing):
+        """All the wave's guided searches (VSM engine)."""
+        return run_search_phase(
             self.vsm, [r.image for r in reqs], missing,
             self.minimum_size_scale, self.minimum_size,
             self.max_search_steps, **self.search_kwargs)
 
+    def _stage_finish(self, reqs: List[_Request], squared, predictions,
+                      missing, search_results, failed) -> List[Dict]:
+        """Focused re-answers / option scoring (VQA engine)."""
+        n = len(reqs)
         recs: List[Optional[Dict]] = [None] * n
 
         # Assemble the finish phases.
