@@ -2,6 +2,7 @@
 and the reference app.py failed-object semantics."""
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -225,3 +226,215 @@ def test_missing_parser_and_search_kwargs_force_search():
         assert rec2["search_result"] == []
     finally:
         svc2.close()
+
+
+# -- pipeline=True (three-thread stage overlap) ---------------------------
+
+
+class StageLogVQA(RecordingVQA):
+    """Logs stage entries ('trigger'/'finish') and optionally blocks each
+    free_form_many call on a gate so tests control interleaving."""
+
+    def __init__(self, gate=None):
+        super().__init__()
+        self.stages = []
+        self.gate = gate
+        self._lock = threading.Lock()
+
+    def free_form_many(self, images, questions, **kw):
+        with self._lock:
+            self.stages.append("trigger")
+        if self.gate is not None:
+            assert self.gate.wait(timeout=10), "test gate never released"
+        return super().free_form_many(images, questions, **kw)
+
+    def multiple_choice_many(self, images, questions, options_list, **kw):
+        with self._lock:
+            self.stages.append("finish")
+        return super().multiple_choice_many(images, questions,
+                                            options_list, **kw)
+
+
+class GateVSM(BatchedStubVSM):
+    """Blocks every detect_many wave on a gate (the search stage)."""
+
+    def __init__(self, gate):
+        self.gate = gate
+        self.entered = threading.Event()
+
+    def detect_many(self, patches, names):
+        self.entered.set()
+        assert self.gate.wait(timeout=10), "test gate never released"
+        return super().detect_many(patches, names)
+
+
+def _submit(svc, results, key, options=None):
+    def go():
+        try:
+            results[key] = _strip_latency(
+                svc.answer(_img(), "what color is it?", options))
+        except BaseException as e:
+            results[key] = e
+    t = threading.Thread(target=go)
+    t.start()
+    return t
+
+
+def test_pipeline_records_match_nonpipeline(engines):
+    vqa, vsm = engines
+    base = ContinuousSealService(StubVQAWithMany(), BatchedStubVSM(),
+                                 max_batch=8, window_ms=60.0)
+    pipe = ContinuousSealService(vqa, vsm, max_batch=8, window_ms=60.0,
+                                 pipeline=True)
+    try:
+        want_ff = _strip_latency(base.answer(_img(), "what color is it?"))
+        want_mc = _strip_latency(
+            base.answer(_img(), "what color is it?", ["red", "blue"]))
+        results = {}
+        threads = [_submit(pipe, results, f"ff{i}") for i in range(3)]
+        threads += [_submit(pipe, results, f"mc{i}", ["red", "blue"])
+                    for i in range(3)]
+        for t in threads:
+            t.join(timeout=30)
+        for i in range(3):
+            assert results[f"ff{i}"] == want_ff
+            assert results[f"mc{i}"] == want_mc
+    finally:
+        base.close()
+        pipe.close()
+
+
+class StubVQAWithMany(StubVQA):
+    def free_form_many(self, images, questions, **kw):
+        return [self.free_form(im, q) for im, q in zip(images, questions)]
+
+    def multiple_choice_many(self, images, questions, options_list, **kw):
+        return [1] * len(images)
+
+
+def test_pipeline_overlaps_trigger_with_search():
+    """Wave B's trigger (VQA worker) must run while wave A's search (VSM
+    worker) is still in flight — the point of the mode."""
+    search_gate = threading.Event()
+    vqa = StageLogVQA()
+    vsm = GateVSM(search_gate)
+    svc = ContinuousSealService(vqa, vsm, max_batch=1, window_ms=1.0,
+                                pipeline=True)
+    results = {}
+    try:
+        ta = _submit(svc, results, "a", ["red", "blue"])
+        assert vsm.entered.wait(timeout=10)      # A inside search, blocked
+        tb = _submit(svc, results, "b", ["red", "blue"])
+        deadline = time.monotonic() + 10
+        while vqa.stages.count("trigger") < 2:   # B's trigger overlaps
+            assert time.monotonic() < deadline, \
+                f"no overlap: stages={vqa.stages}"
+            time.sleep(0.005)
+        assert not search_gate.is_set()          # A's search still blocked
+        search_gate.set()
+        ta.join(timeout=15)
+        tb.join(timeout=15)
+        assert results["a"]["option_chosen"] == 1
+        assert results["b"]["option_chosen"] == 1
+    finally:
+        search_gate.set()
+        svc.close()
+
+
+def test_pipeline_finish_drains_before_trigger():
+    """When a finished search and a fresh admission are both queued for
+    the VQA worker, the finish stage must run first (completed requests
+    never queue behind new arrivals — serve/continuous.py:241-254)."""
+    search_gate = threading.Event()
+    vqa_gate = threading.Event()
+    vqa = StageLogVQA()          # gated per-call below
+    vsm = GateVSM(search_gate)
+    svc = ContinuousSealService(vqa, vsm, max_batch=1, window_ms=1.0,
+                                pipeline=True)
+    results = {}
+    try:
+        # A: trigger free, search blocked
+        ta = _submit(svc, results, "a", ["red", "blue"])
+        assert vsm.entered.wait(timeout=10)
+        # B: gate ITS trigger so the VQA worker is held busy
+        vqa.gate = vqa_gate
+        tb = _submit(svc, results, "b", ["red", "blue"])
+        deadline = time.monotonic() + 10
+        while vqa.stages.count("trigger") < 2:   # B's trigger entered
+            assert time.monotonic() < deadline
+            time.sleep(0.005)
+        # C: parks in _trigger_q while the worker is busy with B
+        tc = _submit(svc, results, "c", ["red", "blue"])
+        # A's search completes -> finish(A) parks in _s_finish
+        search_gate.set()
+        deadline = time.monotonic() + 10
+        while not svc._s_finish.qsize():
+            assert time.monotonic() < deadline
+            time.sleep(0.005)
+        vqa.gate = None
+        vqa_gate.set()                            # release B's trigger
+        for t in (ta, tb, tc):
+            t.join(timeout=15)
+        # finish(A) must precede trigger(C)
+        fin_a = vqa.stages.index("finish")
+        trig_c = len(vqa.stages) - 1 - vqa.stages[::-1].index("trigger")
+        assert fin_a < trig_c, f"finish queued behind trigger: {vqa.stages}"
+        for k in ("a", "b", "c"):
+            assert results[k]["option_chosen"] == 1, results[k]
+    finally:
+        search_gate.set()
+        vqa_gate.set()
+        svc.close()
+
+
+def test_pipeline_stage_error_fails_only_its_wave():
+    class BoomOnceVSM(BatchedStubVSM):
+        def __init__(self):
+            self.n = 0
+
+        def detect_many(self, patches, names):
+            self.n += 1
+            if self.n == 1:
+                raise RuntimeError("search boom")
+            return super().detect_many(patches, names)
+
+    svc = ContinuousSealService(StubVQAWithMany(), BoomOnceVSM(),
+                                max_batch=1, window_ms=1.0, pipeline=True)
+    try:
+        with pytest.raises(RuntimeError, match="search boom"):
+            svc.answer(_img(), "what color is it?", ["red", "blue"])
+        rec = svc.answer(_img(), "what color is it?", ["red", "blue"])
+        assert rec["option_chosen"] == 1   # service survived the wave
+    finally:
+        svc.close()
+
+
+def test_pipeline_close_with_inflight_waves_fails_futures():
+    """close() while waves sit in stage queues AND inside a stage: every
+    caller gets an exception, none hang (ADVICE r4 medium — workers used
+    to exit on the stop flag leaving parked waves' futures pending)."""
+    search_gate = threading.Event()
+    vqa = StageLogVQA()
+    vsm = GateVSM(search_gate)
+    svc = ContinuousSealService(vqa, vsm, max_batch=1, window_ms=1.0,
+                                pipeline=True)
+    results = {}
+    threads = [_submit(svc, results, "a", ["red", "blue"])]
+    assert vsm.entered.wait(timeout=10)          # A blocked inside search
+    threads.append(_submit(svc, results, "b", ["red", "blue"]))
+    deadline = time.monotonic() + 10
+    while vqa.stages.count("trigger") < 2:       # B parked in _s_search
+        assert time.monotonic() < deadline
+        time.sleep(0.005)
+
+    closer = threading.Thread(target=svc.close)
+    closer.start()
+    time.sleep(0.05)
+    search_gate.set()                            # unblock A's stage
+    closer.join(timeout=20)
+    assert not closer.is_alive(), "close() hung"
+    for t in threads:
+        t.join(timeout=15)
+        assert not t.is_alive(), "caller hung after close"
+    for k in ("a", "b"):
+        assert isinstance(results[k], RuntimeError), results[k]

@@ -96,7 +96,9 @@ def test_w4a8_qdot_declines_prefill_and_off_tpu():
     x = jnp.asarray(rng.randn(1, 512), jnp.bfloat16)
     assert jax.devices()[0].platform != "tpu"
     assert qdot4_w4a8(x, e) is None                 # off-TPU decline
-    assert qdot4_w4a8(jnp.tile(x, (32, 1)), e) is None or True
+    # prefill-sized rows decline too (off-TPU the platform gate already
+    # returns None, so this asserts the combined gate, not rows alone)
+    assert qdot4_w4a8(jnp.tile(x, (32, 1)), e) is None
     set_act_int8(True)
     try:
         y = qdot(x, e)                              # falls back, still runs
@@ -125,7 +127,7 @@ def test_qdot4_shape_gates():
     rng = np.random.RandomState(3)
     _, e = _entry(rng, 512, 200)          # OUT has no 128-multiple tile
     x = jnp.ones((1, 512), jnp.bfloat16)
-    assert qdot4(x, e) is None or True    # off-TPU it's None anyway
+    assert qdot4(x, e) is None            # declined (off-TPU gate too)
     # stacked (scan) entries are declined
     _, e2 = _entry(rng, 512, 256)
     e2 = {"q4": e2["q4"][None], "s4": e2["s4"][None]}

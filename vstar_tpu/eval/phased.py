@@ -87,17 +87,23 @@ def parked_factory(factory: Callable[[], object]):
     HOST-RAM copy instead of re-running the factory's checkpoint read.
 
     First call: runs `factory()`, fetches the engine's param pytree to
-    host (numpy) and parks it. Later calls: re-upload the parked copy
-    with device_put — on PCIe-local hosts that is seconds for a 7B int8
-    model vs re-reading + re-keying an HF directory. The engine OBJECT
-    (and its compiled programs) persists; only `params` is re-created,
-    matching free_engine's contract.
+    host (numpy), and records each leaf's sharding so reloads restore
+    mesh-sharded layouts rather than replicating onto the default
+    device. Later calls: re-upload the parked copy with device_put —
+    on PCIe-local hosts that is seconds for a 7B int8 model vs
+    re-reading + re-keying an HF directory — then sync via a scalar
+    fetch so the caller's swap timer counts the actual upload
+    (device_put is async; block_until_ready can return early through
+    the relay). The engine OBJECT (and its compiled programs)
+    persists; only `params` is re-created, matching free_engine's
+    contract.
 
     Do NOT use through the axon relay: its device->host fetches run at
     ~70 KB/s, so parking a 7 GB model would take hours. The relay
     benchmarks re-init weights on device instead (bench.py factories).
     """
     import jax
+    import jax.numpy as jnp
 
     state: Dict = {}
 
@@ -106,9 +112,20 @@ def parked_factory(factory: Callable[[], object]):
             eng = factory()
             inner = getattr(eng, "engine", eng)   # CompiledVSMSearch wraps
             state["engine"], state["inner"] = eng, inner
+            state["shardings"] = jax.tree_util.tree_map(
+                lambda x: x.sharding, inner.params)
             state["host"] = jax.device_get(inner.params)
             return eng
-        state["inner"].params = jax.device_put(state["host"])
+        params = jax.tree_util.tree_map(
+            lambda h, s: jax.device_put(h, s),
+            state["host"], state["shardings"])
+        jax.block_until_ready(params)
+        # relay gotcha: block_until_ready can return early there — a
+        # scalar fetch of the last-enqueued leaf closes it (transfers
+        # are FIFO on the relay)
+        leaf = jax.tree_util.tree_leaves(params)[-1]
+        float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+        state["inner"].params = params
         return state["engine"]
 
     return wrapped
@@ -220,16 +237,30 @@ def eval_model_phased(benchmark_folder: str,
     t0 = time.perf_counter()
     tasks = []
     owners = []          # task index -> sample index
+    # ONE memoized loader per sample, all sharing a one-slot decode
+    # cache: every engine path then sees the SAME decoded object for a
+    # sample's consecutive tasks (the serial and by_small drivers call
+    # the loader once per TASK — only the compiled path checks loader
+    # identity, search/batched.py:419-422 — so without memoization the
+    # id()-keyed canvas cache never hit for multi-object samples). The
+    # one-slot cache keeps host RAM bounded at 191-image scale: a
+    # sample's decode dies when the next sample's loader fires, never
+    # accumulating in the task closures.
+    _slot: Dict = {}
+
+    def _sample_loader(i):
+        def load():
+            if _slot.get("i") != i:
+                _slot["i"], _slot["im"] = i, _open(i)
+            return _slot["im"]
+        return load
+
     for i in range(n):
         if not missing[i]:
             continue
         w, h = _dims(i)
         smallest = smallest_size(w, h, minimum_size_scale, minimum_size)
-        # ONE lazy loader per sample: run_grouped_searches reuses the
-        # decoded object across a sample's consecutive tasks (identity
-        # check), so the canvas uploads once per sample and no decoded
-        # image outlives its wave
-        loader = (lambda i=i: _open(i))
+        loader = _sample_loader(i)
         for name in missing[i]:
             tasks.append({"image": loader, "name": name,
                           "smallest": smallest})
@@ -247,6 +278,7 @@ def eval_model_phased(benchmark_folder: str,
         for i in per_sample_outs:
             search_results[i] = collect_search_results(
                 per_sample_names[i], per_sample_outs[i])
+    _slot.clear()      # drop the last sample's decode with its phase
     timings["phase2_s"] = time.perf_counter() - t0
     timings["n_searches"] = len(tasks)
 

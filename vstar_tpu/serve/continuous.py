@@ -133,10 +133,18 @@ class ContinuousSealService:
 
     def close(self):
         """Stop the scheduler; pending/in-flight requests get a
-        RuntimeError rather than hanging their caller threads."""
+        RuntimeError rather than hanging their caller threads. In
+        pipeline mode the stage queues are drained too: a wave parked
+        between stages when close() fires must fail its futures, not
+        strand its callers (workers exit on the stop flag without
+        processing further stages)."""
         self._stop.set()
         self._thread.join(timeout=10)
-        self._fail_queued(RuntimeError("ContinuousSealService closed"))
+        for t in self._workers:
+            t.join(timeout=10)
+        exc = RuntimeError("ContinuousSealService closed")
+        self._fail_queued(exc)
+        self._drain_stages(exc)
 
     def _fail_queued(self, exc: BaseException):
         while True:
@@ -146,6 +154,21 @@ class ContinuousSealService:
                 return
             if not req.future.done():
                 req.future.set_exception(exc)
+
+    def _drain_stages(self, exc: BaseException):
+        """Fail every wave parked in a pipeline stage queue (no-op when
+        pipeline=False). Items are (wave, ...) tuples except _trigger_q,
+        whose items are the bare wave list."""
+        if not self.pipeline:
+            return
+        for q_ in (self._trigger_q, self._s_search, self._s_finish):
+            while True:
+                try:
+                    item = q_.get_nowait()
+                except queue.Empty:
+                    break
+                wave = item if isinstance(item, list) else item[0]
+                self._fail_wave(wave, exc)
 
     # -- scheduler ---------------------------------------------------------
 
@@ -199,9 +222,13 @@ class ContinuousSealService:
                         raise  # KeyboardInterrupt etc: die, but visibly
         finally:
             # scheduler exiting (close() or fatal error): never leave a
-            # caller blocked on a future nobody will complete
+            # caller blocked on a future nobody will complete. Stage
+            # queues are swept again by close() after worker join; this
+            # sweep covers the fatal-error path where close() never runs.
             self._stop.set()
-            self._fail_queued(RuntimeError("seal scheduler stopped"))
+            exc = RuntimeError("seal scheduler stopped")
+            self._fail_queued(exc)
+            self._drain_stages(exc)
 
     @staticmethod
     def _fail_wave(wave, exc: BaseException):
@@ -227,9 +254,19 @@ class ContinuousSealService:
                     continue
             wave = item if kind == "trigger" else item[0]
             try:
+                if self._stop.is_set():
+                    # closing: don't hand downstream to a worker that may
+                    # already have exited — fail the wave here
+                    self._fail_wave(wave, RuntimeError(
+                        "ContinuousSealService closed"))
+                    continue
                 if kind == "trigger":
                     squared, predictions, missing = \
                         self._stage_trigger(wave)
+                    if self._stop.is_set():
+                        self._fail_wave(wave, RuntimeError(
+                            "ContinuousSealService closed"))
+                        continue
                     self._s_search.put((wave, squared, predictions,
                                         missing))
                 else:
@@ -251,7 +288,15 @@ class ContinuousSealService:
                 continue
             wave, squared, predictions, missing = item
             try:
+                if self._stop.is_set():
+                    self._fail_wave(wave, RuntimeError(
+                        "ContinuousSealService closed"))
+                    continue
                 srs, fls = self._stage_search(wave, missing)
+                if self._stop.is_set():
+                    self._fail_wave(wave, RuntimeError(
+                        "ContinuousSealService closed"))
+                    continue
                 self._s_finish.put((wave, squared, predictions, missing,
                                     srs, fls))
             except BaseException as e:
