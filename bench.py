@@ -11,8 +11,12 @@ Two measured units (nothing composed from parts):
    model resident at a time, ONE swap per phase boundary amortized over
    the dataset. The engine objects (and their compiled programs) persist
    across swaps; only the weights are dropped and re-created — exactly
-   what a production phase swap does. Steady state: the phased pass runs
-   twice and the second pass is reported (the first absorbs compiles).
+   what a production phase swap does. Steady state: one warm pass
+   (absorbs compiles), then >= 2 measured passes; the headline is the
+   MEDIAN pass (best + the full list reported alongside). Decode budgets
+   are disclosed in the JSON (default free-form 32 / search 16 new
+   tokens; `--ref-budgets` runs the reference's 200/100 caps once per
+   round for the envelope — BASELINE.md carries that row).
 
 2. `seal_full_search_p50_latency` (r2/r3 headline, still `value` for
    cross-round continuity): each rep runs `CompiledVSMSearch.search` —
@@ -138,6 +142,17 @@ def main(argv=None):
                     "section (default 12 on TPU / 4 on CPU; larger N "
                     "amortizes the phase swaps toward the steady rate — "
                     "the real V*Bench is 191 images)")
+    ap.add_argument("--e2e-passes", dest="e2e_passes", type=int, default=2,
+                    help="steady passes after the warm pass; the headline "
+                    "is the MEDIAN (best also reported)")
+    ap.add_argument("--ref-budgets", dest="ref_budgets",
+                    action="store_true", default=False,
+                    help="use the reference's decode caps (free-form 200 "
+                    "new tokens, search decode 100 — vstar_bench_eval.py"
+                    ":79 / visual_search.py:204) instead of the default "
+                    "32/16; with random weights every decode runs to the "
+                    "cap, so this is the reference-budget ENVELOPE run "
+                    "(measured once per round for BASELINE.md)")
     args = ap.parse_args(argv)
     # Probe BEFORE importing any vstar_tpu module: an import that touches
     # a jnp op initializes the backend, and a broken relay turns that
@@ -156,6 +171,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
         degraded = True
     platform = jax.devices()[0].platform
+
+    free_form_budget = 200 if args.ref_budgets else 32
+    search_decode_budget = 100 if args.ref_budgets else MAX_NEW_TOKENS
 
     if args.w8a8:
         from vstar_tpu.nn.quant import set_act_int8
@@ -199,6 +217,7 @@ def main(argv=None):
         img_hw = (384, 512)
         forced["smallest_size"] = 128
         args.repeats = min(args.repeats, 2)   # CPU smoke only
+        args.e2e_passes = 1
         n_e2e = 4
 
     quantize = platform == "tpu"
@@ -229,7 +248,7 @@ def main(argv=None):
             quantize_llm=quantize))
         if "vsm" not in holders:
             eng = BatchedVSMEngine(params, cfg, tok, loc_token_id=3,
-                                   max_new_tokens=MAX_NEW_TOKENS,
+                                   max_new_tokens=search_decode_budget,
                                    prompt_buckets=(384,),
                                    device_preprocess=True,
                                    speculative_template=None)
@@ -257,7 +276,7 @@ def main(argv=None):
         # B=8 waves for phases 1+3 (measured 3.59 vs 2.86 images/s plain;
         # HBM bounded at 11.9/16 GB by scripts/hbm_probe.py) and for the
         # batched fused searches (r3: 1.22x over B=4)
-        batch=8, free_form_max_new_tokens=32,
+        batch=8, free_form_max_new_tokens=free_form_budget,
         max_search_steps=SEARCH_STEPS,
         # the forced target-cue regime (same control path as the p50
         # unit: real checkpoints additionally accept early)
@@ -274,8 +293,15 @@ def main(argv=None):
     if platform == "tpu":
         eval_model_phased(e2e_dir, vqa_factory, vsm_factory,
                           **phased_kw)             # warm pass (compiles)
-    _, _, e2e = eval_model_phased(e2e_dir, vqa_factory, vsm_factory,
-                                  **phased_kw)     # steady pass
+    # >= 2 steady passes: headline = MEDIAN (driver-reproducible), best
+    # also reported (the repo's min-over-reps steady convention)
+    passes = []
+    for _ in range(max(1, args.e2e_passes)):
+        _, _, t = eval_model_phased(e2e_dir, vqa_factory, vsm_factory,
+                                    **phased_kw)
+        passes.append(t)
+    rates = [t["images_per_s_steady"] for t in passes]
+    e2e = passes[int(np.argsort(rates)[len(rates) // 2])]  # median pass
 
     # ---- measured unit 2: full-search p50 (VSM weights resident) -------
     comp = vsm_factory()
@@ -306,7 +332,7 @@ def main(argv=None):
             [ref], ["Please locate the red mug in this image."])
         ng = int(out.num_generated[0])
         toks = [int(t) for t in np.asarray(out.tokens[0, :ng])]
-        row = np.full(MAX_NEW_TOKENS + eng.spec_chunk, eng.eos_id,
+        row = np.full(search_decode_budget + eng.spec_chunk, eng.eos_id,
                       np.int32)
         row[:min(len(toks), len(row))] = toks[:len(row)]
         return row
@@ -394,6 +420,8 @@ def main(argv=None):
         "path_lengths_synthetic": plens,
         "mean_path_synthetic": round(mean_plen, 2),
         "seal_e2e_images_per_s": round(e2e["images_per_s_steady"], 4),
+        "seal_e2e_images_per_s_best": round(max(rates), 4),
+        "seal_e2e_passes": [round(r, 4) for r in rates],
         "seal_e2e_amortized_images_per_s": round(
             e2e["images_per_s_amortized"], 4),
         "seal_e2e_n_images": e2e["n_images"],
@@ -401,6 +429,7 @@ def main(argv=None):
                               round(e2e["phase2_s"], 3),
                               round(e2e["phase3_s"], 3)],
         "seal_e2e_swap_s": round(e2e["swap_total_s"], 3),
+        "seal_e2e_decode_budgets": [free_form_budget, search_decode_budget],
         "platform": platform,
         **({"degraded": True} if degraded else {}),
         "definition": "value: r3 definition — measured wall-clock p50 of "
@@ -410,12 +439,20 @@ def main(argv=None):
                       "SEAL loop (free-form trigger -> one 3-step fused "
                       "search per image -> focus option scoring, both 7B "
                       "models) over a synthetic 2K V*Bench on ONE chip "
-                      "via phase-swapped weight residency; steady = "
-                      "second pass, compiled programs persist across "
-                      "swaps, weights re-created per phase (swap cost "
-                      "reported; amortized divides by compute+swaps). "
-                      "Random weights force the worst path everywhere; "
-                      "no composed estimates.",
+                      "via phase-swapped weight residency; headline = "
+                      "MEDIAN of seal_e2e_passes steady passes after a "
+                      "warm pass; compiled programs persist across swaps, "
+                      "weights re-created per phase (swap cost reported; "
+                      "amortized divides by compute+swaps). Decode "
+                      "budgets seal_e2e_decode_budgets = [free-form, "
+                      "search] max_new_tokens; default 32/16 sized to "
+                      "realistic answer lengths (the reference CAPS are "
+                      "200/100 — vstar_bench_eval.py:79, "
+                      "visual_search.py:204; random weights always decode "
+                      "to the cap, so --ref-budgets measures that "
+                      "envelope, recorded in BASELINE.md). Random weights "
+                      "force the worst control path everywhere; no "
+                      "composed estimates.",
     }))
 
 

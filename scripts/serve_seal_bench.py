@@ -17,13 +17,14 @@ Scenario control (random weights, same regime as bench.py/coresident):
   * each request brings a FRESH 2K noise image (incompressible: the
     canvas upload is paid per request, as in deployment).
 
-Compares serialized serving (max_batch=1 — the reference's blocking
-Gradio queue shape) against continuous batching at 8 concurrent (waves
-share every weight read across phases). Steady state: each mode is driven
-twice and the second round is reported.
+Characterizes the latency-throughput tradeoff (VERDICT r4 #5): sweeps the
+service's max_batch over {1,2,4,8} at FIXED offered concurrency, reporting
+req/s, p50/p90/max latency and time-to-first-result per operating point
+(max_batch=1 saturated is the reference's blocking-queue shape). Steady
+state: each point is driven once to compile, then measured.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python \
-       scripts/serve_seal_bench.py [--n 16] [--conc 8]
+       scripts/serve_seal_bench.py [--n 16] [--conc 8] [--batches 1 2 4 8]
 """
 import argparse
 import threading
@@ -65,15 +66,17 @@ def drive(service, reqs, conc):
     """Closed-loop load at constant `conc` concurrency: each of `conc`
     workers submits its next request the moment its previous one
     completes (no gated batches — a slow request never stalls unrelated
-    submissions). Returns (req/s, p50 s, recs).
+    submissions). Returns a stats dict + recs.
 
     Note: when conc == the service's max_batch and requests are
     homogeneous, waves complete in lockstep and this measures the same
     schedule a gated driver would; the closed loop matters when conc and
     max_batch diverge."""
     recs = [None] * len(reqs)
+    done_at = [None] * len(reqs)
     it = iter(range(len(reqs)))
     lock = threading.Lock()
+    t0 = time.perf_counter()
 
     def worker():
         while True:
@@ -83,22 +86,37 @@ def drive(service, reqs, conc):
                 return
             img, q, opts = reqs[i]
             recs[i] = service.answer(img, q, opts)
+            done_at[i] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
     threads = [threading.Thread(target=worker) for _ in range(conc)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
-    lats = [r["latency_s"] for r in recs]
-    return len(reqs) / wall, float(np.percentile(lats, 50)), recs
+    lats = sorted(r["latency_s"] for r in recs)
+    return {
+        "req_per_s": len(reqs) / wall,
+        "p50_s": float(np.percentile(lats, 50)),
+        "p90_s": float(np.percentile(lats, 90)),
+        "max_s": lats[-1],
+        # time-to-first-result: responses are whole records (no token
+        # streaming), so the system-level TTFR is the first completion
+        # under this offered load — the queue-ramp feel of the mode
+        "ttfr_s": min(done_at),
+        "n": len(reqs),
+    }, recs
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=16)
-    ap.add_argument("--conc", type=int, default=8)
+    ap.add_argument("--conc", type=int, default=8,
+                    help="offered concurrency (fixed across the sweep so "
+                    "points differ only in the service's wave size)")
+    ap.add_argument("--batches", type=int, nargs="*", default=[1, 2, 4, 8],
+                    help="max_batch operating points to characterize")
+    ap.add_argument("--window-ms", type=float, default=50.0)
     ap.add_argument("--image-hw", type=int, nargs=2, default=[1536, 2048])
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
@@ -121,7 +139,8 @@ def main():
                          max_new_tokens=MAX_NEW_TOKENS,
                          prompt_buckets=(384,), device_preprocess=True,
                          speculative_template=None),
-        P=8, batch_buckets=(1, 2, 4, args.conc))
+        P=8, batch_buckets=tuple(sorted({1, 2, 4, *args.batches,
+                                         args.conc})))
 
     rng = np.random.RandomState(0)
 
@@ -137,23 +156,42 @@ def main():
                   missing_parser=lambda p: ["red mug"],
                   search_kwargs=dict(FORCED))
 
-    # serialized shape: the reference's blocking batch-1 queue
-    serial = ContinuousSealService(vqa, vsm, max_batch=1, **svc_kw)
-    drive(serial, fresh_requests(2), conc=1)            # compile B=1
-    r1, p1, _ = drive(serial, fresh_requests(args.n // 2), conc=1)
-    serial.close()
-    print(f"serialized (max_batch=1):   {r1:5.3f} req/s, p50 {p1:.2f} s",
+    # Latency-throughput curve over max_batch at FIXED offered load
+    # (args.conc closed-loop callers): max_batch=1 is the reference's
+    # blocking queue shape (but saturated — its queue wait shows up in
+    # latency, as a deployment would feel it); larger wave sizes trade
+    # per-request latency for shared weight reads. VERDICT r4 #5: report
+    # tails + TTFR per point so a deployment can pick an operating point.
+    rows = []
+    base_rps = None
+    for b in args.batches:
+        svc = ContinuousSealService(vqa, vsm, max_batch=b,
+                                    window_ms=args.window_ms, **svc_kw)
+        # warm: compile this wave size end to end (trigger/search/MC)
+        drive(svc, fresh_requests(max(b, 2)), conc=max(b, 2))
+        stats, _ = drive(svc, fresh_requests(args.n), conc=args.conc)
+        st = svc.stats()
+        svc.close()
+        stats["max_batch"] = b
+        stats["mean_wave"] = st["mean_wave"]
+        if base_rps is None:
+            base_rps = stats["req_per_s"]
+        rows.append(stats)
+        print(f"max_batch={b}: {stats['req_per_s']:5.3f} req/s "
+              f"({stats['req_per_s'] / base_rps:.2f}x), "
+              f"p50 {stats['p50_s']:.2f} p90 {stats['p90_s']:.2f} "
+              f"max {stats['max_s']:.2f} s, ttfr {stats['ttfr_s']:.2f} s, "
+              f"mean wave {stats['mean_wave']:.1f} "
+              f"(n={stats['n']}, conc={args.conc})", flush=True)
+    print("\nlatency-throughput table (offered conc "
+          f"{args.conc}, window {args.window_ms} ms, n {args.n}/point; "
+          "p90/max on n samples — treat max as the tail proxy):",
           flush=True)
-
-    cont = ContinuousSealService(vqa, vsm, max_batch=args.conc,
-                                 window_ms=50.0, **svc_kw)
-    drive(cont, fresh_requests(args.conc), conc=args.conc)  # compile B=8
-    r8, p8, _ = drive(cont, fresh_requests(args.n), conc=args.conc)
-    st = cont.stats()
-    cont.close()
-    print(f"continuous ({args.conc} concurrent): {r8:5.3f} req/s, "
-          f"p50 {p8:.2f} s ({r8 / r1:.2f}x, waves {st['waves']}, "
-          f"mean wave {st['mean_wave']:.1f})", flush=True)
+    for s in rows:
+        print(f"  {s['max_batch']:2d}  {s['req_per_s']:6.3f} req/s  "
+              f"p50 {s['p50_s']:6.2f}  p90 {s['p90_s']:6.2f}  "
+              f"max {s['max_s']:6.2f}  ttfr {s['ttfr_s']:5.2f}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,14 @@ def main():
                         "table (eval/flag_matrix.py); add "
                         "--benchmark-folder for real V*Bench accuracy "
                         "per cell")
+    p.add_argument("--runner-sweep", action="store_true",
+                   help="residency-mode sweep (needs --benchmark-folder "
+                        "and both model paths): phased swap (base), "
+                        "parked host-RAM swap, int4 co-resident and "
+                        "mixed int8-VQA/int4-VSM co-resident — one row "
+                        "per mode with throughput, swap cost, accuracy "
+                        "and records_match_base "
+                        "(eval/flag_matrix.run_runner_matrix)")
     p.add_argument("--int8", dest="int8", action="store_true",
                    default=None,
                    help="force weight-only int8 even on mesh/CPU runs")
@@ -197,7 +205,46 @@ def main():
         with open("flag_matrix.json", "w") as f:
             json.dump(rows, f, indent=2)
         print("flag matrix -> flag_matrix.json")
-    elif args.benchmark_folder and vqa is not None and vsm is not None:
+    if args.runner_sweep:
+        if not (args.benchmark_folder and args.vqa_model_path
+                and args.vsm_model_path):
+            sys.exit("--runner-sweep needs --benchmark-folder and both "
+                     "model paths")
+        import json
+
+        from vstar_tpu.eval.flag_matrix import run_runner_matrix
+        from vstar_tpu.eval.vstar_bench import (load_vqa_engine,
+                                                load_vsm_engine)
+
+        # zero-arg factories re-reading the checkpoint: exactly what a
+        # production phase swap pays (the parked cell then measures the
+        # host-RAM alternative against it)
+        def vqa_f():
+            return load_vqa_engine(args.vqa_model_path)
+
+        def vsm_f():
+            return load_vsm_engine(args.vsm_model_path,
+                                   device_preprocess=True)
+
+        def vqa4_f():
+            return load_vqa_engine(args.vqa_model_path, int4=True)
+
+        def vsm4_f():
+            return load_vsm_engine(args.vsm_model_path, int4=True,
+                                   device_preprocess=True)
+
+        runner_rows = run_runner_matrix(
+            args.benchmark_folder, vqa_f, vsm_f,
+            coresident_factories=(vqa4_f, vsm4_f),
+            # mixed: int8 VQA (the dominant free-form/MC phases decode at
+            # int8 speed) + int4 VSM (searches pay int4) — the
+            # single-chip serving candidate (VERDICT r4 #1)
+            mixed_factories=(vqa_f, vsm4_f))
+        with open("runner_matrix.json", "w") as f:
+            json.dump(runner_rows, f, indent=2)
+        print("runner matrix -> runner_matrix.json")
+    elif args.benchmark_folder and vqa is not None and vsm is not None \
+            and not args.sweep:
         from vstar_tpu.eval.vstar_bench import eval_model
         ns = argparse.Namespace(
             vqa_model_path=args.vqa_model_path,

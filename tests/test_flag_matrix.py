@@ -139,3 +139,40 @@ def test_flag_matrix_cell_isolation():
 
     with pytest.raises(RuntimeError, match="no engines"):
         run_flag_matrix(broken_base, img, log=None)
+
+
+def test_runner_matrix_residency_modes(tmp_path):
+    """Day-one residency gate (VERDICT r4 #7): phased base, parked-swap
+    and co-resident cells all run the same benchmark; parked must match
+    the base records bit-for-bit, co-residency reports zero swap time,
+    and a failing optional cell isolates instead of losing the sweep."""
+    from tests.test_phased_eval import (_mk_benchmark, _vqa_factory,
+                                        _vsm_factory)
+    from vstar_tpu.eval.flag_matrix import run_runner_matrix
+
+    _mk_benchmark(tmp_path, n_direct=1, n_rel=1)
+
+    def boom_factory():
+        raise RuntimeError("int4 checkpoint missing")
+
+    rows = run_runner_matrix(
+        str(tmp_path), _vqa_factory, _vsm_factory,
+        coresident_factories=(_vqa_factory, _vsm_factory),
+        mixed_factories=(boom_factory, boom_factory),
+        batch=2, log=None)
+    by = {r["cell"]: r for r in rows}
+    assert list(by) == ["phased", "parked", "coresident",
+                        "mixed-coresident"]
+    # parked swaps from host RAM — records must be bit-identical
+    assert by["parked"]["records_match_base"] is True
+    # same factories co-resident: identical too, and swap-free
+    assert by["coresident"]["records_match_base"] is True
+    assert by["coresident"]["swap_s"] == 0.0
+    assert by["coresident"]["coresident"] is True
+    for name in ("phased", "parked", "coresident"):
+        r = by[name]
+        assert r["images_per_s"] > 0 and r["accuracy"] is not None
+        assert len(r["phases_s"]) == 3
+    assert by["parked"]["accuracy_vs_base"] == 0.0
+    # the failing optional cell recorded its error, others survived
+    assert "int4 checkpoint missing" in by["mixed-coresident"]["error"]

@@ -175,6 +175,79 @@ def run_flag_matrix(make_engines: Callable, image,
     return rows
 
 
+def run_runner_matrix(benchmark_folder: str,
+                      vqa_factory: Callable, vsm_factory: Callable,
+                      coresident_factories=None, mixed_factories=None,
+                      batch: int = 8, log=print, **phased_kw) -> List[Dict]:
+    """Day-one gate over the RESIDENCY modes (VERDICT r4 #7): the flag
+    matrix covers engine opt-ins; this sweeps how the two 7B models share
+    the chip — phase-swapped (base), parked-swap (host-RAM weight copy),
+    co-resident (int4 pair, zero swaps) and mixed-precision co-resident
+    (int8 VQA + int4 VSM) — through the SAME eval_model_phased loop, so
+    each row carries throughput, swap cost, accuracy and a
+    records_match_base bit.
+
+    vqa_factory/vsm_factory: zero-arg engine factories (re-read the
+    checkpoint), the phased base cell. coresident_factories /
+    mixed_factories: optional (vqa_factory, vsm_factory) pairs for the
+    co-resident cells — their engines use different quantization, so
+    records_match_base=False there is a finding (the accuracy column is
+    the gate), while the parked cell must match bit-for-bit."""
+    from .phased import eval_model_phased, parked_factory
+
+    rows: List[Dict] = []
+    base: Dict = {}
+    base_results = None
+
+    def cell(name, vqa_f, vsm_f, coresident):
+        nonlocal base_results
+        row: Dict = {"cell": name, "coresident": coresident}
+        try:
+            t0 = time.perf_counter()
+            results, per_type, t = eval_model_phased(
+                benchmark_folder, vqa_f, vsm_f, batch=batch,
+                coresident=coresident, log=None, **phased_kw)
+            row["total_s"] = round(time.perf_counter() - t0, 3)
+            accs = [c for v in per_type.values() for c in v]
+            row["images_per_s"] = round(t["images_per_s_steady"], 4)
+            row["images_per_s_amortized"] = round(
+                t["images_per_s_amortized"], 4)
+            row["swap_s"] = round(t["swap_total_s"], 3)
+            row["phases_s"] = [round(t["phase1_s"], 3),
+                               round(t["phase2_s"], 3),
+                               round(t["phase3_s"], 3)]
+            row["accuracy"] = (round(float(np.mean(accs)), 4)
+                               if accs else None)
+            if base_results is None:
+                base_results = results
+            else:
+                row["records_match_base"] = results == base_results
+                if row["accuracy"] is not None and \
+                        base.get("accuracy") is not None:
+                    row["accuracy_vs_base"] = round(
+                        row["accuracy"] - base["accuracy"], 4)
+        except Exception as e:  # noqa: BLE001 — per-cell isolation
+            if name == "phased":
+                raise      # no base -> no gate means anything
+            row["error"] = f"{type(e).__name__}: {e}"
+        rows.append(row)
+        if log:
+            log(f"[runner] {name}: " + "  ".join(
+                f"{k}={row[k]}" for k in sorted(row) if k != "cell"))
+        return row
+
+    base = cell("phased", vqa_factory, vsm_factory, False)
+    cell("parked", parked_factory(vqa_factory), parked_factory(vsm_factory),
+         False)
+    if coresident_factories is not None:
+        cell("coresident", coresident_factories[0],
+             coresident_factories[1], True)
+    if mixed_factories is not None:
+        cell("mixed-coresident", mixed_factories[0], mixed_factories[1],
+             True)
+    return rows
+
+
 def format_table(rows: List[Dict]) -> str:
     cols = ["cell", "free_form_s", "tok_per_forward", "option",
             "answer_matches_base", "search_s", "search_found",
