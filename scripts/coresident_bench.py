@@ -46,6 +46,12 @@ def main():
     ap.add_argument("--act-int8", action="store_true", default=False,
                     help="per-token int8 activations: W4A8 decode kernel "
                          "+ W8A8 tower prefill (the all-opt-ins mode)")
+    ap.add_argument("--mixed", action="store_true", default=False,
+                    help="mixed-precision co-residency (VERDICT r4 #1): "
+                         "int8 VQA decoder (~7 GB — the dominant "
+                         "free-form/MC phases decode at int8 speed) + "
+                         "int4 VSM (~4.5 GB — only searches pay the int4 "
+                         "kernels); probe HBM first (scripts/hbm_probe)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--n", type=int, default=12,
                     help="synthetic benchmark images")
@@ -61,15 +67,23 @@ def main():
     vsm_cfg = vsm_7b()
     holders = {}
 
+    vqa_quant = True if args.mixed else "int4"   # True = per-channel int8
+
     def vqa_factory():
         t0 = time.perf_counter()
         if "vqa" in holders:
             holders["vqa"].params = None   # free before re-init (HBM)
         params = _sync(init_vqa_llm_params(
             jax.random.PRNGKey(0), vqa_cfg, dtype=jnp.bfloat16,
-            quantize_llm="int4"))
-        print(f"[load] vqa int4 params {time.perf_counter()-t0:.1f}s",
-              flush=True)
+            quantize_llm=vqa_quant))
+        if args.mixed:
+            # int8 towers too: the mixed pair must leave headroom for
+            # B-sized wave temps (load_engines quantizes towers the same
+            # way in the single-chip serving config)
+            from vstar_tpu.nn.quant import quantize_model_towers
+            params = quantize_model_towers(params)
+        print(f"[load] vqa {vqa_quant} params "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
         if "vqa" not in holders:
             holders["vqa"] = VQAEngine(params, vqa_cfg, tok,
                                        prompt_buckets=(512, 768),
@@ -85,6 +99,9 @@ def main():
         params = _sync(init_vsm_params(
             jax.random.PRNGKey(1), vsm_cfg, dtype=jnp.bfloat16,
             quantize_llm="int4"))
+        if args.mixed:
+            from vstar_tpu.nn.quant import quantize_model_towers
+            params = quantize_model_towers(params)
         print(f"[load] vsm int4 params {time.perf_counter()-t0:.1f}s",
               flush=True)
         if "vsm" not in holders:
@@ -119,7 +136,8 @@ def main():
           f"{t['phase3_s']:.2f}s over {t['n_images']} images "
           f"({t['n_searches']} searches); swaps {t['swap_total_s']:.2f}s; "
           f"{t['images_per_s_steady']:.3f} images/s "
-          f"(act_int8={args.act_int8}, B={args.batch})", flush=True)
+          f"(act_int8={args.act_int8}, mixed={args.mixed}, "
+          f"B={args.batch})", flush=True)
 
 
 if __name__ == "__main__":

@@ -129,6 +129,129 @@ def _w4a8_kernel_mul(xe_ref, xo_ref, q4_ref, s4_ref, o_ref, *, ng, gh):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
+def _w4a8_kernel_2and(xe_ref, xo_ref, q4_ref, s4_ref, o_ref, *, ng, gh):
+    """lo unpack as TWO u8 ANDs + an extra int8 dot (no i32 widening):
+    two's-complement lo = (q & 0x07) - (q & 0x08 as value 8*b3), so
+    dot(xe, lo) = dot(xe, l7) - dot(xe, m8). VPU cost 2 u8 ops/byte vs
+    the shipping kernel's 4 i32-lane ops; MXU streams 3 blocks vs 2
+    (MXU is not the bottleneck at R=1)."""
+    from jax.experimental.pallas import tpu as pltpu
+    qp = q4_ref[...]
+    l7 = pltpu.bitcast(qp & jnp.uint8(0x07), jnp.int8)
+    m8 = pltpu.bitcast(qp & jnp.uint8(0x08), jnp.int8)
+    hi16 = pltpu.bitcast(qp & jnp.uint8(0xF0), jnp.int8)
+    xe = xe_ref[...]
+    xo = xo_ref[...]
+    s = s4_ref[...] * (1.0 / 16.0)
+    dims = (((1,), (0,)), ((), ()))
+    acc = None
+    for g in range(ng):
+        a, b = g * gh, (g + 1) * gh
+        d_lo = (jax.lax.dot_general(xe[:, a:b], l7[a:b], dims,
+                                    preferred_element_type=jnp.int32)
+                - jax.lax.dot_general(xe[:, a:b], m8[a:b], dims,
+                                      preferred_element_type=jnp.int32))
+        d_hi = jax.lax.dot_general(xo[:, a:b], hi16[a:b], dims,
+                                   preferred_element_type=jnp.int32)
+        term = (16 * d_lo + d_hi).astype(jnp.float32) * s[g:g + 1]
+        acc = term if acc is None else acc + term
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _w4a8_kernel_off(xe_ref, xo_ref, q4_ref, s4_ref, o_ref, *, ng, gh):
+    """lo unpack as offset-binary (q ^ 8) & 0x0F = lo + 8, corrected by
+    8 * rowsum(xe) per group: 3 u8 ops/byte total, 2 MXU streams + a
+    tiny [R, gh] reduce per group."""
+    from jax.experimental.pallas import tpu as pltpu
+    qp = q4_ref[...]
+    lo_off = pltpu.bitcast((qp ^ jnp.uint8(0x08)) & jnp.uint8(0x0F),
+                           jnp.int8)
+    hi16 = pltpu.bitcast(qp & jnp.uint8(0xF0), jnp.int8)
+    xe = xe_ref[...]
+    xo = xo_ref[...]
+    s = s4_ref[...] * (1.0 / 16.0)
+    dims = (((1,), (0,)), ((), ()))
+    acc = None
+    for g in range(ng):
+        a, b = g * gh, (g + 1) * gh
+        d_lo = jax.lax.dot_general(xe[:, a:b], lo_off[a:b], dims,
+                                   preferred_element_type=jnp.int32)
+        corr = jnp.sum(xe[:, a:b].astype(jnp.int32), axis=1,
+                       keepdims=True)                      # [R, 1]
+        d_hi = jax.lax.dot_general(xo[:, a:b], hi16[a:b], dims,
+                                   preferred_element_type=jnp.int32)
+        term = (16 * (d_lo - 8 * corr) + d_hi
+                ).astype(jnp.float32) * s[g:g + 1]
+        acc = term if acc is None else acc + term
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _w4a8_kernel_rows(xe_ref, xo_ref, q4_ref, s4_ref, o_ref, *, ngb, gh):
+    """Row-blocked variant: grid over IN2 with FULL-OUT weight blocks, so
+    every DMA reads fully contiguous rows of the [IN2, OUT] packed array
+    (the shipping kernel's [IN2, 256] column blocks read 256-byte strided
+    chunks — the contiguity hypothesis for the ~130-250 GB/s ceiling).
+    Output accumulates across grid steps."""
+    from jax.experimental import pallas as pl
+    qp = q4_ref[...]
+    lo16 = ((qp.astype(jnp.int32) << 4) & 0xF0).astype(jnp.int8)
+    from jax.experimental.pallas import tpu as pltpu
+    hi16 = pltpu.bitcast(qp & jnp.uint8(0xF0), jnp.int8)
+    xe = xe_ref[...]
+    xo = xo_ref[...]
+    s = s4_ref[...] * (1.0 / 16.0)
+    dims = (((1,), (0,)), ((), ()))
+    acc = None
+    for g in range(ngb):
+        a, b = g * gh, (g + 1) * gh
+        d = (jax.lax.dot_general(xe[:, a:b], lo16[a:b], dims,
+                                 preferred_element_type=jnp.int32)
+             + jax.lax.dot_general(xo[:, a:b], hi16[a:b], dims,
+                                   preferred_element_type=jnp.int32))
+        term = d.astype(jnp.float32) * s[g:g + 1]
+        acc = term if acc is None else acc + term
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        o_ref[...] += acc.astype(o_ref.dtype)
+
+
+def _w4a8_call_rows(xq, q4, s4, block_i=None):
+    from jax.experimental import pallas as pl
+    R, IN = xq.shape
+    IN2, OUT = q4.shape
+    NG = s4.shape[0]
+    gh = IN2 // NG
+    if block_i is None:
+        # most steps with blocks >= ~512 KB: multiples of gh dividing IN2
+        cands = [m * gh for m in range(1, NG + 1)
+                 if NG % m == 0 and (m * gh) * OUT >= 4 * 128 * 1024]
+        block_i = cands[0] if cands else IN2
+    ngb = block_i // gh
+    xe = xq[:, 0::2]
+    xo = xq[:, 1::2]
+    return pl.pallas_call(
+        functools.partial(_w4a8_kernel_rows, ngb=ngb, gh=gh),
+        grid=(IN2 // block_i,),
+        in_specs=[
+            pl.BlockSpec((R, block_i), lambda i: (0, i)),
+            pl.BlockSpec((R, block_i), lambda i: (0, i)),
+            pl.BlockSpec((block_i, OUT), lambda i: (i, 0)),
+            pl.BlockSpec((ngb, OUT), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, OUT), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((R, OUT), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * IN * OUT,
+            bytes_accessed=IN2 * OUT + 4 * NG * OUT + R * (IN + 4 * OUT),
+            transcendentals=0),
+    )(xe, xo, q4, s4)
+
+
 def _w4a8_call(kernel, xq, q4, s4, block_o=256):
     from jax.experimental import pallas as pl
     R, IN = xq.shape
@@ -199,6 +322,18 @@ def bench_matmuls(modes):
         elif mode == "w4a8_bo512":       # shipping kernel, bigger blocks
             y = _w4a8_call(_ship_kernel, xq, e["q4"], e["s4"],
                            block_o=512)
+        elif mode == "w4a8_2and":
+            y = _w4a8_call(_w4a8_kernel_2and, xq, e["q4"], e["s4"])
+        elif mode == "w4a8_2and_bo512":
+            y = _w4a8_call(_w4a8_kernel_2and, xq, e["q4"], e["s4"],
+                           block_o=512)
+        elif mode == "w4a8_off":
+            y = _w4a8_call(_w4a8_kernel_off, xq, e["q4"], e["s4"])
+        elif mode == "w4a8_off_bo512":
+            y = _w4a8_call(_w4a8_kernel_off, xq, e["q4"], e["s4"],
+                           block_o=512)
+        elif mode == "w4a8_rows":
+            y = _w4a8_call_rows(xq, e["q4"], e["s4"])
         else:                      # w4a8 / w4a8_pc (shipping kernel)
             y = int4_matmul_w4a8(xq, e["q4"], e["s4"])
         return (y * sx).astype(x.dtype)
@@ -207,7 +342,7 @@ def bench_matmuls(modes):
     results = {}
     for IN, OUT, L in SHAPES:
         for mode in modes:
-            if mode == "w4a8_bo512" and OUT % 512:
+            if mode.endswith("bo512") and OUT % 512:
                 continue
             e = _stacked(mode, IN, OUT, L, jax.random.PRNGKey(IN + OUT))
 
@@ -229,6 +364,29 @@ def bench_matmuls(modes):
             x0 = jax.random.normal(jax.random.PRNGKey(1), (1, IN),
                                    jnp.bfloat16)
             try:
+                if mode.startswith(("w4a8_2and", "w4a8_off",
+                                    "w4a8_rows")):
+                    # candidates must be BIT-EQUAL to the shipping kernel
+                    # (identical int32 accumulation, same f32 scaling)
+                    e1 = jax.tree_util.tree_map(lambda a: a[0], e)
+                    xq = jax.random.randint(jax.random.PRNGKey(2),
+                                            (1, IN), -127, 128, jnp.int8)
+                    if "rows" in mode:
+                        def once(xq, q, s):
+                            return _w4a8_call_rows(xq, q, s)
+                    else:
+                        kern = (_w4a8_kernel_2and if "2and" in mode
+                                else _w4a8_kernel_off)
+                        bo = 512 if mode.endswith("bo512") else 256
+
+                        def once(xq, q, s, kern=kern, bo=bo):
+                            return _w4a8_call(kern, xq, q, s, bo)
+                    got = np.asarray(jax.jit(once)(xq, e1["q4"],
+                                                   e1["s4"]))
+                    want = np.asarray(jax.jit(int4_matmul_w4a8)(
+                        xq, e1["q4"], e1["s4"]))
+                    assert np.array_equal(got, want), \
+                        f"{mode} mismatch: {np.abs(got - want).max()}"
                 total = timed_ms(run, e, x0)
             except Exception as err:  # noqa: BLE001 — Mosaic probes crash
                 print(f"[{IN:5d}x{OUT:5d}] {mode:14s} FAILS "
