@@ -191,7 +191,13 @@ def _w4a8_kernel_rows(xe_ref, xo_ref, q4_ref, s4_ref, o_ref, *, ngb, gh):
     every DMA reads fully contiguous rows of the [IN2, OUT] packed array
     (the shipping kernel's [IN2, 256] column blocks read 256-byte strided
     chunks — the contiguity hypothesis for the ~130-250 GB/s ceiling).
-    Output accumulates across grid steps."""
+    Output accumulates across grid steps.
+
+    DEAD (r5): the per-step scale block (ngb, OUT) violates the Pallas
+    TPU rule that the second-to-last block dim divide 8 (ngb=2 for the
+    11008-IN shapes), and no ngb satisfies it for NG=86. The transposed
+    variant (_w4a8_kernel_t) tests the same DMA-contiguity hypothesis
+    without the constraint — use that."""
     from jax.experimental import pallas as pl
     qp = q4_ref[...]
     lo16 = ((qp.astype(jnp.int32) << 4) & 0xF0).astype(jnp.int8)
@@ -218,6 +224,61 @@ def _w4a8_kernel_rows(xe_ref, xo_ref, q4_ref, s4_ref, o_ref, *, ngb, gh):
     @pl.when(pl.program_id(0) != 0)
     def _acc():
         o_ref[...] += acc.astype(o_ref.dtype)
+
+
+def _w4a8_kernel_t(xe_ref, xo_ref, q4t_ref, s4t_ref, o_ref, *, ng, gh):
+    """Transposed-storage variant: q4t [OUT, IN2] packed, so each
+    [block_o, IN2] weight block is FULLY CONTIGUOUS in HBM (the shipping
+    [IN2, block_o] blocks of an OUT-minor array read 256-byte strided
+    chunks). Output written [OUT, R]; scales [OUT, NG]."""
+    from jax.experimental.pallas import tpu as pltpu
+    qp = q4t_ref[...]                                 # [BO, IN2] u8
+    lo16 = ((qp.astype(jnp.int32) << 4) & 0xF0).astype(jnp.int8)
+    hi16 = pltpu.bitcast(qp & jnp.uint8(0xF0), jnp.int8)
+    xe = xe_ref[...]                                  # [IN2, R] int8
+    xo = xo_ref[...]                                  # (pre-transposed:
+    # Mosaic only lowers int32-accum dots in the standard (1,)x(0,)
+    # orientation — contracting dim1 against dim1 raised
+    # NotImplementedError for preferred_element_type=int32)
+    s = s4t_ref[...] * (1.0 / 16.0)                   # [BO, NG] f32
+    dims = (((1,), (0,)), ((), ()))
+    acc = None
+    for g in range(ng):
+        a, b = g * gh, (g + 1) * gh
+        d = (jax.lax.dot_general(lo16[:, a:b], xe[a:b], dims,
+                                 preferred_element_type=jnp.int32)
+             + jax.lax.dot_general(hi16[:, a:b], xo[a:b], dims,
+                                   preferred_element_type=jnp.int32))
+        term = d.astype(jnp.float32) * s[:, g:g + 1]  # [BO, R]
+        acc = term if acc is None else acc + term
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _w4a8_call_t(xq, q4t, s4t, block_o=256):
+    from jax.experimental import pallas as pl
+    R, IN = xq.shape
+    OUT, IN2 = q4t.shape
+    NG = s4t.shape[1]
+    gh = IN2 // NG
+    xe = xq[:, 0::2].T                                # [IN2, R]
+    xo = xq[:, 1::2].T
+    y = pl.pallas_call(
+        functools.partial(_w4a8_kernel_t, ng=NG, gh=gh),
+        grid=(OUT // block_o,),
+        in_specs=[
+            pl.BlockSpec((IN2, R), lambda j: (0, 0)),
+            pl.BlockSpec((IN2, R), lambda j: (0, 0)),
+            pl.BlockSpec((block_o, IN2), lambda j: (j, 0)),
+            pl.BlockSpec((block_o, NG), lambda j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_o, R), lambda j: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((OUT, R), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * IN * OUT,
+            bytes_accessed=IN2 * OUT + 4 * NG * OUT + R * (IN + 4 * OUT),
+            transcendentals=0),
+    )(xe, xo, q4t, s4t)
+    return y.T
 
 
 def _w4a8_call_rows(xq, q4, s4, block_i=None):
@@ -292,6 +353,10 @@ def _stacked(mode, IN, OUT, L, key):
                                         dtype=jnp.int8),
                 "s": jnp.full((L, 1, OUT), 1e-2, jnp.float32)}
     ng = 1 if mode.endswith("pc") else IN // 128
+    if mode.startswith("w4a8_t"):
+        return {"q4t": jax.random.randint(key, (L, OUT, IN // 2), 0, 256,
+                                          jnp.int32).astype(jnp.uint8),
+                "s4t": jnp.full((L, OUT, ng), 1e-2, jnp.float32)}
     return {"q4": jax.random.randint(key, (L, IN // 2, OUT), 0, 256,
                                      jnp.int32).astype(jnp.uint8),
             "s4": jnp.full((L, ng, OUT), 1e-2, jnp.float32)}
@@ -334,6 +399,9 @@ def bench_matmuls(modes):
                            block_o=512)
         elif mode == "w4a8_rows":
             y = _w4a8_call_rows(xq, e["q4"], e["s4"])
+        elif mode.startswith("w4a8_t"):
+            bo = 512 if mode.endswith("512") else 256
+            y = _w4a8_call_t(xq, e["q4t"], e["s4t"], block_o=bo)
         else:                      # w4a8 / w4a8_pc (shipping kernel)
             y = int4_matmul_w4a8(xq, e["q4"], e["s4"])
         return (y * sx).astype(x.dtype)
@@ -365,13 +433,24 @@ def bench_matmuls(modes):
                                    jnp.bfloat16)
             try:
                 if mode.startswith(("w4a8_2and", "w4a8_off",
-                                    "w4a8_rows")):
+                                    "w4a8_rows", "w4a8_t")):
                     # candidates must be BIT-EQUAL to the shipping kernel
                     # (identical int32 accumulation, same f32 scaling)
                     e1 = jax.tree_util.tree_map(lambda a: a[0], e)
                     xq = jax.random.randint(jax.random.PRNGKey(2),
                                             (1, IN), -127, 128, jnp.int8)
-                    if "rows" in mode:
+                    if mode.startswith("w4a8_t"):
+                        # t-mode entries store transposed tensors; verify
+                        # against the shipping kernel on the UNtransposed
+                        # view of the same weights
+                        e1 = {"q4": jnp.swapaxes(e["q4t"][0], 0, 1),
+                              "s4": jnp.swapaxes(e["s4t"][0], 0, 1)}
+                        bo = 512 if mode.endswith("512") else 256
+
+                        def once(xq, q, s, bo=bo):
+                            return _w4a8_call_t(xq, jnp.swapaxes(q, 0, 1),
+                                                jnp.swapaxes(s, 0, 1), bo)
+                    elif "rows" in mode:
                         def once(xq, q, s):
                             return _w4a8_call_rows(xq, q, s)
                     else:
