@@ -131,18 +131,42 @@ def _w4a8_kernel(xe_ref, xo_ref, q4_ref, s4_ref, o_ref, *, ng: int,
     int32 dots with the f32 scale applied AFTER each group's dot (the
     1/16 from the nibble pre-scaling is folded into the scale read).
 
-    Measured r4 on the v5e (decode shape [1,4096]x[4096,11008], chained):
-    0.111 ms/matmul (204 GB/s effective on packed bytes) vs the W4A16
-    kernel's 0.189 ms and the int8 XLA fused path's ~0.104 ms — decode
-    speed parity with int8 at HALF the weight residency. Variants that
-    measured WORSE (kept as anchors, don't re-run blind): grid-over-
-    groups (same 0.112), one-AND mixed-offset storage (0.112), i32
-    sublane-packed quarter-width unpack (0.145 + byte-order trap),
-    astype-truncation lo path (0.162). Mosaic miscompiles found while
-    getting here: `u8 >> n`, u8 +/*, and batched dot_general all crash
-    the compiler; `(q & 0xF).astype(f32) * s` WITHOUT a subtract
-    mis-lowers silently (garbage values) — every surviving op here is
-    probe-verified (tests pin parity in interpret mode + on-chip)."""
+    Measured r5 on the v5e with VALID microbenches (scan over 32-64
+    DISTINCT stacked weights, carry-coupled activations — the r4
+    chained-same-operand numbers were hoist-contaminated and are
+    retracted; scripts/int4_profile.py):
+
+        shape          int8-XLA      this kernel (bo=256 / bo=512)
+        4096x4096      0.023 ms      0.065 / 0.057 ms  (130/148 GB/s)
+        4096x11008     0.097 ms      0.110 ms          (205 GB/s)
+        11008x4096     0.056 ms      0.158 / 0.149 ms  (143/151 GB/s)
+        4096x32000     0.283 ms      0.261 ms          (251 GB/s)
+
+    Per-layer sums reproduce the decode-level gap exactly (int4 7B
+    decode ~2x int8 despite half the bytes). Optimization hypotheses
+    TESTED AND FALSIFIED r5 (don't re-run blind, int4_profile.py keeps
+    the probes): (a) VPU unpack arithmetic — bit-equal variants cutting
+    the 4 i32-lane lo-unpack ops to 2-3 u8 ANDs measure FLAT; (b) DMA
+    contiguity — transposed q4t[OUT,IN2] full-row blocks measure WORSE
+    (98-145 GB/s; HBM layout is (8,128)-tiled, not row-major, so column
+    blocks were never strided); (c) per-group dot loop — a per-channel
+    (ng=1) variant gains only ~5%. The one real win, block_o=512 where
+    OUT divides (+8-10%), is the shipping default. Earlier r4 variants
+    that measured worse under the (invalid) chained regime: grid-over-
+    groups, one-AND mixed-offset storage, i32 sublane-packed unpack,
+    astype-truncation lo path. Mosaic miscompiles found while getting
+    here: `u8 >> n`, u8/i8 +/*, and batched dot_general all crash the
+    compiler; int32-accum dots contracting dim1-vs-dim1 are
+    NotImplemented (pre-transpose the activations); `(q & 0xF)
+    .astype(f32) * s` WITHOUT a subtract mis-lowers silently (garbage
+    values) — every surviving op here is probe-verified (tests pin
+    parity in interpret mode + on-chip).
+
+    Consequence for serving: int4 stays the RESIDENCY lever, not a
+    speed lever — the pair-on-one-chip modes pay ~2x on decoded tokens,
+    so mixed-precision co-residency (int8 VQA + int4 VSM,
+    scripts/coresident_bench.py --mixed) keeps the dominant free-form/
+    MC phases at int8 speed."""
     qp = q4_ref[...]                                  # [IN2, BO] u8
     lo16 = ((qp.astype(jnp.int32) << 4) & 0xF0).astype(jnp.int8)
     hi16 = pltpu.bitcast(qp & jnp.uint8(0xF0), jnp.int8)
@@ -176,7 +200,10 @@ def int4_matmul_w4a8(xq: jnp.ndarray, q4: jnp.ndarray, s4: jnp.ndarray,
     if R > 16 or IN != 2 * IN2 or IN % NG or IN % 256:
         return None
     gh = IN2 // NG
-    block_o = 256 if OUT % 256 == 0 else (128 if OUT % 128 == 0 else None)
+    # 512 where OUT divides: measured +8-10% over 256 (r5, valid
+    # distinct-weight scans); Mosaic streams the i32 widen in chunks so
+    # the [IN2, 512] block's temporaries stay inside VMEM
+    block_o = next((b for b in (512, 256, 128) if OUT % b == 0), None)
     if block_o is None:
         return None
     xe = xq[:, 0::2]

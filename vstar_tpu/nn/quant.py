@@ -70,13 +70,18 @@ def quantize_weight_int4(w: jnp.ndarray, group: int = GROUP4
     """Group-wise symmetric int4, two nibbles packed per uint8.
 
     Served by the fused Pallas kernels (kernels/int4_matmul.py): W4A16
-    (bf16 activations, 30 ms/tok 7B decode) or W4A8 with the act-int8
-    opt-in (int8 MXU dots, ~int8-weight decode speed at HALF the weight
-    residency — the pair-on-one-chip enabler, measured r4). The pure-XLA
+    (bf16 activations, ~31 ms/tok 7B decode) or W4A8 with the act-int8
+    opt-in (int8 MXU dots, ~30 ms/tok). Both run ~2x slower than the
+    int8 XLA path's 16 ms/tok despite half the bytes — the honest
+    per-matmul table and the falsified optimization hypotheses live in
+    kernels/int4_matmul.py (r5; the r4 "decode parity with int8"
+    microbench was hoist-contaminated and is retracted). The pure-XLA
     `x @ _deq4(...)` fallback measured 300 ms/token (XLA does not fuse
     the nibble unpack into the matvec) and exists for CPU/parity only.
     int8 remains the single-model serving default; int4 is the
-    co-residency opt-in (accuracy pending real checkpoints, like W8A8).
+    RESIDENCY opt-in that fits the 7B pair on one chip (accuracy
+    pending real checkpoints, like W8A8) — pair it with an int8 VQA
+    engine (mixed-precision co-residency) so only searches pay int4.
 
     w: [..., in, out] with in % group == 0 ->
     {'q4': uint8 [..., in/2, out] (consecutive pairs packed lo|hi<<4,
