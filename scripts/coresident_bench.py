@@ -46,12 +46,17 @@ def main():
     ap.add_argument("--act-int8", action="store_true", default=False,
                     help="per-token int8 activations: W4A8 decode kernel "
                          "+ W8A8 tower prefill (the all-opt-ins mode)")
-    ap.add_argument("--mixed", action="store_true", default=False,
+    ap.add_argument("--mixed", nargs="?", const="vqa",
+                    choices=["vqa", "vsm"], default=None,
                     help="mixed-precision co-residency (VERDICT r4 #1): "
-                         "int8 VQA decoder (~7 GB — the dominant "
-                         "free-form/MC phases decode at int8 speed) + "
-                         "int4 VSM (~4.5 GB — only searches pay the int4 "
-                         "kernels); probe HBM first (scripts/hbm_probe)")
+                         "ONE decoder int8 (~7 GB), the other int4 "
+                         "(~4.5 GB), towers int8 on both. 'vqa' (the "
+                         "bare-flag default) runs free-form/MC at int8 "
+                         "speed and searches pay int4; 'vsm' reverses "
+                         "the split — the search phase dominates the "
+                         "co-resident wall, so int8 searches + int4 "
+                         "trigger/MC is the competing point; probe HBM "
+                         "first (scripts/hbm_probe --pair mixed)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--n", type=int, default=12,
                     help="synthetic benchmark images")
@@ -67,7 +72,9 @@ def main():
     vsm_cfg = vsm_7b()
     holders = {}
 
-    vqa_quant = True if args.mixed else "int4"   # True = per-channel int8
+    # True = per-channel int8; the mixed split gives int8 to one decoder
+    vqa_quant = True if args.mixed == "vqa" else "int4"
+    vsm_quant = True if args.mixed == "vsm" else "int4"
 
     def vqa_factory():
         t0 = time.perf_counter()
@@ -98,12 +105,12 @@ def main():
             holders["vsm"].engine.params = None
         params = _sync(init_vsm_params(
             jax.random.PRNGKey(1), vsm_cfg, dtype=jnp.bfloat16,
-            quantize_llm="int4"))
+            quantize_llm=vsm_quant))
         if args.mixed:
             from vstar_tpu.nn.quant import quantize_model_towers
             params = quantize_model_towers(params)
-        print(f"[load] vsm int4 params {time.perf_counter()-t0:.1f}s",
-              flush=True)
+        print(f"[load] vsm {vsm_quant} params "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
         if "vsm" not in holders:
             eng = BatchedVSMEngine(params, vsm_cfg, tok, loc_token_id=3,
                                    max_new_tokens=MAX_NEW_TOKENS,

@@ -51,15 +51,41 @@ def main():
     ap.add_argument("--prompt-lookup", action="store_true", default=False)
     ap.add_argument("--batches", type=int, nargs="+", default=[4, 8],
                     help="wave sizes to analyze")
+    ap.add_argument("--pair", choices=["int4", "mixed"], default=None,
+                    help="co-residency accounting: also init a resident "
+                         "int4 VSM 7B (and for 'mixed' an int8 VQA "
+                         "decoder + int8 towers — the r5 mixed-precision "
+                         "co-residency config) so live weights reflect "
+                         "the pair; phase temps then bound the wave's "
+                         "peak on the 16 GB chip")
     args = ap.parse_args()
     cfg = vqa_llm_7b()
+    vqa_quant = True if args.pair == "mixed" else (
+        "int4" if args.pair == "int4" else True)
     params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg,
-                                 dtype=jnp.bfloat16, quantize_llm=True)
+                                 dtype=jnp.bfloat16,
+                                 quantize_llm=vqa_quant)
+    vsm_params = None
+    if args.pair:
+        from vstar_tpu.core.config import vsm_7b
+        from vstar_tpu.models.vsm import init_vsm_params
+        if args.pair == "mixed":
+            from vstar_tpu.nn.quant import quantize_model_towers
+            params = quantize_model_towers(params)
+        vsm_params = init_vsm_params(jax.random.PRNGKey(1), vsm_7b(),
+                                     dtype=jnp.bfloat16,
+                                     quantize_llm="int4")
+        if args.pair == "mixed":
+            from vstar_tpu.nn.quant import quantize_model_towers
+            vsm_params = quantize_model_towers(vsm_params)
     eng = VQAEngine(params, cfg, Tok(), prompt_buckets=(512,),
                     option_bucket=64, kv_int8=args.kv_int8,
                     prompt_lookup=args.prompt_lookup)
-    print(f"kv_int8={args.kv_int8} prompt_lookup={args.prompt_lookup}")
-    print(f"weights+live arrays: {live_gb():.3f} GB")
+    print(f"kv_int8={args.kv_int8} prompt_lookup={args.prompt_lookup} "
+          f"pair={args.pair}")
+    print(f"weights+live arrays: {live_gb():.3f} GB"
+          + (" (VQA + resident VSM)" if args.pair else ""))
+    del vsm_params  # keep referenced-alive until after the live_gb read
 
     rng = np.random.RandomState(0)
     n = max(args.batches)

@@ -118,6 +118,12 @@ def main():
                     help="max_batch operating points to characterize")
     ap.add_argument("--window-ms", type=float, default=50.0)
     ap.add_argument("--image-hw", type=int, nargs=2, default=[1536, 2048])
+    ap.add_argument("--mixed", action="store_true", default=False,
+                    help="mixed-precision co-residency (r5): int8 VQA "
+                         "decoder + int8 towers + int4 VSM — the trigger "
+                         "decode and MC scoring on every request run at "
+                         "int8 speed, only the search pays the int4 "
+                         "kernels (scripts/coresident_bench.py --mixed)")
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
 
@@ -126,11 +132,16 @@ def main():
     vqa_cfg, vsm_cfg = vqa_llm_7b(), vsm_7b()
     vqa_params = _sync(init_vqa_llm_params(
         jax.random.PRNGKey(0), vqa_cfg, dtype=jnp.bfloat16,
-        quantize_llm="int4"))
+        quantize_llm=True if args.mixed else "int4"))
     vsm_params = _sync(init_vsm_params(
         jax.random.PRNGKey(1), vsm_cfg, dtype=jnp.bfloat16,
         quantize_llm="int4"))
-    print(f"[load] int4 pair {time.perf_counter()-t0:.1f}s", flush=True)
+    if args.mixed:
+        from vstar_tpu.nn.quant import quantize_model_towers
+        vqa_params = quantize_model_towers(vqa_params)
+        vsm_params = quantize_model_towers(vsm_params)
+    print(f"[load] {'mixed int8/int4' if args.mixed else 'int4'} pair "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
 
     vqa = ShortVQA(vqa_params, vqa_cfg, tok, prompt_buckets=(512, 768),
                    option_bucket=64)

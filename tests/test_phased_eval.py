@@ -199,6 +199,45 @@ def test_phased_cli_flag(tmp_path, monkeypatch):
     assert seen["batch"] == 8   # unset: measured single-chip wave size
 
 
+def test_mixed_cli_flag(tmp_path, monkeypatch):
+    """--mixed routes the co-resident pair to the measured-best split:
+    int8 VQA decoder (int8=True, int4 off) + int4 VSM — free-form/MC at
+    int8 speed, only searches pay the int4 kernels (r5)."""
+    import vstar_tpu.eval.vstar_bench as vb
+
+    _mk_benchmark(tmp_path, n_direct=1, n_rel=1)
+    quant = {}
+
+    def fake_vqa(*a, **k):
+        quant["vqa"] = {f: k.get(f) for f in ("int8", "int4")}
+        return _vqa_factory()
+
+    def fake_vsm(*a, **k):
+        quant["vsm"] = {f: k.get(f) for f in ("int8", "int4")}
+        return _vsm_factory()
+
+    monkeypatch.setattr(vb, "load_vqa_engine", fake_vqa)
+    monkeypatch.setattr(vb, "load_vsm_engine", fake_vsm)
+    args = vb.build_parser().parse_args(
+        ["--single-chip-phased", "--coresident", "--int4", "--mixed"])
+    args.benchmark_folder = str(tmp_path)
+    args.output_path = str(tmp_path / "out_mixed.json")
+    results, _, timings = eval_model(args)
+    assert quant["vqa"] == {"int8": True, "int4": False}
+    assert quant["vsm"]["int4"] is True
+    assert timings["swap_total_s"] == 0.0
+    out = json.load(open(tmp_path / "out_mixed.json"))
+    assert out["direct_attributes"][0]["missing_objects"] == ["tiny cup"]
+    # --mixed alone (no --int4) must still put the VSM on int4
+    args2 = vb.build_parser().parse_args(
+        ["--single-chip-phased", "--coresident", "--mixed"])
+    args2.benchmark_folder = str(tmp_path)
+    args2.output_path = str(tmp_path / "out_mixed2.json")
+    eval_model(args2)
+    assert quant["vsm"]["int4"] is True
+    assert quant["vqa"] == {"int8": True, "int4": False}
+
+
 def test_free_engine_drops_residency():
     eng = _vsm_factory()
     img = Image.fromarray(np.zeros((64, 64, 3), np.uint8))

@@ -165,13 +165,19 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
             "OR phased, not both"
         compiled = getattr(args, "compiled", False)
 
+        # --mixed (r5): int8 VQA decoder + int4 VSM co-residency — the
+        # measured-best single-chip pair split (0.796 vs 0.698 images/s
+        # all-int4, same session; the reverse split OOMs at B=8 — the
+        # VSM's extra towers push the int8 side past 16 GB)
+        mixed = getattr(args, "mixed", False)
+
         def vqa_factory():
             return load_vqa_engine(
                 args.vqa_model_path, args.conv_type,
-                int8=getattr(args, "int8", None),
+                int8=True if mixed else getattr(args, "int8", None),
                 kv_int8=getattr(args, "kv_int8", False),
                 prompt_lookup=getattr(args, "prompt_lookup", False),
-                int4=getattr(args, "int4", False))
+                int4=getattr(args, "int4", False) and not mixed)
 
         def vsm_factory():
             eng = load_vsm_engine(
@@ -180,7 +186,7 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
                                           False) or compiled,
                 int8=getattr(args, "int8", None),
                 kv_int8=getattr(args, "kv_int8", False),
-                int4=getattr(args, "int4", False))
+                int4=getattr(args, "int4", False) or mixed)
             if compiled:
                 from ..search.compiled import CompiledVSMSearch
                 return CompiledVSMSearch(eng)
@@ -320,6 +326,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --single-chip-phased: build both engines "
                         "up front and skip the swaps — needs the pair to "
                         "fit one chip (--int4; ~9 GB of weights, r4)")
+    p.add_argument("--mixed", action="store_true", default=False,
+                   help="with --coresident: mixed-precision pair — int8 "
+                        "VQA decoder (free-form/MC at int8 speed) + int4 "
+                        "VSM (only searches pay the int4 kernels), int8 "
+                        "towers; ~12 GB resident, measured +14%% over "
+                        "the all-int4 pair (r5)")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="persistent XLA compilation cache (reused across "
                         "runs; see core/compile_cache.py)")

@@ -181,6 +181,12 @@ def main():
                         "fused-dequant kernel): the 7B SEAL pair fits "
                         "ONE 16 GB chip — no split/mesh needed "
                         "(accuracy opt-in, like --kv-int8)")
+    p.add_argument("--mixed", action="store_true", default=False,
+                   help="mixed-precision single-chip pair (r5): int8 VQA "
+                        "decoder + int4 VSM + int8 towers (~12 GB) — "
+                        "trigger decode and option scoring run at int8 "
+                        "speed, only searches pay the int4 kernels; "
+                        "measured +14%% over the all-int4 pair")
     p.add_argument("--warmup", action="store_true", default=False,
                    help="pre-compile every (mode x batch-bucket) program "
                         "before accepting traffic — no live request ever "
@@ -198,15 +204,17 @@ def main():
     from ..eval.vstar_bench import (load_vqa_engine, load_vsm_engine,
                                     resolve_mesh)
     mesh = resolve_mesh(args.mesh)
-    vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh, int8=args.int8,
+    vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh,
+                          int8=True if args.mixed else args.int8,
                           kv_int8=args.kv_int8,
                           prompt_lookup=args.prompt_lookup,
-                          int4=args.int4)
+                          int4=args.int4 and not args.mixed)
     vsm = load_vsm_engine(args.vsm_model_path,
                           device_preprocess=args.device_preprocess
                           or args.compiled,
                           mesh=mesh, int8=args.int8,
-                          kv_int8=args.kv_int8, int4=args.int4)
+                          kv_int8=args.kv_int8,
+                          int4=args.int4 or args.mixed)
     if args.warmup:
         from ..eval.vqa_engine import warmup_vqa_engine
         from ..search.batched import warmup_vsm_engine
