@@ -438,3 +438,111 @@ def test_pipeline_close_with_inflight_waves_fails_futures():
         assert not t.is_alive(), "caller hung after close"
     for k in ("a", "b"):
         assert isinstance(results[k], RuntimeError), results[k]
+
+
+class OOMAboveTwoVQA(RecordingVQA):
+    """Fakes device HBM exhaustion for trigger waves larger than 2 — the
+    shape of the r5 measured failure (the mixed pair OOMs a max_batch=8
+    free-form wave after smaller buckets filled the chip)."""
+
+    def __init__(self):
+        super().__init__()
+        self.wave_sizes = []
+
+    def free_form_many(self, images, questions, **kw):
+        self.wave_sizes.append(len(images))
+        if len(images) > 2:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted).")
+        return super().free_form_many(images, questions, **kw)
+
+
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_oom_wave_splits_instead_of_failing(pipeline):
+    """A wave that exhausts HBM is halved and retried, transparently to
+    callers: all requests complete with records identical to a serial
+    service, and stats() counts the splits."""
+    serial = SealService(StubVQA(), StubVSM())
+    img = _img()
+    want = _strip_latency(serial.answer(img, "what color is it?",
+                                        ["red", "blue"]))
+
+    svc = ContinuousSealService(OOMAboveTwoVQA(), BatchedStubVSM(),
+                                max_batch=8, window_ms=150.0,
+                                pipeline=pipeline)
+    try:
+        results = {}
+
+        def go(k):
+            results[k] = _strip_latency(
+                svc.answer(_img(), "what color is it?", ["red", "blue"]))
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+            assert not t.is_alive()
+        for i in range(6):
+            assert results[i] == want
+        assert svc.stats()["oom_splits"] >= 1
+        assert max(svc.vqa.wave_sizes) > 2      # an oversized wave formed
+        assert svc.vqa.wave_sizes[-1] <= 2      # ...and finished split
+    finally:
+        svc.close()
+
+
+def test_oom_single_request_is_a_real_error(engines):
+    """Splitting bottoms out at one request: its OOM propagates to the
+    caller (a chip that can't fit batch-1 is not a retryable state), and
+    the service survives for the next wave."""
+    _, vsm = engines
+
+    class AlwaysOOMVQA(RecordingVQA):
+        def __init__(self):
+            super().__init__()
+            self.n = 0
+
+        def free_form_many(self, images, questions, **kw):
+            self.n += 1
+            if self.n == 1:   # the 1-request wave: nothing to split
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of HBM")
+            return super().free_form_many(images, questions, **kw)
+
+    svc = ContinuousSealService(AlwaysOOMVQA(), vsm, max_batch=4,
+                                window_ms=5.0)
+    try:
+        with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+            svc.answer(_img(), "q?")
+        rec = svc.answer(_img(), "q?")
+        assert "answer" in rec
+    finally:
+        svc.close()
+
+
+def test_split_on_oom_slices_parallel_columns(engines):
+    """The splitter must slice every per-row column in lockstep with the
+    wave (a misaligned merge would silently pair rows with the wrong
+    inputs — worse than the OOM)."""
+    vqa, vsm = engines
+    svc = ContinuousSealService(vqa, vsm, max_batch=1, window_ms=1.0)
+    try:
+        calls = []
+
+        def stage(reqs, colA, colB):
+            calls.append((list(reqs), list(colA), list(colB)))
+            if len(reqs) > 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED")
+            return ([r * 10 for r in reqs], [a + b for a, b in
+                                             zip(colA, colB)])
+
+        out = svc._split_on_oom(stage, [1, 2, 3], [10, 20, 30],
+                                [100, 200, 300])
+        assert out == ([10, 20, 30], [110, 220, 330])
+        # non-OOM errors pass through untouched
+        def boom(reqs):
+            raise ValueError("not an oom")
+        with pytest.raises(ValueError):
+            svc._split_on_oom(boom, [1, 2])
+    finally:
+        svc.close()

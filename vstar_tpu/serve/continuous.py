@@ -77,6 +77,7 @@ class ContinuousSealService:
         self._n_waves = 0
         self._n_requests = 0
         self._max_wave = 0
+        self._n_oom_splits = 0
         # pipeline=True overlaps wave k's searches (VSM engine) with wave
         # k+1's trigger answers and wave k-1's focus scoring (VQA engine):
         # the natural mode when load_engines split the pair across two
@@ -129,6 +130,7 @@ class ContinuousSealService:
                 "max_wave": self._max_wave,
                 "mean_wave": (self._n_requests / self._n_waves
                               if self._n_waves else 0.0),
+                "oom_splits": self._n_oom_splits,
                 "queue_depth": self._q.qsize()}
 
     def close(self):
@@ -261,8 +263,8 @@ class ContinuousSealService:
                         "ContinuousSealService closed"))
                     continue
                 if kind == "trigger":
-                    squared, predictions, missing = \
-                        self._stage_trigger(wave)
+                    squared, predictions, missing = self._split_on_oom(
+                        self._stage_trigger, wave)
                     if self._stop.is_set():
                         self._fail_wave(wave, RuntimeError(
                             "ContinuousSealService closed"))
@@ -271,8 +273,9 @@ class ContinuousSealService:
                                         missing))
                 else:
                     _, squared, predictions, missing, srs, fls = item
-                    recs = self._stage_finish(wave, squared, predictions,
-                                              missing, srs, fls)
+                    (recs,) = self._split_on_oom(
+                        self._finish_tuple, wave, squared, predictions,
+                        missing, srs, fls)
                     for r, rec in zip(wave, recs):
                         r.future.set_result(rec)
             except BaseException as e:
@@ -292,7 +295,8 @@ class ContinuousSealService:
                     self._fail_wave(wave, RuntimeError(
                         "ContinuousSealService closed"))
                     continue
-                srs, fls = self._stage_search(wave, missing)
+                srs, fls = self._split_on_oom(self._stage_search, wave,
+                                              missing)
                 if self._stop.is_set():
                     self._fail_wave(wave, RuntimeError(
                         "ContinuousSealService closed"))
@@ -318,11 +322,46 @@ class ContinuousSealService:
                                       for k, v in row.items()})
                 for im, q, row in zip(images, questions, per_row)]
 
+    @staticmethod
+    def _is_oom(e: Exception) -> bool:
+        # the backend surfaces HBM exhaustion as RESOURCE_EXHAUSTED (the
+        # relay) or "Resource exhausted"/"Out of memory" (PJRT local)
+        s = str(e)
+        return ("RESOURCE_EXHAUSTED" in s or "Resource exhausted" in s
+                or "Out of memory" in s or "ResourceExhausted" in s)
+
+    def _split_on_oom(self, stage, reqs, *cols):
+        """Run stage(reqs, *cols) — cols are per-row parallel lists, the
+        stage returns a TUPLE of per-row lists. On device HBM exhaustion
+        halve the wave and merge: a transiently over-committed chip (big
+        wave x big canvases x co-resident pair) degrades to two smaller
+        dispatches instead of failing all co-batched callers. Recursion
+        bottoms out at single requests, whose OOM is a real error."""
+        try:
+            return stage(reqs, *cols)
+        except Exception as e:
+            if len(reqs) < 2 or not self._is_oom(e):
+                raise
+            self._n_oom_splits += 1
+            mid = (len(reqs) + 1) // 2
+            a = self._split_on_oom(stage, reqs[:mid],
+                                   *[c[:mid] for c in cols])
+            b = self._split_on_oom(stage, reqs[mid:],
+                                   *[c[mid:] for c in cols])
+            return tuple(list(x) + list(y) for x, y in zip(a, b))
+
+    def _finish_tuple(self, reqs, *cols):
+        return (self._stage_finish(reqs, *cols),)
+
     def _process_wave(self, reqs: List[_Request]) -> List[Dict]:
-        squared, predictions, missing = self._stage_trigger(reqs)
-        search_results, failed = self._stage_search(reqs, missing)
-        return self._stage_finish(reqs, squared, predictions, missing,
-                                  search_results, failed)
+        squared, predictions, missing = self._split_on_oom(
+            self._stage_trigger, reqs)
+        search_results, failed = self._split_on_oom(
+            self._stage_search, reqs, missing)
+        (recs,) = self._split_on_oom(
+            self._finish_tuple, reqs, squared, predictions, missing,
+            search_results, failed)
+        return recs
 
     def _stage_trigger(self, reqs: List[_Request]):
         """Free-form trigger answers (VQA engine)."""
