@@ -546,3 +546,43 @@ def test_split_on_oom_slices_parallel_columns(engines):
             svc._split_on_oom(boom, [1, 2])
     finally:
         svc.close()
+
+
+def test_oom_caps_future_wave_admission():
+    """Bounded-wave admission: after an OOM split, the service forms
+    future waves at the size that fit (no repeated failed dispatches),
+    and 32 clean waves regrow the cap one doubling."""
+    vqa = OOMAboveTwoVQA()
+    svc = ContinuousSealService(vqa, BatchedStubVSM(), max_batch=8,
+                                window_ms=150.0)
+    try:
+        results = {}
+
+        def go(k):
+            results[k] = svc.answer(_img(), "q?", ["red", "blue"])
+
+        def burst(keys):
+            ts = [threading.Thread(target=go, args=(k,)) for k in keys]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=30)
+                assert not t.is_alive()
+
+        burst(range(6))                      # wave of 6 OOMs -> cap
+        assert svc.stats()["wave_cap"] in (2, 3)
+        splits_after_first = svc.stats()["oom_splits"]
+        n0 = len(vqa.wave_sizes)
+        burst(range(10, 16))                 # admitted at the cap
+        sizes = vqa.wave_sizes[n0:]
+        assert max(sizes) <= 3
+        # at cap<=2 no stage ever raises again; a cap of 3 pays at most
+        # one more split before settling at 2
+        assert svc.stats()["oom_splits"] <= splits_after_first + 1
+        assert svc.stats()["wave_cap"] == 2
+
+        for i in range(32):                  # 32 clean waves regrow 2->4
+            go(f"regrow{i}")
+        assert svc.stats()["wave_cap"] == 4
+    finally:
+        svc.close()

@@ -78,6 +78,12 @@ class ContinuousSealService:
         self._n_requests = 0
         self._max_wave = 0
         self._n_oom_splits = 0
+        # bounded-wave admission after HBM exhaustion: a measured OOM at
+        # wave size n caps future waves at the size that fit; 32 clean
+        # waves at the cap regrow it one doubling (bounded oscillation:
+        # one failed dispatch per ~32 waves while pressure persists)
+        self._wave_cap: Optional[int] = None
+        self._clean_at_cap = 0
         # pipeline=True overlaps wave k's searches (VSM engine) with wave
         # k+1's trigger answers and wave k-1's focus scoring (VQA engine):
         # the natural mode when load_engines split the pair across two
@@ -131,6 +137,7 @@ class ContinuousSealService:
                 "mean_wave": (self._n_requests / self._n_waves
                               if self._n_waves else 0.0),
                 "oom_splits": self._n_oom_splits,
+                "wave_cap": self._wave_cap,
                 "queue_depth": self._q.qsize()}
 
     def close(self):
@@ -183,7 +190,10 @@ class ContinuousSealService:
                     continue
                 wave = [first]
                 deadline = time.monotonic() + self.window
-                while len(wave) < self.max_batch:
+                # adaptive admission: after an OOM split, form waves at
+                # the size that actually fit (regrows after clean waves)
+                cap = min(self.max_batch, self._wave_cap or self.max_batch)
+                while len(wave) < cap:
                     remain = deadline - time.monotonic()
                     if remain <= 0:
                         break
@@ -276,6 +286,7 @@ class ContinuousSealService:
                     (recs,) = self._split_on_oom(
                         self._finish_tuple, wave, squared, predictions,
                         missing, srs, fls)
+                    self._note_wave_done()
                     for r, rec in zip(wave, recs):
                         r.future.set_result(rec)
             except BaseException as e:
@@ -344,6 +355,9 @@ class ContinuousSealService:
                 raise
             self._n_oom_splits += 1
             mid = (len(reqs) + 1) // 2
+            # admission feedback: form future waves at the size that fit
+            self._wave_cap = max(1, min(self._wave_cap or len(reqs), mid))
+            self._clean_at_cap = 0
             a = self._split_on_oom(stage, reqs[:mid],
                                    *[c[:mid] for c in cols])
             b = self._split_on_oom(stage, reqs[mid:],
@@ -353,6 +367,18 @@ class ContinuousSealService:
     def _finish_tuple(self, reqs, *cols):
         return (self._stage_finish(reqs, *cols),)
 
+    def _note_wave_done(self):
+        """Regrow a post-OOM wave cap after 32 clean waves (one doubling
+        at a time): transient pressure lifts, sustained pressure costs
+        one failed dispatch per ~32 waves."""
+        if self._wave_cap is None:
+            return
+        self._clean_at_cap += 1
+        if self._clean_at_cap >= 32:
+            self._clean_at_cap = 0
+            cap = self._wave_cap * 2
+            self._wave_cap = None if cap >= self.max_batch else cap
+
     def _process_wave(self, reqs: List[_Request]) -> List[Dict]:
         squared, predictions, missing = self._split_on_oom(
             self._stage_trigger, reqs)
@@ -361,6 +387,7 @@ class ContinuousSealService:
         (recs,) = self._split_on_oom(
             self._finish_tuple, reqs, squared, predictions, missing,
             search_results, failed)
+        self._note_wave_done()
         return recs
 
     def _stage_trigger(self, reqs: List[_Request]):
