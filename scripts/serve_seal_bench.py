@@ -85,7 +85,10 @@ def drive(service, reqs, conc):
             if i is None:
                 return
             img, q, opts = reqs[i]
-            recs[i] = service.answer(img, q, opts)
+            try:
+                recs[i] = service.answer(img, q, opts)
+            except Exception as e:  # a failed request must not kill the
+                recs[i] = e         # sweep's remaining operating points
             done_at[i] = time.perf_counter() - t0
 
     threads = [threading.Thread(target=worker) for _ in range(conc)]
@@ -94,17 +97,28 @@ def drive(service, reqs, conc):
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
-    lats = sorted(r["latency_s"] for r in recs)
+    ok = [r for r in recs if isinstance(r, dict)]
+    failed = len(reqs) - len(ok)
+    if failed:
+        first = next(r for r in recs if not isinstance(r, dict))
+        print(f"  [!] {failed}/{len(reqs)} requests failed "
+              f"({type(first).__name__}: {str(first)[:120]})", flush=True)
+    if not ok:
+        return {"req_per_s": 0.0, "p50_s": float("nan"),
+                "p90_s": float("nan"), "max_s": float("nan"),
+                "ttfr_s": float("nan"), "n": 0, "failed": failed}, recs
+    lats = sorted(r["latency_s"] for r in ok)
     return {
-        "req_per_s": len(reqs) / wall,
+        "req_per_s": len(ok) / wall,
         "p50_s": float(np.percentile(lats, 50)),
         "p90_s": float(np.percentile(lats, 90)),
         "max_s": lats[-1],
         # time-to-first-result: responses are whole records (no token
         # streaming), so the system-level TTFR is the first completion
         # under this offered load — the queue-ramp feel of the mode
-        "ttfr_s": min(done_at),
-        "n": len(reqs),
+        "ttfr_s": min(d for d in done_at if d is not None),
+        "n": len(ok),
+        "failed": failed,
     }, recs
 
 
@@ -173,9 +187,15 @@ def main():
     # latency, as a deployment would feel it); larger wave sizes trade
     # per-request latency for shared weight reads. VERDICT r4 #5: report
     # tails + TTFR per point so a deployment can pick an operating point.
+    def live_gb():
+        return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                   for x in jax.live_arrays()) / 1024 ** 3
+
     rows = []
     base_rps = None
     for b in args.batches:
+        print(f"[mem] live device arrays before max_batch={b}: "
+              f"{live_gb():.2f} GB", flush=True)
         svc = ContinuousSealService(vqa, vsm, max_batch=b,
                                     window_ms=args.window_ms, **svc_kw)
         # warm: compile this wave size end to end (trigger/search/MC)
@@ -185,6 +205,8 @@ def main():
         svc.close()
         stats["max_batch"] = b
         stats["mean_wave"] = st["mean_wave"]
+        stats["oom_splits"] = st.get("oom_splits", 0)
+        stats["wave_cap"] = st.get("wave_cap")
         if base_rps is None:
             base_rps = stats["req_per_s"]
         rows.append(stats)
@@ -193,7 +215,9 @@ def main():
               f"p50 {stats['p50_s']:.2f} p90 {stats['p90_s']:.2f} "
               f"max {stats['max_s']:.2f} s, ttfr {stats['ttfr_s']:.2f} s, "
               f"mean wave {stats['mean_wave']:.1f} "
-              f"(n={stats['n']}, conc={args.conc})", flush=True)
+              f"(n={stats['n']}, conc={args.conc}, "
+              f"oom_splits={stats['oom_splits']}, "
+              f"wave_cap={stats['wave_cap']})", flush=True)
     print("\nlatency-throughput table (offered conc "
           f"{args.conc}, window {args.window_ms} ms, n {args.n}/point; "
           "p90/max on n samples — treat max as the tail proxy):",

@@ -586,3 +586,42 @@ def test_oom_caps_future_wave_admission():
         assert svc.stats()["wave_cap"] == 4
     finally:
         svc.close()
+
+
+def test_service_bounds_engine_canvas_cache(monkeypatch):
+    """Serving bounds the VSM engine's retained-canvas LRU to its wave
+    size (fresh per-request images never hit across waves — stale
+    canvases are pure HBM pressure; r5 measured OOM)."""
+    class CapVSM(BatchedStubVSM):
+        def __init__(self):
+            super().__init__()
+            self.cap = None
+
+        def set_canvas_capacity(self, n):
+            self.cap = n
+
+    vsm = CapVSM()
+    import vstar_tpu.utils.hw as hw
+    monkeypatch.setattr(hw, "is_axon_relay", lambda: True)
+    svc = ContinuousSealService(RecordingVQA(), vsm, max_batch=8,
+                                window_ms=1.0)
+    svc.close()
+    assert vsm.cap == 9          # relay: one wave + one in-flight
+    monkeypatch.setattr(hw, "is_axon_relay", lambda: False)
+    svc = ContinuousSealService(RecordingVQA(), vsm, max_batch=8,
+                                window_ms=1.0)
+    svc.close()
+    assert vsm.cap == 16         # local prefetch: two waves overlap
+
+
+def test_engine_canvas_capacity_trims_immediately():
+    from vstar_tpu.search.batched import BatchedVSMEngine
+    eng = BatchedVSMEngine.__new__(BatchedVSMEngine)  # no params needed
+    import collections, threading as _t
+    eng._canvas_cache = collections.OrderedDict(
+        (i, (None, None)) for i in range(12))
+    eng._canvas_capacity = 16
+    eng._canvas_lock = _t.Lock()
+    eng.set_canvas_capacity(3)
+    assert len(eng._canvas_cache) == 3
+    assert list(eng._canvas_cache) == [9, 10, 11]   # LRU kept the newest

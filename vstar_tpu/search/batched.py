@@ -80,6 +80,18 @@ class BatchedVSMEngine(VSMEngine):
     def wants_patch_refs(self) -> bool:
         return self.device_preprocess
 
+    def set_canvas_capacity(self, n: int):
+        """Bound retained device canvases (~50 MB each at 2K f32) and
+        trim immediately. Serving sets this to its wave size + 1: fresh
+        per-request images never hit the LRU across waves, so retained
+        entries are pure HBM pressure there (measured r5: 16 stale
+        canvases + the co-resident mixed pair pushed max_batch=8 trigger
+        waves into ResourceExhausted)."""
+        with self._canvas_lock:
+            self._canvas_capacity = max(1, int(n))
+            while len(self._canvas_cache) > self._canvas_capacity:
+                self._canvas_cache.popitem(last=False)
+
     def _canvas_insert(self, key, dev, image):
         # caller holds _canvas_lock; entries hold the image ref, so
         # cached ids stay valid

@@ -1136,6 +1136,11 @@ class CompiledVSMSearch:
         getattr, so without the delegation the overlap silently no-ops)."""
         self.engine.prefetch_canvas(image)
 
+    def set_canvas_capacity(self, n: int):
+        """Delegate (one shared LRU: fused searches read canvases through
+        engine._canvas too)."""
+        self.engine.set_canvas_capacity(n)
+
     def _question_ids(self, question: str):
         from ..multimodal.tokenizer import tokenize_with_image
         eng = self.engine

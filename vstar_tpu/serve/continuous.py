@@ -72,6 +72,16 @@ class ContinuousSealService:
         self.search_kwargs = dict(search_kwargs or {})
         self.max_batch = max_batch
         self.window = window_ms / 1000.0
+        # serving images are fresh per request — canvases retained past
+        # the current wave are pure HBM pressure (see
+        # BatchedVSMEngine.set_canvas_capacity). Where admission-time
+        # prefetch is live (PCIe-local), the NEXT wave's uploads overlap
+        # the current one, so keep two waves' worth; on the relay
+        # prefetch auto-disables and one wave (+1 in-flight) suffices.
+        setcap = getattr(vsm_engine, "set_canvas_capacity", None)
+        if setcap is not None:
+            from ..utils.hw import is_axon_relay
+            setcap(max_batch + 1 if is_axon_relay() else 2 * max_batch)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._n_waves = 0
