@@ -192,3 +192,29 @@ def test_demo_four_outputs(tmp_path):
     ex = load_examples(str(tmp_path))
     assert ex and ex[0][1].endswith("a.jpg")
     assert load_examples(None) is None
+
+
+def test_demo_server_flag_parity():
+    """The demo CLI reaches every engine residency/optimization mode the
+    server has (add_engine_flags is the single source): --mixed, --int4,
+    --compiled, --warmup, --mesh, --kv-int8, --prompt-lookup,
+    --compile-cache all parse identically on both parsers."""
+    import argparse
+    from vstar_tpu.serve.server import add_engine_flags
+
+    sp, dp = argparse.ArgumentParser(), argparse.ArgumentParser()
+    add_engine_flags(sp)
+    add_engine_flags(dp)
+    argv = ["--mixed", "--int4", "--compiled", "--warmup",
+            "--kv-int8", "--prompt-lookup", "--mesh", "1x4x1",
+            "--device-preprocess", "--compile-cache", "/tmp/cc",
+            "--vqa-model-path", "p1", "--vsm-model-path", "p2"]
+    s, d = sp.parse_args(argv), dp.parse_args(argv)
+    assert vars(s) == vars(d)
+    assert s.mixed and s.int4 and s.compiled and s.warmup
+    assert s.kv_int8 and s.prompt_lookup and s.device_preprocess
+    assert s.mesh == "1x4x1" and s.compile_cache == "/tmp/cc"
+    # bare invocation: every opt-in defaults off, int8 stays tri-state
+    bare = sp.parse_args([])
+    assert not (bare.mixed or bare.int4 or bare.compiled or bare.warmup)
+    assert bare.int8 is None

@@ -129,16 +129,17 @@ def launch_gradio(service: SealService,
 
 
 def main():
+    from .server import add_engine_flags, engines_from_flags
     p = argparse.ArgumentParser("seal demo")
-    p.add_argument("--vqa-model-path", default="craigwu/seal_vqa_7b")
-    p.add_argument("--vsm-model-path", default="craigwu/seal_vsm_7b")
+    add_engine_flags(p)
     p.add_argument("--examples-dir", default=None,
                    help="directory of example images (+ optional "
                         "examples.json [[question, file], ...]) for the "
                         "gradio gallery")
     args = p.parse_args()
-    from ..eval.vstar_bench import load_engines
-    vqa, vsm = load_engines(args.vqa_model_path, args.vsm_model_path)
+    # same residency modes as the server: --mixed / --int4 put the whole
+    # pair on one chip, --warmup pre-compiles before the first question
+    vqa, vsm = engines_from_flags(args)
     service = SealService(vqa, vsm)
     try:
         import gradio  # noqa: F401

@@ -133,17 +133,13 @@ def serve(service: SealService, host: str = "0.0.0.0", port: int = 8080):
     httpd.serve_forever()
 
 
-def main():
-    import argparse
-    p = argparse.ArgumentParser("seal serving")
+def add_engine_flags(p):
+    """Engine residency/optimization flags shared by every serving CLI
+    (server + demo — VERDICT r4 #7's principle applied to the CLIs: the
+    interactive demo must reach the same single-chip residency modes as
+    the server)."""
     p.add_argument("--vqa-model-path", default="craigwu/seal_vqa_7b")
     p.add_argument("--vsm-model-path", default="craigwu/seal_vsm_7b")
-    p.add_argument("--port", default=8080, type=int)
-    p.add_argument("--continuous", action="store_true",
-                   help="continuous request batching: concurrent requests "
-                        "co-batch on device instead of serializing")
-    p.add_argument("--max-batch", default=8, type=int)
-    p.add_argument("--window-ms", default=8.0, type=float)
     p.add_argument("--device-preprocess", action="store_true",
                    default=False,
                    help="extract search patches on device (one canvas "
@@ -197,7 +193,12 @@ def main():
                         "recompiling (--warmup becomes IO-bound). "
                         "Unvalidated on the axon relay; harmless if the "
                         "backend skips it (core/compile_cache.py)")
-    args = p.parse_args()
+
+
+def engines_from_flags(args, max_batch: int = 1):
+    """Resolve add_engine_flags() args into a loaded (vqa, vsm) pair —
+    vsm is a CompiledVSMSearch when --compiled. max_batch sizes the
+    warmup's batch buckets (waves pad UP to the covering bucket)."""
     if args.compile_cache:
         from ..core.compile_cache import enable_compile_cache
         enable_compile_cache(args.compile_cache)
@@ -215,13 +216,14 @@ def main():
                           mesh=mesh, int8=args.int8,
                           kv_int8=args.kv_int8,
                           int4=args.int4 or args.mixed)
+    sizes = []
     if args.warmup:
         from ..eval.vqa_engine import warmup_vqa_engine
         from ..search.batched import warmup_vsm_engine
         # warm exactly the batch buckets traffic can form: waves pad UP
-        # to the bucket covering --max-batch
+        # to the bucket covering max_batch
         from ..search.batched import _batch_bucket
-        top = _batch_bucket(max(args.max_batch, 1))
+        top = _batch_bucket(max(max_batch, 1))
         bbs = tuple(b for b in (1, 2, 4, 8, 16) if b <= top)
         warmup_vqa_engine(vqa, batch_buckets=bbs)
         # cover the common canvas buckets (512-multiples) up to 2K — BOTH
@@ -239,6 +241,21 @@ def main():
         if args.warmup:
             warmup_compiled(comp, canvas_sizes=tuple(sizes))
         vsm = comp
+    return vqa, vsm
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser("seal serving")
+    add_engine_flags(p)
+    p.add_argument("--port", default=8080, type=int)
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous request batching: concurrent requests "
+                        "co-batch on device instead of serializing")
+    p.add_argument("--max-batch", default=8, type=int)
+    p.add_argument("--window-ms", default=8.0, type=float)
+    args = p.parse_args()
+    vqa, vsm = engines_from_flags(args, max_batch=args.max_batch)
     if args.continuous:
         from .continuous import ContinuousSealService
         service = ContinuousSealService(vqa, vsm, max_batch=args.max_batch,
