@@ -60,8 +60,7 @@ def main():
                          "peak on the 16 GB chip")
     args = ap.parse_args()
     cfg = vqa_llm_7b()
-    vqa_quant = True if args.pair == "mixed" else (
-        "int4" if args.pair == "int4" else True)
+    vqa_quant = "int4" if args.pair == "int4" else True
     params = init_vqa_llm_params(jax.random.PRNGKey(0), cfg,
                                  dtype=jnp.bfloat16,
                                  quantize_llm=vqa_quant)

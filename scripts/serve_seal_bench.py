@@ -114,9 +114,11 @@ def drive(service, reqs, conc):
         "p90_s": float(np.percentile(lats, 90)),
         "max_s": lats[-1],
         # time-to-first-result: responses are whole records (no token
-        # streaming), so the system-level TTFR is the first completion
-        # under this offered load — the queue-ramp feel of the mode
-        "ttfr_s": min(d for d in done_at if d is not None),
+        # streaming), so the system-level TTFR is the first SUCCESSFUL
+        # completion under this offered load — the queue-ramp feel of
+        # the mode (a fast failure is not a result)
+        "ttfr_s": min(d for d, r in zip(done_at, recs)
+                      if d is not None and isinstance(r, dict)),
         "n": len(ok),
         "failed": failed,
     }, recs
@@ -210,8 +212,10 @@ def main():
         if base_rps is None:
             base_rps = stats["req_per_s"]
         rows.append(stats)
+        speedup = (stats["req_per_s"] / base_rps if base_rps
+                   else float("nan"))   # all-failed first point
         print(f"max_batch={b}: {stats['req_per_s']:5.3f} req/s "
-              f"({stats['req_per_s'] / base_rps:.2f}x), "
+              f"({speedup:.2f}x), "
               f"p50 {stats['p50_s']:.2f} p90 {stats['p90_s']:.2f} "
               f"max {stats['max_s']:.2f} s, ttfr {stats['ttfr_s']:.2f} s, "
               f"mean wave {stats['mean_wave']:.1f} "

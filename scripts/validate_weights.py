@@ -158,6 +158,11 @@ def main():
             img, "red rectangle")
         print(f"[search/compiled] found={cfound} path_len={cn} "
               f"bbox={None if cstep is None else cstep.bbox}")
+        # vsm_dp shares vsm.params; drop its reference (and canvas
+        # cache) so freeing vsm later actually releases the HBM
+        vsm_dp.params = None
+        vsm_dp._canvas_cache.clear()
+        del vsm_dp
 
     if args.sweep and vqa is not None and vsm is not None:
         # one command -> the whole opt-in gate table (needs both 7B
@@ -213,8 +218,18 @@ def main():
         import json
 
         from vstar_tpu.eval.flag_matrix import run_runner_matrix
+        from vstar_tpu.eval.phased import free_engine
         from vstar_tpu.eval.vstar_bench import (load_vqa_engine,
                                                 load_vsm_engine)
+
+        # drop the smoke-check pair before the sweep: its ~15 GB of int8
+        # weights would leave the residency cells no chip to measure
+        # (vsm_dp shares vsm.params — freeing vsm covers it)
+        if vqa is not None:
+            free_engine(vqa)
+        if vsm is not None:
+            free_engine(vsm)
+        vqa = vsm = None
 
         # zero-arg factories re-reading the checkpoint: exactly what a
         # production phase swap pays (the parked cell then measures the

@@ -10,6 +10,12 @@ import os
 # Force CPU even if the session env points at a TPU platform: unit tests
 # validate numerics (full f32) and virtual-mesh sharding, not TPU perf.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The CPU test run is NOT the relay, even when the session env carries
+# the relay marker — relay-gated behavior (prefetch disable, canvas-LRU
+# sizing, parked-cell skip) must default to the non-relay path here;
+# tests that exercise the relay gates set the marker / monkeypatch
+# is_axon_relay explicitly (test_compiled_fused.py, test_continuous.py).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -581,8 +581,14 @@ def test_oom_caps_future_wave_admission():
         assert svc.stats()["oom_splits"] <= splits_after_first + 1
         assert svc.stats()["wave_cap"] == 2
 
-        for i in range(32):                  # 32 clean waves regrow 2->4
-            go(f"regrow{i}")
+        # regrowth needs 32 clean CAP-SIZED waves: sub-cap waves are no
+        # evidence the cap fits (a size-1 trickle must never regrow a
+        # cap that a burst just proved too big)
+        for i in range(8):
+            go(f"trickle{i}")
+        assert svc.stats()["wave_cap"] == 2
+        for i in range(32):                  # 32 clean size-2 waves: 2->4
+            burst((f"regrow{i}a", f"regrow{i}b"))
         assert svc.stats()["wave_cap"] == 4
     finally:
         svc.close()

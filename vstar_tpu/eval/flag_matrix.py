@@ -237,8 +237,21 @@ def run_runner_matrix(benchmark_folder: str,
         return row
 
     base = cell("phased", vqa_factory, vsm_factory, False)
-    cell("parked", parked_factory(vqa_factory), parked_factory(vsm_factory),
-         False)
+    from ..utils.hw import is_axon_relay
+    if is_axon_relay():
+        # parked_factory's park step is a device->host fetch of the full
+        # 7B pytree — ~70 KB/s through the relay (hours, no error). Its
+        # own contract forbids it there; skip with an annotated row
+        # rather than wedging the day-one sweep.
+        row = {"cell": "parked", "coresident": False,
+               "skipped": "axon relay: device->host param fetch is "
+                          "~70 KB/s (parked_factory docstring)"}
+        rows.append(row)
+        if log:
+            log(f"[runner] parked: skipped={row['skipped']}")
+    else:
+        cell("parked", parked_factory(vqa_factory),
+             parked_factory(vsm_factory), False)
     if coresident_factories is not None:
         cell("coresident", coresident_factories[0],
              coresident_factories[1], True)

@@ -283,6 +283,7 @@ class ContinuousSealService:
                         "ContinuousSealService closed"))
                     continue
                 if kind == "trigger":
+                    splits0 = self._n_oom_splits
                     squared, predictions, missing = self._split_on_oom(
                         self._stage_trigger, wave)
                     if self._stop.is_set():
@@ -290,13 +291,14 @@ class ContinuousSealService:
                             "ContinuousSealService closed"))
                         continue
                     self._s_search.put((wave, squared, predictions,
-                                        missing))
+                                        missing, splits0))
                 else:
-                    _, squared, predictions, missing, srs, fls = item
+                    _, squared, predictions, missing, srs, fls, splits0 \
+                        = item
                     (recs,) = self._split_on_oom(
                         self._finish_tuple, wave, squared, predictions,
                         missing, srs, fls)
-                    self._note_wave_done()
+                    self._note_wave_done(len(wave), splits0)
                     for r, rec in zip(wave, recs):
                         r.future.set_result(rec)
             except BaseException as e:
@@ -310,7 +312,7 @@ class ContinuousSealService:
                 item = self._s_search.get(timeout=0.05)
             except queue.Empty:
                 continue
-            wave, squared, predictions, missing = item
+            wave, squared, predictions, missing, splits0 = item
             try:
                 if self._stop.is_set():
                     self._fail_wave(wave, RuntimeError(
@@ -323,7 +325,7 @@ class ContinuousSealService:
                         "ContinuousSealService closed"))
                     continue
                 self._s_finish.put((wave, squared, predictions, missing,
-                                    srs, fls))
+                                    srs, fls, splits0))
             except BaseException as e:
                 self._fail_wave(wave, e)
                 if not isinstance(e, Exception):
@@ -377,11 +379,17 @@ class ContinuousSealService:
     def _finish_tuple(self, reqs, *cols):
         return (self._stage_finish(reqs, *cols),)
 
-    def _note_wave_done(self):
-        """Regrow a post-OOM wave cap after 32 clean waves (one doubling
-        at a time): transient pressure lifts, sustained pressure costs
-        one failed dispatch per ~32 waves."""
+    def _note_wave_done(self, wave_size: int, splits_before: int):
+        """Regrow a post-OOM wave cap after 32 clean CAP-SIZED waves (one
+        doubling at a time): transient pressure lifts, sustained pressure
+        costs one failed dispatch per ~32 waves. Only waves that (a)
+        actually reached the cap size and (b) dispatched without
+        splitting are evidence the cap fits — sub-cap waves say nothing
+        about it, and the wave whose own OOM set the cap must not count
+        as its first clean success."""
         if self._wave_cap is None:
+            return
+        if wave_size < self._wave_cap or self._n_oom_splits != splits_before:
             return
         self._clean_at_cap += 1
         if self._clean_at_cap >= 32:
@@ -390,6 +398,7 @@ class ContinuousSealService:
             self._wave_cap = None if cap >= self.max_batch else cap
 
     def _process_wave(self, reqs: List[_Request]) -> List[Dict]:
+        splits0 = self._n_oom_splits
         squared, predictions, missing = self._split_on_oom(
             self._stage_trigger, reqs)
         search_results, failed = self._split_on_oom(
@@ -397,7 +406,7 @@ class ContinuousSealService:
         (recs,) = self._split_on_oom(
             self._finish_tuple, reqs, squared, predictions, missing,
             search_results, failed)
-        self._note_wave_done()
+        self._note_wave_done(len(reqs), splits0)
         return recs
 
     def _stage_trigger(self, reqs: List[_Request]):

@@ -202,11 +202,23 @@ def engines_from_flags(args, max_batch: int = 1):
     if args.compile_cache:
         from ..core.compile_cache import enable_compile_cache
         enable_compile_cache(args.compile_cache)
+    import jax
+
     from ..eval.vstar_bench import (load_vqa_engine, load_vsm_engine,
                                     resolve_mesh)
     mesh = resolve_mesh(args.mesh)
+    # default placement matches load_engines: without a mesh or a
+    # co-resident quantization (--int4/--mixed), the int8 7B pair does
+    # NOT fit one 16 GB chip — auto-split VQA -> chip 0 / VSM -> chip 1
+    # when two un-meshed TPU chips exist
+    devs = jax.devices()
+    split = (mesh is None and not (args.int4 or args.mixed)
+             and len(devs) >= 2 and devs[0].platform == "tpu")
+    d_vqa = devs[0] if split else None
+    d_vsm = devs[1] if split else None
     vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh,
                           int8=True if args.mixed else args.int8,
+                          device=d_vqa,
                           kv_int8=args.kv_int8,
                           prompt_lookup=args.prompt_lookup,
                           int4=args.int4 and not args.mixed)
@@ -214,6 +226,7 @@ def engines_from_flags(args, max_batch: int = 1):
                           device_preprocess=args.device_preprocess
                           or args.compiled,
                           mesh=mesh, int8=args.int8,
+                          device=d_vsm,
                           kv_int8=args.kv_int8,
                           int4=args.int4 or args.mixed)
     sizes = []
