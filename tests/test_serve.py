@@ -218,3 +218,35 @@ def test_demo_server_flag_parity():
     bare = sp.parse_args([])
     assert not (bare.mixed or bare.int4 or bare.compiled or bare.warmup)
     assert bare.int8 is None
+
+
+def test_random_init_tiny_serving_stack():
+    """--random-init runs the FULL serving stack checkpoint-free: real
+    tiny models with random weights + the stub tokenizer, through the
+    continuous service with a forced search — trigger decode, compiled
+    guided search, focused answer all execute end to end."""
+    import argparse
+
+    from vstar_tpu.serve.continuous import ContinuousSealService
+    from vstar_tpu.serve.server import add_engine_flags, engines_from_flags
+
+    p = argparse.ArgumentParser()
+    add_engine_flags(p)
+    args = p.parse_args(["--random-init", "tiny", "--compiled"])
+    vqa, vsm = engines_from_flags(args)
+    svc = ContinuousSealService(vqa, vsm, max_batch=2, window_ms=20.0,
+                                max_search_steps=2,
+                                missing_parser=lambda pred: ["cat"])
+    try:
+        img = Image.fromarray(np.random.RandomState(0).randint(
+            0, 255, (64, 96, 3), np.uint8))
+        rec = svc.answer(img, "what color is the cat?", ["red", "blue"])
+    finally:
+        svc.close()
+    assert "error" not in rec
+    assert rec["missing_objects"] == ["cat"]
+    # options were supplied -> the MC record schema
+    assert isinstance(rec["prediction_freeform"], str)
+    assert rec["option_chosen"] in (0, 1)
+    # the search ran: it either located the target or recorded the miss
+    assert "search_result" in rec

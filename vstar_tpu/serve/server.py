@@ -140,6 +140,15 @@ def add_engine_flags(p):
     the server)."""
     p.add_argument("--vqa-model-path", default="craigwu/seal_vqa_7b")
     p.add_argument("--vsm-model-path", default="craigwu/seal_vsm_7b")
+    p.add_argument("--random-init", choices=["tiny", "7b"], default=None,
+                   help="checkpoint-free mode: randomly initialized "
+                        "models + the stub tokenizer instead of the "
+                        "model paths — answers are meaningless but the "
+                        "FULL serving stack (trigger decode, guided "
+                        "search, option scoring, batching) runs end to "
+                        "end; 'tiny' smokes on CPU in seconds, '7b' is "
+                        "the benchmark-scale pair (what bench.py "
+                        "measures)")
     p.add_argument("--device-preprocess", action="store_true",
                    default=False,
                    help="extract search patches on device (one canvas "
@@ -195,6 +204,59 @@ def add_engine_flags(p):
                         "backend skips it (core/compile_cache.py)")
 
 
+def _random_init_engines(args):
+    """Checkpoint-free engines for --random-init: real model graphs +
+    random weights + the stub tokenizer (what every end-to-end benchmark
+    drives). Honors --mixed/--int4 quantization at 7b scale; tiny stays
+    unquantized f32 (a CPU smoke of the serving stack)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import vqa_llm_7b, vqa_llm_tiny, vsm_7b, vsm_tiny
+    from ..eval.vqa_engine import VQAEngine
+    from ..models.vqa_llm import init_vqa_llm_params
+    from ..models.vsm import init_vsm_params
+    from ..multimodal.stub_tokenizer import StubTokenizer
+    from ..search.batched import BatchedVSMEngine
+
+    tiny = args.random_init == "tiny"
+    vqa_cfg = vqa_llm_tiny() if tiny else vqa_llm_7b()
+    vsm_cfg = vsm_tiny() if tiny else vsm_7b()
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    vqa_quant = (False if tiny
+                 else True if args.mixed
+                 else "int4" if args.int4 else args.int8 is not False)
+    vsm_quant = (False if tiny
+                 else "int4" if (args.int4 or args.mixed)
+                 else args.int8 is not False)
+    tok = StubTokenizer(vqa_cfg.llama.vocab_size)
+    vqa_params = init_vqa_llm_params(jax.random.PRNGKey(0), vqa_cfg,
+                                     dtype=dtype, quantize_llm=vqa_quant)
+    vsm_params = init_vsm_params(jax.random.PRNGKey(1), vsm_cfg,
+                                 dtype=dtype, quantize_llm=vsm_quant)
+    if args.mixed:
+        from ..nn.quant import quantize_model_towers
+        vqa_params = quantize_model_towers(vqa_params)
+        vsm_params = quantize_model_towers(vsm_params)
+    vqa = VQAEngine(vqa_params, vqa_cfg, tok,
+                    prompt_buckets=(64,) if tiny else (512, 768),
+                    option_bucket=16 if tiny else 64,
+                    compute_dtype=dtype,
+                    kv_int8=args.kv_int8, prompt_lookup=args.prompt_lookup)
+    vsm = BatchedVSMEngine(vsm_params, vsm_cfg, tok, loc_token_id=3,
+                           eos_id=2, max_new_tokens=4 if tiny else 16,
+                           prompt_buckets=(64,) if tiny else (384,),
+                           compute_dtype=dtype,
+                           device_preprocess=args.device_preprocess
+                           or args.compiled,
+                           kv_int8=args.kv_int8,
+                           speculative_template=None)
+    if args.compiled:
+        from ..search.compiled import CompiledVSMSearch
+        vsm = CompiledVSMSearch(vsm)
+    return vqa, vsm
+
+
 def engines_from_flags(args, max_batch: int = 1):
     """Resolve add_engine_flags() args into a loaded (vqa, vsm) pair —
     vsm is a CompiledVSMSearch when --compiled. max_batch sizes the
@@ -202,6 +264,8 @@ def engines_from_flags(args, max_batch: int = 1):
     if args.compile_cache:
         from ..core.compile_cache import enable_compile_cache
         enable_compile_cache(args.compile_cache)
+    if getattr(args, "random_init", None):
+        return _random_init_engines(args)
     import jax
 
     from ..eval.vstar_bench import (load_vqa_engine, load_vsm_engine,
