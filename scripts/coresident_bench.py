@@ -57,6 +57,13 @@ def main():
                          "co-resident wall, so int8 searches + int4 "
                          "trigger/MC is the competing point; probe HBM "
                          "first (scripts/hbm_probe --pair mixed)")
+    ap.add_argument("--vsm-quant", choices=["int4", "int4mix"],
+                    default="int4",
+                    help="precision of the int4-side VSM decoder: "
+                         "'int4mix' upgrades qkvo+down to int8 per the "
+                         "measured kernel truth table (+1.8 GB, faster "
+                         "search decode) — probe HBM first "
+                         "(hbm_probe --pair mixed --vsm-quant int4mix)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--n", type=int, default=12,
                     help="synthetic benchmark images")
@@ -74,7 +81,7 @@ def main():
 
     # True = per-channel int8; the mixed split gives int8 to one decoder
     vqa_quant = True if args.mixed == "vqa" else "int4"
-    vsm_quant = True if args.mixed == "vsm" else "int4"
+    vsm_quant = True if args.mixed == "vsm" else args.vsm_quant
 
     def vqa_factory():
         t0 = time.perf_counter()

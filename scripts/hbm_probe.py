@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--prompt-lookup", action="store_true", default=False)
     ap.add_argument("--batches", type=int, nargs="+", default=[4, 8],
                     help="wave sizes to analyze")
+    ap.add_argument("--vsm-quant", choices=["int4", "int4mix"],
+                    default="int4",
+                    help="resident VSM decoder precision for --pair: "
+                         "'int4mix' is the per-matrix int8/int4 split "
+                         "(nn/quant.INT4MIX_INT4_KEYS, +1.8 GB)")
     ap.add_argument("--pair", choices=["int4", "mixed"], default=None,
                     help="co-residency accounting: also init a resident "
                          "int4 VSM 7B (and for 'mixed' an int8 VQA "
@@ -73,7 +78,7 @@ def main():
             params = quantize_model_towers(params)
         vsm_params = init_vsm_params(jax.random.PRNGKey(1), vsm_7b(),
                                      dtype=jnp.bfloat16,
-                                     quantize_llm="int4")
+                                     quantize_llm=args.vsm_quant)
         if args.pair == "mixed":
             from vstar_tpu.nn.quant import quantize_model_towers
             vsm_params = quantize_model_towers(vsm_params)

@@ -158,8 +158,19 @@ def main():
                     jnp.float32(1.0))
     finally:
         set_act_int8(False)
+    del p4
+    # int4mix: per-matrix int4/int8 from the measured truth table
+    # (nn/quant.INT4MIX_INT4_KEYS) — the residency/speed middle point
+    pm = init_vsm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
+                         quantize_llm="int4mix")
+    dm = timed("llama decode 1 tok (int4mix)", make_decode(pm),
+               jnp.float32(1.0))
+    fm = timed("llama prefill 384  (int4mix)", make_prefill(pm),
+               jnp.float32(1.0))
     print(f"decode speedup int4/int8: {d8 / d4:.2f}x; "
-          f"W4A8/int8: {d8 / d48:.2f}x; prefill ratio: {f8 / f4:.2f}x",
+          f"W4A8/int8: {d8 / d48:.2f}x; int4mix/int8: {d8 / dm:.2f}x; "
+          f"int4mix/int4: {d4 / dm:.2f}x; "
+          f"prefill ratios int4 {f8 / f4:.2f}x, int4mix {f8 / fm:.2f}x",
           flush=True)
 
 

@@ -140,6 +140,14 @@ def main():
                          "decode and MC scoring on every request run at "
                          "int8 speed, only the search pays the int4 "
                          "kernels (scripts/coresident_bench.py --mixed)")
+    ap.add_argument("--vsm-quant", choices=["int4", "int4mix"],
+                    default="int4",
+                    help="VSM decoder precision: 'int4mix' (per-matrix "
+                         "int4/int8, nn/quant.INT4MIX_INT4_KEYS) decodes "
+                         "searches 1.30x faster but the +1.8 GB pair "
+                         "only has headroom for max_batch<=2 waves "
+                         "(B>=4 free-form temps overflow 16 GB — "
+                         "measured; the latency operating points)")
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
 
@@ -151,7 +159,7 @@ def main():
         quantize_llm=True if args.mixed else "int4"))
     vsm_params = _sync(init_vsm_params(
         jax.random.PRNGKey(1), vsm_cfg, dtype=jnp.bfloat16,
-        quantize_llm="int4"))
+        quantize_llm=args.vsm_quant))
     if args.mixed:
         from vstar_tpu.nn.quant import quantize_model_towers
         vqa_params = quantize_model_towers(vqa_params)

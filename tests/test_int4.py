@@ -169,6 +169,43 @@ def test_importer_int4_roundtrip():
                                   np.asarray(refh["q4"]))
 
 
+def test_int4mix_init_import_and_forward():
+    """quantize='int4mix' builds the per-matrix split recipe (int8 qkvo +
+    down, int4 gate/up + lm_head — nn/quant.INT4MIX_INT4_KEYS), the HF
+    importer emits the same split, and the forward runs end to end on the
+    XLA fallback paths (CPU) with finite outputs."""
+    from vstar_tpu.core.config import LlamaConfig
+    from vstar_tpu.core.hf_export import llama_state_dict
+    from vstar_tpu.core.hf_import import llama_params_from_torch
+    from vstar_tpu.nn.llama import (embed_tokens, init_llama_params,
+                                    llama_forward, lm_logits)
+    cfg = LlamaConfig(num_layers=2, hidden_size=256, intermediate_size=512,
+                      num_heads=4, num_kv_heads=4, head_dim=64,
+                      vocab_size=128)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg,
+                               dtype=jnp.bfloat16, quantize="int4mix")
+    for k in ("wq", "wk", "wv", "wo"):
+        assert set(params["layers"]["attn"][k].keys()) == {"q", "s"}, k
+    assert set(params["layers"]["mlp"]["w_down"].keys()) == {"q", "s"}
+    for k in ("w_gate", "w_up"):
+        assert set(params["layers"]["mlp"][k].keys()) == {"q4", "s4"}, k
+    assert set(params["lm_head"].keys()) == {"q4", "s4"}
+    ids = jnp.ones((1, 8), jnp.int32)
+    h = embed_tokens(params, ids, jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(8), (1, 8))
+    hidden, _ = llama_forward(params, cfg, h, pos,
+                              jnp.full((1,), 8, jnp.int32))
+    logits = lm_logits(params, hidden)
+    assert bool(jnp.isfinite(logits.astype(jnp.float32)).all())
+    # importer: same split from a torch state_dict
+    base = init_llama_params(jax.random.PRNGKey(5), cfg)
+    q = llama_params_from_torch(llama_state_dict(base), cfg,
+                                quantize="int4mix")
+    assert set(q["layers"]["attn"]["wq"].keys()) == {"q", "s"}
+    assert set(q["layers"]["mlp"]["w_gate"].keys()) == {"q4", "s4"}
+    assert set(q["lm_head"].keys()) == {"q4", "s4"}
+
+
 def test_int4_llama_init_and_forward():
     """quantize='int4' builds a decoder whose forward runs end to end on
     the XLA fallback path (CPU) with finite outputs."""

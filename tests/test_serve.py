@@ -205,18 +205,19 @@ def test_demo_server_flag_parity():
     sp, dp = argparse.ArgumentParser(), argparse.ArgumentParser()
     add_engine_flags(sp)
     add_engine_flags(dp)
-    argv = ["--mixed", "--int4", "--compiled", "--warmup",
+    argv = ["--mixed", "--int4", "--int4mix", "--compiled", "--warmup",
             "--kv-int8", "--prompt-lookup", "--mesh", "1x4x1",
             "--device-preprocess", "--compile-cache", "/tmp/cc",
             "--vqa-model-path", "p1", "--vsm-model-path", "p2"]
     s, d = sp.parse_args(argv), dp.parse_args(argv)
     assert vars(s) == vars(d)
-    assert s.mixed and s.int4 and s.compiled and s.warmup
+    assert s.mixed and s.int4 and s.int4mix and s.compiled and s.warmup
     assert s.kv_int8 and s.prompt_lookup and s.device_preprocess
     assert s.mesh == "1x4x1" and s.compile_cache == "/tmp/cc"
     # bare invocation: every opt-in defaults off, int8 stays tri-state
     bare = sp.parse_args([])
-    assert not (bare.mixed or bare.int4 or bare.compiled or bare.warmup)
+    assert not (bare.mixed or bare.int4 or bare.int4mix
+                or bare.compiled or bare.warmup)
     assert bare.int8 is None
 
 

@@ -55,15 +55,21 @@ def llama_params_from_torch(sd: Mapping, cfg: LlamaConfig,
     — the full bf16 decoder (~13.4 GB at 7B) never sits in HBM.
     quantize='int4': group-128 symmetric int4 (kernels/int4_matmul.py
     serves it on TPU), same host-side discipline, ~3.4 GB at 7B.
+    quantize='int4mix': int4/int8 per matrix by the measured kernel
+    truth table (nn/quant.INT4MIX_INT4_KEYS) — int8 qkvo + down,
+    int4 gate/up + lm_head.
     """
-    def stack_lin(fmt):
-        if quantize == "int4":
+    from ..nn.quant import resolve_matrix_quant
+
+    def stack_lin(fmt, name):
+        q = resolve_matrix_quant(quantize, name)
+        if q == "int4":
             from ..nn.quant import quantize_weight_int4_np
             qs = [quantize_weight_int4_np(_lin(sd, fmt.format(i)))
                   for i in range(cfg.num_layers)]
             return {"q4": jnp.asarray(np.stack([e["q4"] for e in qs])),
                     "s4": jnp.asarray(np.stack([e["s4"] for e in qs]))}
-        if quantize:
+        if q:
             from ..nn.quant import quantize_weight_np
             qs, ss = [], []
             for i in range(cfg.num_layers):
@@ -87,22 +93,25 @@ def llama_params_from_torch(sd: Mapping, cfg: LlamaConfig,
         "post_norm": {"scale": stack_vec(
             "model.layers.{}.post_attention_layernorm.weight")},
         "attn": {
-            "wq": stack_lin("model.layers.{}.self_attn.q_proj.weight"),
-            "wk": stack_lin("model.layers.{}.self_attn.k_proj.weight"),
-            "wv": stack_lin("model.layers.{}.self_attn.v_proj.weight"),
-            "wo": stack_lin("model.layers.{}.self_attn.o_proj.weight"),
+            "wq": stack_lin("model.layers.{}.self_attn.q_proj.weight", "wq"),
+            "wk": stack_lin("model.layers.{}.self_attn.k_proj.weight", "wk"),
+            "wv": stack_lin("model.layers.{}.self_attn.v_proj.weight", "wv"),
+            "wo": stack_lin("model.layers.{}.self_attn.o_proj.weight", "wo"),
         },
         "mlp": {
-            "w_gate": stack_lin("model.layers.{}.mlp.gate_proj.weight"),
-            "w_up": stack_lin("model.layers.{}.mlp.up_proj.weight"),
-            "w_down": stack_lin("model.layers.{}.mlp.down_proj.weight"),
+            "w_gate": stack_lin("model.layers.{}.mlp.gate_proj.weight",
+                                "w_gate"),
+            "w_up": stack_lin("model.layers.{}.mlp.up_proj.weight", "w_up"),
+            "w_down": stack_lin("model.layers.{}.mlp.down_proj.weight",
+                                "w_down"),
         },
     }
-    if quantize == "int4":
+    lm_q = resolve_matrix_quant(quantize, "lm_head")
+    if lm_q == "int4":
         from ..nn.quant import quantize_weight_int4_np
         e = quantize_weight_int4_np(_lin(sd, "lm_head.weight"))
         lm_head = {"q4": jnp.asarray(e["q4"]), "s4": jnp.asarray(e["s4"])}
-    elif quantize:
+    elif lm_q:
         from ..nn.quant import quantize_weight_np
         e = quantize_weight_np(_lin(sd, "lm_head.weight"))
         lm_head = {"q": jnp.asarray(e["q"]), "s": jnp.asarray(e["s"])}

@@ -43,7 +43,9 @@ def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
     like the reference's from_pretrained path (builder.py:26-151).
     int4: group-128 int4 decoder weights (Pallas fused-dequant kernel;
     halves decode weight reads AND lets the SEAL pair share one chip —
-    accuracy opt-in like W8A8); towers stay int8."""
+    accuracy opt-in like W8A8); towers stay int8. Pass the string
+    'int4mix' for the per-matrix int4/int8 split (nn/quant
+    .INT4MIX_INT4_KEYS: 1.30x faster decode than int4 for +1.8 GB)."""
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
@@ -58,7 +60,8 @@ def load_vqa_engine(vqa_model_path: str, conv_type: str = "v1", mesh=None,
     use_int8 = _auto_int8(int8, mesh)
     vqa_params = vqa_llm_params_from_torch(
         vqa_sd, vqa_cfg, dtype=jnp.bfloat16,
-        quantize_llm="int4" if int4 else use_int8)
+        quantize_llm=(int4 if isinstance(int4, str) else "int4")
+        if int4 else use_int8)
     if use_int8 or int4:
         from ..nn.quant import quantize_model_towers
         vqa_params = quantize_model_towers(vqa_params)
@@ -92,7 +95,8 @@ def load_vsm_engine(vsm_model_path: str, device_preprocess: bool = False,
     use_int8 = _auto_int8(int8, mesh)
     vsm_params = vsm_params_from_torch(
         vsm_sd, vsm_cfg, dtype=jnp.bfloat16,
-        quantize_llm="int4" if int4 else use_int8)
+        quantize_llm=(int4 if isinstance(int4, str) else "int4")
+        if int4 else use_int8)
     if use_int8 or int4:
         from ..nn.quant import quantize_model_towers
         vsm_params = quantize_model_towers(vsm_params)
@@ -168,8 +172,13 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
         # --mixed (r5): int8 VQA decoder + int4 VSM co-residency — the
         # measured-best single-chip pair split (0.796 vs 0.698 images/s
         # all-int4, same session; the reverse split OOMs at B=8 — the
-        # VSM's extra towers push the int8 side past 16 GB)
-        mixed = getattr(args, "mixed", False)
+        # VSM's extra towers push the int8 side past 16 GB).
+        # --int4mix upgrades the int4 side to the per-matrix int4/int8
+        # split (alone it implies --mixed — its intended pairing)
+        int4mix = getattr(args, "int4mix", False)
+        mixed = getattr(args, "mixed", False) or (
+            int4mix and not getattr(args, "int4", False))
+        int4mode = "int4mix" if int4mix else True
 
         def vqa_factory():
             return load_vqa_engine(
@@ -177,7 +186,8 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
                 int8=True if mixed else getattr(args, "int8", None),
                 kv_int8=getattr(args, "kv_int8", False),
                 prompt_lookup=getattr(args, "prompt_lookup", False),
-                int4=getattr(args, "int4", False) and not mixed)
+                int4=int4mode if (getattr(args, "int4", False)
+                                  and not mixed) else False)
 
         def vsm_factory():
             eng = load_vsm_engine(
@@ -186,7 +196,8 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
                                           False) or compiled,
                 int8=getattr(args, "int8", None),
                 kv_int8=getattr(args, "kv_int8", False),
-                int4=getattr(args, "int4", False) or mixed)
+                int4=int4mode if (getattr(args, "int4", False)
+                                  or mixed) else False)
             if compiled:
                 from ..search.compiled import CompiledVSMSearch
                 return CompiledVSMSearch(eng)
@@ -213,7 +224,9 @@ def eval_model(args, vqa_engine=None, vsm_engine=None):
             or compiled,
             kv_int8=getattr(args, "kv_int8", False),
             prompt_lookup=getattr(args, "prompt_lookup", False),
-            int4=getattr(args, "int4", False))
+            int4=("int4mix" if getattr(args, "int4mix", False) else True)
+            if (getattr(args, "int4", False)
+                or getattr(args, "int4mix", False)) else False)
         if compiled:
             from ..search.compiled import CompiledVSMSearch
             vsm_engine = CompiledVSMSearch(vsm_engine)
@@ -310,6 +323,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused-dequant kernel: halves decode weight reads "
                         "AND fits the 7B SEAL pair on one 16 GB chip "
                         "(accuracy opt-in, like --kv-int8/W8A8)")
+    p.add_argument("--int4mix", dest="int4mix", action="store_true",
+                   default=False,
+                   help="per-matrix int4/int8 decoder on the int4 side "
+                        "(nn/quant.INT4MIX_INT4_KEYS: int8 qkvo+down, "
+                        "int4 gate/up+lm_head) — 1.30x faster decode "
+                        "than --int4 for +1.8 GB; alone it implies "
+                        "--mixed, and the bigger pair needs B<=4 waves "
+                        "(hbm_probe r5)")
     p.add_argument("--prompt-lookup", dest="prompt_lookup",
                    action="store_true", default=False,
                    help="prompt-lookup speculative decoding for the "

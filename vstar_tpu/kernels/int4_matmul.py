@@ -166,7 +166,11 @@ def _w4a8_kernel(xe_ref, xo_ref, q4_ref, s4_ref, o_ref, *, ng: int,
     speed lever — the pair-on-one-chip modes pay ~2x on decoded tokens,
     so mixed-precision co-residency (int8 VQA + int4 VSM,
     scripts/coresident_bench.py --mixed) keeps the dominant free-form/
-    MC phases at int8 speed."""
+    MC phases at int8 speed. A second measured lever follows from this
+    table: quantize='int4mix' (nn/quant.INT4MIX_INT4_KEYS) keeps int4
+    only where it is at/near parity (gate/up, lm_head) and upgrades
+    qkvo+down to int8 — 7B decode 24.2 ms/tok vs int4's 31.6 (1.30x)
+    for +1.8 GB of residency (scripts/int4_bench.py r5)."""
     qp = q4_ref[...]                                  # [IN2, BO] u8
     lo16 = ((qp.astype(jnp.int32) << 4) & 0xF0).astype(jnp.int8)
     hi16 = pltpu.bitcast(qp & jnp.uint8(0xF0), jnp.int8)

@@ -81,16 +81,20 @@ def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32,
                       quantize=False) -> Dict:
-    """quantize: False | True/'int8' | 'int4' — builds quantized decoder
-    weights tensor-by-tensor so the full bf16 model never has to fit in
-    memory (16 GB v5e serving)."""
+    """quantize: False | True/'int8' | 'int4' | 'int4mix' — builds
+    quantized decoder weights tensor-by-tensor so the full bf16 model
+    never has to fit in memory (16 GB v5e serving). 'int4mix' picks
+    int4/int8 per matrix from the measured kernel truth table
+    (quant.INT4MIX_INT4_KEYS)."""
     kg = KeyGen(key)
     D, L = cfg.hidden_size, cfg.num_layers
 
-    def stack(fn):
-        if not quantize:
+    def stack(fn, name):
+        from .quant import resolve_matrix_quant
+        q = resolve_matrix_quant(quantize, name)
+        if not q:
             return jnp.stack([fn(kg()) for _ in range(L)])
-        if quantize == "int4":
+        if q == "int4":
             from .quant import quantize_weight_int4
             qs = [quantize_weight_int4(fn(kg())) for _ in range(L)]
             return {"q4": jnp.stack([e["q4"] for e in qs]),
@@ -104,27 +108,33 @@ def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32,
         "input_norm": {"scale": jnp.ones((L, D), dtype)},
         "post_norm": {"scale": jnp.ones((L, D), dtype)},
         "attn": {
-            "wq": stack(lambda k: dense_init(k, D, cfg.q_dim, dtype=dtype)),
-            "wk": stack(lambda k: dense_init(k, D, cfg.kv_dim, dtype=dtype)),
-            "wv": stack(lambda k: dense_init(k, D, cfg.kv_dim, dtype=dtype)),
-            "wo": stack(lambda k: dense_init(k, cfg.q_dim, D, dtype=dtype)),
+            "wq": stack(lambda k: dense_init(k, D, cfg.q_dim, dtype=dtype),
+                        "wq"),
+            "wk": stack(lambda k: dense_init(k, D, cfg.kv_dim, dtype=dtype),
+                        "wk"),
+            "wv": stack(lambda k: dense_init(k, D, cfg.kv_dim, dtype=dtype),
+                        "wv"),
+            "wo": stack(lambda k: dense_init(k, cfg.q_dim, D, dtype=dtype),
+                        "wo"),
         },
         "mlp": {
             "w_gate": stack(lambda k: dense_init(k, D, cfg.intermediate_size,
-                                                 dtype=dtype)),
+                                                 dtype=dtype), "w_gate"),
             "w_up": stack(lambda k: dense_init(k, D, cfg.intermediate_size,
-                                               dtype=dtype)),
+                                               dtype=dtype), "w_up"),
             "w_down": stack(lambda k: dense_init(k, cfg.intermediate_size, D,
-                                                 dtype=dtype)),
+                                                 dtype=dtype), "w_down"),
         },
     }
+    from .quant import resolve_matrix_quant
     lm_head = dense_init(kg(), D, cfg.vocab_size, dtype=dtype)
-    if quantize == "int4":
+    lm_q = resolve_matrix_quant(quantize, "lm_head")
+    if lm_q == "int4":
         # vocab dim not group-divisible constraints don't apply (grouping is
         # along IN=hidden); int4 lm_head is fine.
         from .quant import quantize_weight_int4
         lm_head = quantize_weight_int4(lm_head)
-    elif quantize:
+    elif lm_q:
         from .quant import quantize_weight
         lm_head = quantize_weight(lm_head)
     return {

@@ -64,6 +64,27 @@ def quantize_weight_int4_np(w, group: int = 128) -> Dict:
 
 GROUP4 = 128  # int4 group size along the reduction dim
 
+# Per-matrix recipe for quantize='int4mix': keep int4 ONLY where the
+# fused int4 kernel measured at/near parity with the int8 XLA matvec
+# (the valid truth table in kernels/int4_matmul.py — 4096x11008 gate/up
+# 0.110 vs 0.097 ms, 4096x32000 lm_head 0.261 vs 0.283); upgrade to
+# per-channel int8 where XLA sits AT its roofline and the int4 kernel is
+# 2.5-2.7x slower (qkvo 0.023 vs 0.057, down 0.056 vs 0.149). At 7B this
+# trades +1.8 GB of decoder residency for cutting the decode-critical
+# per-layer matmul time from 0.597 to 0.368 ms. MEASURED r5 at 7B
+# (scripts/int4_bench.py, same session): decode 24.2 ms/tok vs int4's
+# 31.6 and int8's 15.1 (1.30x over int4, the truth table's predicted
+# -7.3 ms/tok lands at -7.4); prefill-384 45.6 ms vs int4's 50.8.
+INT4MIX_INT4_KEYS = ("w_gate", "w_up", "lm_head")
+
+
+def resolve_matrix_quant(quantize, name: str):
+    """Per-weight quantize mode: 'int4mix' picks int4/int8 by matrix name
+    (INT4MIX_INT4_KEYS); every other mode applies uniformly."""
+    if quantize == "int4mix":
+        return "int4" if name in INT4MIX_INT4_KEYS else "int8"
+    return quantize
+
 
 def quantize_weight_int4(w: jnp.ndarray, group: int = GROUP4
                          ) -> Dict[str, jnp.ndarray]:

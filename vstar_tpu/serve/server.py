@@ -192,6 +192,15 @@ def add_engine_flags(p):
                         "trigger decode and option scoring run at int8 "
                         "speed, only searches pay the int4 kernels; "
                         "measured +14%% over the all-int4 pair")
+    p.add_argument("--int4mix", dest="int4mix", action="store_true",
+                   default=False,
+                   help="per-matrix int4/int8 on the int4-side decoder "
+                        "(nn/quant.INT4MIX_INT4_KEYS): 1.30x faster "
+                        "search decode than --int4 for +1.8 GB (~12.4 GB "
+                        "pair) — alone it implies --mixed; keep waves at "
+                        "max_batch<=4 (B=8 free-form temps overflow the "
+                        "bigger pair; the service splits such waves "
+                        "adaptively)")
     p.add_argument("--warmup", action="store_true", default=False,
                    help="pre-compile every (mode x batch-bucket) program "
                         "before accepting traffic — no live request ever "
@@ -223,18 +232,21 @@ def _random_init_engines(args):
     vqa_cfg = vqa_llm_tiny() if tiny else vqa_llm_7b()
     vsm_cfg = vsm_tiny() if tiny else vsm_7b()
     dtype = jnp.float32 if tiny else jnp.bfloat16
+    int4mix = getattr(args, "int4mix", False)
+    mixed = args.mixed or (int4mix and not args.int4)
+    int4mode = "int4mix" if int4mix else "int4"
     vqa_quant = (False if tiny
-                 else True if args.mixed
-                 else "int4" if args.int4 else args.int8 is not False)
+                 else True if mixed
+                 else int4mode if args.int4 else args.int8 is not False)
     vsm_quant = (False if tiny
-                 else "int4" if (args.int4 or args.mixed)
+                 else int4mode if (args.int4 or mixed)
                  else args.int8 is not False)
     tok = StubTokenizer(vqa_cfg.llama.vocab_size)
     vqa_params = init_vqa_llm_params(jax.random.PRNGKey(0), vqa_cfg,
                                      dtype=dtype, quantize_llm=vqa_quant)
     vsm_params = init_vsm_params(jax.random.PRNGKey(1), vsm_cfg,
                                  dtype=dtype, quantize_llm=vsm_quant)
-    if args.mixed:
+    if mixed:
         from ..nn.quant import quantize_model_towers
         vqa_params = quantize_model_towers(vqa_params)
         vsm_params = quantize_model_towers(vsm_params)
@@ -272,27 +284,32 @@ def engines_from_flags(args, max_batch: int = 1):
                                     resolve_mesh)
     mesh = resolve_mesh(args.mesh)
     # default placement matches load_engines: without a mesh or a
-    # co-resident quantization (--int4/--mixed), the int8 7B pair does
-    # NOT fit one 16 GB chip — auto-split VQA -> chip 0 / VSM -> chip 1
-    # when two un-meshed TPU chips exist
+    # co-resident quantization (--int4/--mixed/--int4mix), the int8 7B
+    # pair does NOT fit one 16 GB chip — auto-split VQA -> chip 0 /
+    # VSM -> chip 1 when two un-meshed TPU chips exist
+    int4mix = getattr(args, "int4mix", False)
+    mixed = args.mixed or (int4mix and not args.int4)
+    int4mode = "int4mix" if int4mix else True
     devs = jax.devices()
-    split = (mesh is None and not (args.int4 or args.mixed)
+    split = (mesh is None and not (args.int4 or mixed)
              and len(devs) >= 2 and devs[0].platform == "tpu")
     d_vqa = devs[0] if split else None
     d_vsm = devs[1] if split else None
     vqa = load_vqa_engine(args.vqa_model_path, mesh=mesh,
-                          int8=True if args.mixed else args.int8,
+                          int8=True if mixed else args.int8,
                           device=d_vqa,
                           kv_int8=args.kv_int8,
                           prompt_lookup=args.prompt_lookup,
-                          int4=args.int4 and not args.mixed)
+                          int4=int4mode if (args.int4 and not mixed)
+                          else False)
     vsm = load_vsm_engine(args.vsm_model_path,
                           device_preprocess=args.device_preprocess
                           or args.compiled,
                           mesh=mesh, int8=args.int8,
                           device=d_vsm,
                           kv_int8=args.kv_int8,
-                          int4=args.int4 or args.mixed)
+                          int4=int4mode if (args.int4 or mixed)
+                          else False)
     sizes = []
     if args.warmup:
         from ..eval.vqa_engine import warmup_vqa_engine
