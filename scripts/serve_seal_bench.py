@@ -157,12 +157,17 @@ def main():
     vqa_params = _sync(init_vqa_llm_params(
         jax.random.PRNGKey(0), vqa_cfg, dtype=jnp.bfloat16,
         quantize_llm=True if args.mixed else "int4"))
+    if args.mixed:
+        # quantize each model's towers BEFORE building the next model:
+        # with the int4mix VSM the pair is 12.4 GB live, and the ~1 GB of
+        # still-bf16 VQA towers plus the quantizer's f32 transients
+        # measurably OOM'd the VSM's lm_head init (r5)
+        from vstar_tpu.nn.quant import quantize_model_towers
+        vqa_params = quantize_model_towers(vqa_params)
     vsm_params = _sync(init_vsm_params(
         jax.random.PRNGKey(1), vsm_cfg, dtype=jnp.bfloat16,
         quantize_llm=args.vsm_quant))
     if args.mixed:
-        from vstar_tpu.nn.quant import quantize_model_towers
-        vqa_params = quantize_model_towers(vqa_params)
         vsm_params = quantize_model_towers(vsm_params)
     print(f"[load] {'mixed int8/int4' if args.mixed else 'int4'} pair "
           f"{time.perf_counter()-t0:.1f}s", flush=True)

@@ -178,6 +178,7 @@ def run_flag_matrix(make_engines: Callable, image,
 def run_runner_matrix(benchmark_folder: str,
                       vqa_factory: Callable, vsm_factory: Callable,
                       coresident_factories=None, mixed_factories=None,
+                      int4mix_factories=None,
                       batch: int = 8, log=print, **phased_kw) -> List[Dict]:
     """Day-one gate over the RESIDENCY modes (VERDICT r4 #7): the flag
     matrix covers engine opt-ins; this sweeps how the two 7B models share
@@ -199,13 +200,14 @@ def run_runner_matrix(benchmark_folder: str,
     base: Dict = {}
     base_results = None
 
-    def cell(name, vqa_f, vsm_f, coresident):
+    def cell(name, vqa_f, vsm_f, coresident, cell_batch=None):
         nonlocal base_results
         row: Dict = {"cell": name, "coresident": coresident}
         try:
             t0 = time.perf_counter()
             results, per_type, t = eval_model_phased(
-                benchmark_folder, vqa_f, vsm_f, batch=batch,
+                benchmark_folder, vqa_f, vsm_f,
+                batch=cell_batch or batch,
                 coresident=coresident, log=None, **phased_kw)
             row["total_s"] = round(time.perf_counter() - t0, 3)
             accs = [c for v in per_type.values() for c in v]
@@ -258,6 +260,12 @@ def run_runner_matrix(benchmark_folder: str,
     if mixed_factories is not None:
         cell("mixed-coresident", mixed_factories[0], mixed_factories[1],
              True)
+    if int4mix_factories is not None:
+        # the int4mix pair is 12.4 GB live — B>=4 free-form temps
+        # overflow the 16 GB chip (measured r5), so this cell runs at
+        # the mode's own operating point
+        cell("int4mix-coresident", int4mix_factories[0],
+             int4mix_factories[1], True, cell_batch=min(batch, 2))
     return rows
 
 

@@ -244,11 +244,15 @@ def _random_init_engines(args):
     tok = StubTokenizer(vqa_cfg.llama.vocab_size)
     vqa_params = init_vqa_llm_params(jax.random.PRNGKey(0), vqa_cfg,
                                      dtype=dtype, quantize_llm=vqa_quant)
+    if mixed:
+        # towers int8 BEFORE the second model builds: the int4mix pair
+        # is 12.4 GB live and still-bf16 towers + the quantizer's f32
+        # transients OOM'd the VSM init (measured r5)
+        from ..nn.quant import quantize_model_towers
+        vqa_params = quantize_model_towers(vqa_params)
     vsm_params = init_vsm_params(jax.random.PRNGKey(1), vsm_cfg,
                                  dtype=dtype, quantize_llm=vsm_quant)
     if mixed:
-        from ..nn.quant import quantize_model_towers
-        vqa_params = quantize_model_towers(vqa_params)
         vsm_params = quantize_model_towers(vsm_params)
     vqa = VQAEngine(vqa_params, vqa_cfg, tok,
                     prompt_buckets=(64,) if tiny else (512, 768),
