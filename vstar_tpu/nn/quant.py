@@ -180,8 +180,12 @@ def qdot(x: jnp.ndarray, entry: WeightEntry) -> jnp.ndarray:
         # int4 paths on TPU (the XLA expression below measured 300 ms/tok);
         # they return None off-TPU or on shapes they don't tile. With the
         # act-int8 opt-in, decode-shaped rows take the W4A8 kernel (int8
-        # MXU dots — decode parity with int8 weights at half the bytes,
-        # measured r4); everything else takes the bf16-dot W4A16 kernel.
+        # MXU dots); everything else takes the bf16-dot W4A16 kernel.
+        # Both run ~2x slower than the int8 XLA matvec per matrix on
+        # qkvo/down (unpack-compute-bound — the honest truth table lives
+        # in kernels/int4_matmul.py; the r4 "decode parity" claim was
+        # hoist-contaminated and is retracted). int4 buys RESIDENCY;
+        # 'int4mix' keeps int4 only where it holds parity or wins.
         from ..kernels.int4_matmul import qdot4, qdot4_w4a8
         if _ACT_INT8:
             y = qdot4_w4a8(x, entry)
